@@ -1,0 +1,107 @@
+""".fasta <-> .dexta and .arrow <-> .dexar codecs.
+
+Data plane on TPU: ascii->code LUT translation, padding mask, and the 2-bit
+pack run as one fused jitted program over an (N, Lpad) rectangle; decode is
+the mirror image.  The host control plane does text parsing and byte-exact
+container framing (reference encoders dexta.c:102-205 / dexar.c:101-211).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..formats import fasta as fa
+from ..formats import dexta as dx
+from ..formats.ragged import pad_rows, rows_to_flat
+from ..ops import twobit as tb
+
+
+# ---------------------------------------------------------------------------
+# fused device kernels
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _encode_rows(ascii_rows, lengths, number_lut):
+    codes = number_lut[ascii_rows]
+    return tb.pack_2bit(codes, lengths)
+
+
+@jax.jit
+def _decode_rows(packed_rows, letter_lut):
+    codes = tb.unpack_2bit(packed_rows)
+    return letter_lut[codes]
+
+
+def _pack_batch(seqs_flat, lengths, number_lut, device: bool):
+    """Pack ragged ascii symbols into per-read 2-bit payload bytes."""
+    rows = pad_rows(seqs_flat, lengths, align=512)
+    if device:
+        packed = np.asarray(_encode_rows(jnp.asarray(rows), jnp.asarray(lengths),
+                                         jnp.asarray(number_lut)))
+    else:
+        packed = tb.pack_2bit_np(number_lut[rows], lengths)
+    clens = (lengths + 3) >> 2
+    payload = rows_to_flat(packed, clens)
+    return payload, clens
+
+
+def _unpack_batch(payload, clens, rlens, letter_lut, device: bool):
+    """Unpack per-read payload bytes into an (N, Lpad) ascii rectangle."""
+    rows = pad_rows(payload, clens, align=128)
+    if device:
+        sym = np.asarray(_decode_rows(jnp.asarray(rows), jnp.asarray(letter_lut)))
+    else:
+        sym = letter_lut[tb.unpack_2bit_np(rows)]
+    return sym
+
+
+# ---------------------------------------------------------------------------
+# .dexta
+# ---------------------------------------------------------------------------
+
+def encode_fasta_to_dexta(data: bytes, device: bool = True) -> bytes:
+    f = fa.parse_seq_file(data, arrow=False)
+    payload, clens = _pack_batch(f.seqs.flat, f.seqs.lengths, tb.NUMBER_BASE_LUT, device)
+    return dx.write_dexta(f.prefix, f.wells, f.begs, f.ends, f.qvs, payload, clens)
+
+
+def decode_dexta_to_fasta(data: bytes, width: int = 80, upper: bool = False,
+                          device: bool = True) -> bytes:
+    d = dx.read_dexta(data, arrow=False)
+    rlens = (d.ends - d.begs).astype(np.int64)
+    lut = tb.UPPER_LUT if upper else tb.LOWER_LUT
+    sym = _unpack_batch(d.payload.flat, d.payload.lengths, rlens, lut, device)
+    headers = fa.format_headers(d.prefix, d.wells, d.begs, d.ends, qvs=d.qvs)
+    return fa.write_seq_file(headers, sym, rlens, width=width)
+
+
+# ---------------------------------------------------------------------------
+# .dexar
+# ---------------------------------------------------------------------------
+
+def _snr_to_cnr(snrs: np.ndarray) -> np.ndarray:
+    """float SNR -> uint16 snr*100, truncated, clamped at 9999 when > 99.99
+    (reference dexar.c:159-163: the comparison is in double, the cast
+    truncates)."""
+    s = snrs.astype(np.float64)
+    return np.where(s > 99.99, 9999, (s * 100.0).astype(np.int64)).astype(np.uint16)
+
+
+def encode_arrow_to_dexar(data: bytes, device: bool = True) -> bytes:
+    f = fa.parse_seq_file(data, arrow=True)
+    payload, clens = _pack_batch(f.seqs.flat, f.seqs.lengths, tb.NUMBER_ARROW_LUT, device)
+    cnrs = _snr_to_cnr(f.snrs)
+    return dx.write_dexar(f.prefix, f.wells, f.begs, f.ends, cnrs, payload, clens)
+
+
+def decode_dexar_to_arrow(data: bytes, width: int = 80, device: bool = True) -> bytes:
+    d = dx.read_dexta(data, arrow=True)
+    rlens = (d.ends - d.begs).astype(np.int64)
+    sym = _unpack_batch(d.payload.flat, d.payload.lengths, rlens, tb.ARROW_LETTER_LUT, device)
+    snrs = d.cnrs.astype(np.float64) / 100.0
+    headers = fa.format_headers(d.prefix, d.wells, d.begs, d.ends, snrs=snrs)
+    return fa.write_seq_file(headers, sym, rlens, width=width)

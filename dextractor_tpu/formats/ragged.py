@@ -1,0 +1,74 @@
+"""Ragged <-> padded-rectangle conversions (host side, vectorized NumPy).
+
+TPU kernels want rectangular (N, Lpad) layouts with a length vector; file
+containers want tightly packed variable-length byte runs.  These helpers are
+the bridge and are used by every codec.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class Ragged:
+    """A batch of variable-length u8 rows stored flat."""
+
+    flat: np.ndarray      # (total,) u8
+    lengths: np.ndarray   # (N,) int64
+
+    @property
+    def offsets(self) -> np.ndarray:
+        off = np.zeros(len(self.lengths) + 1, np.int64)
+        np.cumsum(self.lengths, out=off[1:])
+        return off
+
+    def padded(self, align: int = 512, pad_value: int = 0) -> np.ndarray:
+        return pad_rows(self.flat, self.lengths, align=align, pad_value=pad_value)
+
+
+def pad_rows(flat: np.ndarray, lengths: np.ndarray, align: int = 512,
+             pad_value: int = 0) -> np.ndarray:
+    """Scatter flat ragged rows into an (N, Lpad) rectangle."""
+    n = len(lengths)
+    lpad = max(int(lengths.max(initial=0)), 1)
+    lpad = _round_up(lpad, align)
+    out = np.full((n, lpad), pad_value, dtype=flat.dtype)
+    total = int(lengths.sum())
+    if total:
+        starts = np.zeros(n, np.int64)
+        np.cumsum(lengths[:-1], out=starts[1:])
+        row = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        col = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+        out[row, col] = flat[:total]
+    return out
+
+
+def rows_to_flat(rows: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Gather the first lengths[i] items of each row into one flat array."""
+    n, lpad = rows.shape
+    total = int(lengths.sum())
+    if not total:
+        return np.empty(0, rows.dtype)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    row = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    col = np.arange(total, dtype=np.int64) - np.repeat(starts, lengths)
+    return rows[row, col]
+
+
+def flat_gather_lens(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Gather ragged runs flat[starts[i] : starts[i]+lengths[i]] concatenated."""
+    total = int(lengths.sum())
+    if not total:
+        return np.empty(0, flat.dtype)
+    run_starts = np.zeros(len(lengths), np.int64)
+    np.cumsum(lengths[:-1], out=run_starts[1:])
+    idx = np.arange(total, dtype=np.int64) - np.repeat(run_starts, lengths) + np.repeat(starts, lengths)
+    return flat[idx]

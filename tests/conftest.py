@@ -1,0 +1,135 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual XLA devices so the multi-chip sharding path
+is exercised without TPU hardware (the driver separately compile-checks the
+real-chip paths).  The reference C tools are compiled once per session from
+/root/reference (read-only) and used purely as black-box oracles for golden
+byte-identity tests; when the reference tree is absent those tests skip.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+# Must happen before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = Path("/root/reference")
+TOOLS = ["dexta", "undexta", "dexar", "undexar", "dexqv", "undexqv"]
+
+
+@pytest.fixture(scope="session")
+def ref_tools(tmp_path_factory):
+    """Compile the reference codec tools as test oracles; skip if unavailable."""
+    if not REFERENCE.is_dir():
+        pytest.skip("reference tree not available")
+    build = tmp_path_factory.mktemp("refbuild")
+    for src in REFERENCE.glob("*.[ch]"):
+        (build / src.name).write_bytes(src.read_bytes())
+    for tool in TOOLS:
+        r = subprocess.run(
+            ["gcc", "-O2", "-o", tool, f"{tool}.c", "DB.c", "QV.c", "-lm"],
+            cwd=build, capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"could not build reference {tool}: {r.stderr[:400]}")
+    return build
+
+
+def run_ref(tools_dir, tool, args, cwd):
+    r = subprocess.run([str(tools_dir / tool), *args], cwd=cwd,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, f"{tool} failed: {r.stderr}"
+    return r
+
+
+# ---------------------------------------------------------------------------
+# synthetic data generators
+# ---------------------------------------------------------------------------
+
+def make_fasta(rng, n_reads=20, min_len=0, max_len=700, movie=b"m130205_1210_42", width=80,
+               with_rq=True, well_jumps=False):
+    """A synthetic PacBio-style .fasta image plus its parsed fields."""
+    lines = []
+    well = 0
+    for i in range(n_reads):
+        well += int(rng.integers(0, 600 if well_jumps else 3))
+        rlen = int(rng.integers(min_len, max_len + 1))
+        beg = int(rng.integers(0, 100))
+        end = beg + rlen
+        qv = int(rng.integers(0, 1000))
+        hdr = f">{movie.decode()}/{well}/{beg}_{end}"
+        if with_rq:
+            hdr += f" RQ=0.{qv}"
+        lines.append(hdr.encode())
+        seq = rng.choice(np.frombuffer(b"acgt", np.uint8), size=rlen)
+        for j in range(0, rlen, width):
+            lines.append(seq[j:j + width].tobytes())
+        if rlen == 0:
+            pass
+    return b"\n".join(lines) + b"\n"
+
+
+def make_arrow(rng, n_reads=20, min_len=0, max_len=700, movie=b"m130205_1210_42", width=80):
+    lines = []
+    well = 0
+    for i in range(n_reads):
+        well += int(rng.integers(0, 3))
+        rlen = int(rng.integers(min_len, max_len + 1))
+        beg = int(rng.integers(0, 100))
+        end = beg + rlen
+        snr = rng.uniform(0.5, 120.0, size=4)
+        hdr = (f">{movie.decode()}/{well}/{beg}_{end} "
+               f"SN={snr[0]:.2f},{snr[1]:.2f},{snr[2]:.2f},{snr[3]:.2f}")
+        lines.append(hdr.encode())
+        seq = rng.choice(np.frombuffer(b"1234", np.uint8), size=rlen)
+        for j in range(0, rlen, width):
+            lines.append(seq[j:j + width].tobytes())
+    return b"\n".join(lines) + b"\n"
+
+
+def make_quiva(rng, n_reads=12, min_len=0, max_len=400, movie=b"m130205_1210_42",
+               del_run=True, sub_heavy=False, spread=30):
+    """A synthetic .quiva image: header + 5 equal-length QV/tag streams.
+
+    delTag contains 'n' exactly where delQV equals one designated char so the
+    delChar discovery in the scan matches real instrument output.
+    """
+    del_char = ord("f")
+    lines = []
+    well = 0
+    for i in range(n_reads):
+        well += int(rng.integers(0, 3))
+        rlen = int(rng.integers(min_len, max_len + 1))
+        beg = int(rng.integers(0, 50))
+        end = beg + rlen
+        qv = int(rng.integers(0, 1000))
+        lines.append(f"@{movie.decode()}/{well}/{beg}_{end} RQ=0.{qv}".encode())
+        if del_run:
+            # runs of del_char broken by other chars
+            delqv = np.full(rlen, del_char, np.uint8)
+            breaks = rng.random(rlen) < 0.25
+            delqv[breaks] = rng.integers(ord("!"), ord("!") + spread, size=int(breaks.sum()))
+        else:
+            delqv = rng.integers(ord("!"), ord("!") + spread, size=rlen).astype(np.uint8)
+        tag = rng.choice(np.frombuffer(b"acgt", np.uint8), size=rlen)
+        tag[delqv == del_char] = ord("n")
+        ins = rng.integers(ord("!"), ord("!") + spread, size=rlen).astype(np.uint8)
+        mrg = rng.integers(ord("!"), ord("!") + spread, size=rlen).astype(np.uint8)
+        if sub_heavy:
+            sub = np.full(rlen, ord("k"), np.uint8)
+            breaks = rng.random(rlen) < 0.2
+            sub[breaks] = rng.integers(ord("!"), ord("!") + spread, size=int(breaks.sum()))
+        else:
+            sub = rng.integers(ord("!"), ord("!") + spread, size=rlen).astype(np.uint8)
+        for stream in (delqv, tag, ins, mrg, sub):
+            lines.append(stream.tobytes())
+    return b"\n".join(lines) + b"\n"

@@ -1,0 +1,108 @@
+"""Golden tests for the .dexta / .dexar codecs against the reference C tools."""
+
+import numpy as np
+import pytest
+
+from conftest import make_fasta, make_arrow, run_ref
+
+from dextractor_tpu.codecs import (
+    encode_fasta_to_dexta,
+    decode_dexta_to_fasta,
+    encode_arrow_to_dexar,
+    decode_dexar_to_arrow,
+)
+from dextractor_tpu.ops import twobit as tb
+
+
+# ---------------------------------------------------------------------------
+# kernel-level
+# ---------------------------------------------------------------------------
+
+def test_pack_unpack_np_roundtrip():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, size=(7, 512), dtype=np.uint8)
+    lengths = rng.integers(0, 513, size=7)
+    packed = tb.pack_2bit_np(codes, lengths)
+    unpacked = tb.unpack_2bit_np(packed)
+    for i, l in enumerate(lengths):
+        np.testing.assert_array_equal(unpacked[i, :l], codes[i, :l])
+
+
+def test_pack_matches_jax():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, size=(5, 256), dtype=np.uint8)
+    lengths = rng.integers(0, 257, size=5)
+    np.testing.assert_array_equal(
+        tb.pack_2bit_np(codes, lengths),
+        np.asarray(tb.pack_2bit(jnp.asarray(codes), jnp.asarray(lengths))))
+    packed = tb.pack_2bit_np(codes, lengths)
+    np.testing.assert_array_equal(
+        tb.unpack_2bit_np(packed),
+        np.asarray(tb.unpack_2bit(jnp.asarray(packed))))
+
+
+# ---------------------------------------------------------------------------
+# golden byte-identity vs the C tools
+# ---------------------------------------------------------------------------
+
+CASES = [
+    dict(n_reads=20, min_len=0, max_len=700),                  # odd lengths + empties
+    dict(n_reads=40, min_len=1, max_len=9, well_jumps=True),    # tiny reads, 0xff escapes
+    dict(n_reads=3, min_len=1000, max_len=5000),               # long reads
+    dict(n_reads=10, min_len=0, max_len=100, with_rq=False),    # qv defaults to 0
+]
+
+
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_dexta_golden(case, ref_tools, tmp_path):
+    rng = np.random.default_rng(100 + case)
+    fasta = make_fasta(rng, **CASES[case])
+    (tmp_path / "g.fasta").write_bytes(fasta)
+    run_ref(ref_tools, "dexta", ["-k", "g.fasta"], tmp_path)
+    ref_dexta = (tmp_path / "g.dexta").read_bytes()
+
+    ours = encode_fasta_to_dexta(fasta)
+    assert ours == ref_dexta, "encoded .dexta differs from reference"
+
+    # C decode of our encode reproduces the original
+    (tmp_path / "h.dexta").write_bytes(ours)
+    run_ref(ref_tools, "undexta", ["-k", "h.dexta"], tmp_path)
+    ref_decoded = (tmp_path / "h.fasta").read_bytes()
+
+    # our decode of the reference encode
+    ours_decoded = decode_dexta_to_fasta(ref_dexta)
+    assert ours_decoded == ref_decoded
+
+
+def test_dexta_upper_and_width(ref_tools, tmp_path):
+    rng = np.random.default_rng(7)
+    fasta = make_fasta(rng, n_reads=8, max_len=333)
+    (tmp_path / "g.fasta").write_bytes(fasta)
+    run_ref(ref_tools, "dexta", ["-k", "g.fasta"], tmp_path)
+    ref_dexta = (tmp_path / "g.dexta").read_bytes()
+    run_ref(ref_tools, "undexta", ["-k", "-U", "-w60", "g.dexta"], tmp_path)
+    ref_fasta = (tmp_path / "g.fasta").read_bytes()
+    assert decode_dexta_to_fasta(ref_dexta, width=60, upper=True) == ref_fasta
+
+
+def test_dexta_roundtrip_no_oracle():
+    rng = np.random.default_rng(11)
+    fasta = make_fasta(rng, n_reads=25, max_len=300)
+    assert decode_dexta_to_fasta(encode_fasta_to_dexta(fasta)) == fasta
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dexar_golden(seed, ref_tools, tmp_path):
+    rng = np.random.default_rng(200 + seed)
+    arrow = make_arrow(rng, n_reads=15, max_len=500)
+    (tmp_path / "g.arrow").write_bytes(arrow)
+    run_ref(ref_tools, "dexar", ["-k", "g.arrow"], tmp_path)
+    ref_dexar = (tmp_path / "g.dexar").read_bytes()
+
+    ours = encode_arrow_to_dexar(arrow)
+    assert ours == ref_dexar, "encoded .dexar differs from reference"
+
+    run_ref(ref_tools, "undexar", ["-k", "g.dexar"], tmp_path)
+    ref_arrow = (tmp_path / "g.arrow").read_bytes()
+    assert decode_dexar_to_arrow(ref_dexar) == ref_arrow
