@@ -1,0 +1,286 @@
+""".quiva <-> .dexqv codec orchestration.
+
+Two-pass flow matching dexqv.c:79-143: a statistics scan over the whole file
+builds six histograms (with the reference's order-dependent delChar/subChar
+discovery, QV.c:895-918), Huffman schemes are built once per file
+(QV.c:1029-1136), then every entry's five streams are encoded.
+
+The scan is fully vectorized; its histograms are exactly what the
+``parallel`` package reduces with ``psum`` across shards before a single
+table build.  Entry encoding uses the vectorized bitstream engine per
+stream; the batched TPU path lives in ops/bitstream_jax.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.errors import FormatError
+from ..formats import quiva as qv
+from ..formats import dexqv as dq
+from ..formats.dexta import _read_key  # container endian handling
+from ..ops import twobit as tb
+from ..ops import bitstream as bs
+from ..ops.huffman import make_scheme
+
+DEL, TAG, INS, MRG, SUB = range(5)
+
+
+@dataclass
+class QVStats:
+    del_hist: np.ndarray
+    ins_hist: np.ndarray
+    mrg_hist: np.ndarray
+    sub_hist: np.ndarray
+    del_run: np.ndarray
+    sub_run: np.ndarray
+    del_char: int
+    sub_char: int
+    tot_char: int
+
+
+def _run_hist_entries(streams_flat, offsets, entries, rchar):
+    """Accumulate Histogram_Runs over the given entry indices."""
+    hist = np.zeros(256, np.int64)
+    for i in entries:
+        seg = streams_flat[offsets[i]: offsets[i + 1]]
+        if len(seg) == 0:
+            continue
+        runlens, _, _ = bs.tokenize_runs(seg, rchar)
+        if len(runlens):
+            hist += np.bincount(np.minimum(runlens, 255), minlength=256)
+    return hist
+
+
+def scan_quiva(q: qv.QuivaFile) -> QVStats:
+    """QVcoding_Scan (QV.c:922-1023), vectorized with exact order semantics."""
+    off = np.zeros(q.n_entries + 1, np.int64)
+    np.cumsum(q.lengths, out=off[1:])
+    total = int(off[-1])
+
+    del_hist = np.bincount(q.streams[DEL], minlength=256).astype(np.int64)
+    ins_hist = np.bincount(q.streams[INS], minlength=256).astype(np.int64)
+    mrg_hist = np.bincount(q.streams[MRG], minlength=256).astype(np.int64)
+    sub_hist = np.bincount(q.streams[SUB], minlength=256).astype(np.int64)
+
+    # delChar: the delQV under the first 'n'/'N' delTag in file order
+    # (QV.c:993-1002); run histogram covers that entry onward.
+    tagn = np.flatnonzero((q.streams[TAG] == ord("n")) | (q.streams[TAG] == ord("N")))
+    del_run = np.ones(256, np.int64)                    # init to 1 (QV.c:934-935)
+    if len(tagn):
+        k = int(tagn[0])
+        del_char = int(q.streams[DEL][k])
+        r0 = int(np.searchsorted(off, k, "right") - 1)
+        del_run += _run_hist_entries(q.streams[DEL], off, range(r0, q.n_entries), del_char)
+    else:
+        del_char = -1
+
+    # subChar: chosen at the first entry where cumulative chars >= 100000,
+    # as the mode of the substitution histogram *so far* (QV.c:1006-1017);
+    # run histogram covers that entry onward.
+    sub_run = np.ones(256, np.int64)
+    sub_char = -1
+    if total >= 100000:
+        r1 = int(np.searchsorted(off[1:], 100000, "left"))
+        part = np.bincount(q.streams[SUB][: off[r1 + 1]], minlength=256)
+        sub_char = int(np.argmax(part))                  # first max, like the C scan
+        sub_run += _run_hist_entries(q.streams[SUB], off, range(r1, q.n_entries), sub_char)
+
+    return QVStats(del_hist, ins_hist, mrg_hist, sub_hist, del_run, sub_run,
+                   del_char, sub_char, total)
+
+
+def create_qvcoding(stats: QVStats, prefix: bytes, lossy: bool = False) -> dq.QVCoding:
+    """Create_QVcoding (QV.c:1029-1153) from (possibly psum-reduced) stats."""
+    del_hist = stats.del_hist.copy()
+    ins_hist = stats.ins_hist.copy()
+    mrg_hist = stats.mrg_hist.copy()
+    sub_hist = stats.sub_hist.copy()
+    del_char, sub_char = stats.del_char, stats.sub_char
+
+    # keep subChar only if it is at least half of all chars (QV.c:1044-1045)
+    if stats.tot_char < 200000 or sub_hist[sub_char] < 0.5 * stats.tot_char:
+        sub_char = -1
+
+    if lossy:                                            # QV.c:1049-1065
+        ins_hist = ins_hist.reshape(128, 2).sum(1, dtype=np.int64)
+        ins_hist = np.stack([ins_hist, np.zeros(128, np.int64)], 1).reshape(256)
+        mrg_hist = mrg_hist.reshape(64, 4).sum(1, dtype=np.int64)
+        mrg_hist = np.concatenate(
+            [mrg_hist[:, None], np.zeros((64, 3), np.int64)], 1).reshape(256)
+
+    if del_char >= 0:
+        del_hist[del_char] = 0
+        del_scheme = make_scheme(del_hist)
+        drun_scheme = make_scheme(stats.del_run)
+    else:
+        del_scheme = make_scheme(del_hist)
+        drun_scheme = None
+
+    ins_scheme = make_scheme(ins_hist)
+    mrg_scheme = make_scheme(mrg_hist)
+
+    if sub_char >= 0:
+        sub_hist[sub_char] = 0
+        sub_scheme = make_scheme(sub_hist)
+        srun_scheme = make_scheme(stats.sub_run)
+    else:
+        sub_scheme = make_scheme(sub_hist)
+        srun_scheme = None
+
+    return dq.QVCoding(del_scheme, ins_scheme, mrg_scheme, sub_scheme,
+                       drun_scheme, srun_scheme, del_char, sub_char, prefix)
+
+
+# ---------------------------------------------------------------------------
+# entry encode / decode
+# ---------------------------------------------------------------------------
+
+def encode_entry(coding: dq.QVCoding, delqv, tag, ins, mrg, sub, lossy: bool) -> bytes:
+    """Compress_Next_QVentry (QV.c:1381-1426) for one entry -> payload bytes."""
+    parts = []
+    if coding.del_char < 0:
+        parts.append(bs.encode_stream(coding.del_scheme, delqv).tobytes())
+        kept = tag
+    else:
+        parts.append(bs.encode_run_stream(coding.del_scheme, coding.drun_scheme,
+                                          delqv, coding.del_char).tobytes())
+        kept = tag[delqv != coding.del_char]              # Pack_Tag (QV.c:810-819)
+    codes = tb.NUMBER_BASE_LUT[kept]
+    clen = len(codes)
+    tlen = (clen + 3) >> 2
+    if tlen:
+        padded = np.zeros(4 * tlen, np.uint8)
+        padded[:clen] = codes
+        parts.append(tb.pack_2bit_np(padded[None, :])[0].tobytes())
+    if lossy:                                             # QV.c:1406-1415
+        ins = ins & 0xFE
+        mrg = mrg & 0xFC
+    parts.append(bs.encode_stream(coding.ins_scheme, ins).tobytes())
+    parts.append(bs.encode_stream(coding.mrg_scheme, mrg).tobytes())
+    if coding.sub_char < 0:
+        parts.append(bs.encode_stream(coding.sub_scheme, sub).tobytes())
+    else:
+        parts.append(bs.encode_run_stream(coding.sub_scheme, coding.srun_scheme,
+                                          sub, coding.sub_char).tobytes())
+    return b"".join(parts)
+
+
+def encode_quiva_to_dexqv(data: bytes, lossy: bool = False) -> bytes:
+    q = qv.parse_quiva(data)
+    stats = scan_quiva(q)
+    coding = create_qvcoding(stats, q.prefix, lossy)
+    off = np.zeros(q.n_entries + 1, np.int64)
+    np.cumsum(q.lengths, out=off[1:])
+    blobs = []
+    for i in range(q.n_entries):
+        s, e = off[i], off[i + 1]
+        blobs.append(encode_entry(
+            coding,
+            q.streams[DEL, s:e], q.streams[TAG, s:e], q.streams[INS, s:e],
+            q.streams[MRG, s:e], q.streams[SUB, s:e], lossy))
+    return dq.write_dexqv(coding, q.wells, q.begs, q.ends, q.qvs, blobs)
+
+
+def decode_entry(coding: dq.QVCoding, buf: np.ndarray, byte_off: int, rlen: int):
+    """Uncompress_Next_QVentry (QV.c:1428-1481): decode 5 streams.
+
+    Returns (streams (5, rlen) u8, bytes_consumed).
+    """
+    out = np.empty((5, rlen), np.uint8)
+    pos = byte_off
+    flip = coding.flip
+
+    rd = bs.BitReader(buf, pos, flip)
+    if coding.del_char < 0:
+        out[DEL], words = bs.decode_stream(coding.del_scheme, rd, rlen)
+        clen = rlen
+    else:
+        out[DEL], words = bs.decode_run_stream(coding.del_scheme, coding.drun_scheme,
+                                               rd, rlen, coding.del_char)
+        clen = int((out[DEL] != coding.del_char).sum())   # Packed_Length
+    pos += 4 * words
+
+    tlen = (clen + 3) >> 2
+    if pos + tlen > len(buf):
+        raise FormatError("could not read deletions entry")
+    packed = buf[pos: pos + tlen]
+    pos += tlen
+    kept = tb.LOWER_LUT[tb.unpack_2bit_np(packed[None, :])[0, :clen]]
+    if coding.del_char < 0:
+        out[TAG] = kept
+    else:                                                 # Unpack_Tag (QV.c:837-847)
+        mask = out[DEL] != coding.del_char
+        tag = np.full(rlen, ord("n"), np.uint8)
+        tag[mask] = kept
+        out[TAG] = tag
+
+    rd = bs.BitReader(buf, pos, flip)
+    out[INS], words = bs.decode_stream(coding.ins_scheme, rd, rlen)
+    pos += 4 * words
+    rd = bs.BitReader(buf, pos, flip)
+    out[MRG], words = bs.decode_stream(coding.mrg_scheme, rd, rlen)
+    pos += 4 * words
+    rd = bs.BitReader(buf, pos, flip)
+    if coding.sub_char < 0:
+        out[SUB], words = bs.decode_stream(coding.sub_scheme, rd, rlen)
+    else:
+        out[SUB], words = bs.decode_run_stream(coding.sub_scheme, coding.srun_scheme,
+                                               rd, rlen, coding.sub_char)
+    pos += 4 * words
+    return out, pos - byte_off
+
+
+def decode_dexqv_to_quiva(data: bytes, upper: bool = False) -> bytes:
+    import struct as _struct
+
+    mv = memoryview(data)
+    (key,) = _struct.unpack_from("<H", mv, 0)
+    off = 2 if key in (dq.CONTAINER_KEY, 0xAA55) else 0   # legacy: no container key
+    coding, off = dq.parse_qvcoding(mv, off)
+    newv = key in (dq.CONTAINER_KEY, 0xAA55)
+    end = ">" if coding.flip else "<"
+
+    buf = np.frombuffer(data, np.uint8)
+    size = len(buf)
+    wells, begs, ends_, qvs = [], [], [], []
+    streams_parts = []
+    lengths = []
+    well = 0
+    fmt = _struct.Struct(end + ("iii" if newv else "3H"))
+    while off < size:
+        b = buf[off]
+        off += 1
+        while b == 255:
+            well += 255
+            if off >= size:
+                raise FormatError("truncated .dexqv (well escape)")
+            b = buf[off]
+            off += 1
+        well += int(b)
+        if off + fmt.size > size:
+            raise FormatError("truncated .dexqv (fields)")
+        beg, endp, q_ = fmt.unpack_from(mv, off)
+        off += fmt.size
+        rlen = endp - beg
+        entry, consumed = decode_entry(coding, buf, off, rlen)
+        off += consumed
+        wells.append(well)
+        begs.append(beg)
+        ends_.append(endp)
+        qvs.append(q_)
+        lengths.append(rlen)
+        streams_parts.append(entry)
+
+    n = len(wells)
+    lengths = np.array(lengths, np.int64)
+    streams = (np.concatenate(streams_parts, axis=1)
+               if streams_parts else np.empty((5, 0), np.uint8))
+    if upper:                                             # undexqv.c:198-204
+        total = streams.shape[1]
+        streams = streams.copy()
+        streams[TAG] = streams[TAG] - 32
+    return qv.write_quiva(coding.prefix, np.array(wells), np.array(begs),
+                          np.array(ends_), np.array(qvs), lengths, streams)

@@ -36,8 +36,12 @@ def ref_tools(tmp_path_factory):
     for src in REFERENCE.glob("*.[ch]"):
         (build / src.name).write_bytes(src.read_bytes())
     for tool in TOOLS:
+        # -fno-strict-aliasing: the reference's Decode GET macros alias a
+        # uint64 window through uint32/uint16/uint8 pointers (QV.c:519-527),
+        # which miscompiles under gcc 12 -O2/-O3 strict aliasing.
         r = subprocess.run(
-            ["gcc", "-O2", "-o", tool, f"{tool}.c", "DB.c", "QV.c", "-lm"],
+            ["gcc", "-O2", "-fno-strict-aliasing", "-o", tool,
+             f"{tool}.c", "DB.c", "QV.c", "-lm"],
             cwd=build, capture_output=True, text=True)
         if r.returncode != 0:
             pytest.skip(f"could not build reference {tool}: {r.stderr[:400]}")

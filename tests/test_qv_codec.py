@@ -1,0 +1,140 @@
+"""Golden tests for the .dexqv codec against the reference C tools."""
+
+import numpy as np
+import pytest
+
+from conftest import make_quiva, run_ref
+
+from dextractor_tpu.codecs.qv_codec import (
+    encode_quiva_to_dexqv,
+    decode_dexqv_to_quiva,
+)
+from dextractor_tpu.ops import bitstream as bs
+from dextractor_tpu.ops.huffman import make_scheme, HScheme, build_lookup
+
+
+# ---------------------------------------------------------------------------
+# bitstream engine unit tests
+# ---------------------------------------------------------------------------
+
+def _roundtrip_stream(data, hist=None):
+    data = np.asarray(data, np.uint8)
+    if hist is None:
+        hist = np.bincount(data, minlength=256).astype(np.int64)
+    scheme = make_scheme(hist)
+    words = bs.encode_stream(scheme, data)
+    buf = np.frombuffer(words.tobytes(), np.uint8)
+    rd = bs.BitReader(buf, 0)
+    out, consumed = bs.decode_stream(scheme, rd, len(data))
+    assert consumed == len(words), (consumed, len(words))
+    np.testing.assert_array_equal(out, data)
+
+
+def test_bitstream_roundtrip_simple():
+    # NB: a histogram with a single distinct symbol yields a zero-length code
+    # in the reference too (Huffman of one leaf, QV.c:183-201) and cannot
+    # roundtrip there either — streams here always carry >= 2 symbols.
+    rng = np.random.default_rng(0)
+    for n in [2, 3, 31, 32, 33, 100, 1000]:
+        data = rng.integers(60, 80, size=n).astype(np.uint8)
+        data[0] = 59
+        _roundtrip_stream(data)
+
+
+def test_bitstream_roundtrip_skewed():
+    rng = np.random.default_rng(1)
+    # geometric-ish distribution exercises long codes / escapes
+    data = np.minimum((rng.exponential(2.0, size=5000)).astype(np.int64), 255)
+    hist = np.bincount(data, minlength=256).astype(np.int64)
+    hist[hist == 0] = 0
+    _roundtrip_stream(data.astype(np.uint8), hist)
+
+
+def test_bitstream_escape_type2():
+    # force a type-2 scheme: >64 distinct symbols with extreme skew
+    rng = np.random.default_rng(2)
+    common = np.zeros(20000, np.int64)
+    rare = np.arange(200) + 1
+    data = np.concatenate([common, np.repeat(rare, 1)]).astype(np.uint8)
+    rng.shuffle(data)
+    hist = np.bincount(data, minlength=256).astype(np.int64)
+    scheme = make_scheme(hist)
+    _roundtrip_stream(data, hist)
+
+
+def test_run_stream_roundtrip():
+    rng = np.random.default_rng(3)
+    rchar = 70
+    for n in [5, 100, 2000]:
+        data = np.full(n, rchar, np.uint8)
+        breaks = rng.random(n) < 0.2
+        data[breaks] = rng.integers(33, 60, size=int(breaks.sum())).astype(np.uint8)
+        data[0] = 33               # guarantee >= 2 distinct literal symbols
+        data[1] = 34
+        nhist = np.bincount(data[data != rchar], minlength=256).astype(np.int64)
+        runlens, _, _ = bs.tokenize_runs(data, rchar)
+        rhist = np.ones(256, np.int64)
+        rhist += np.bincount(np.minimum(runlens, 255), minlength=256)
+        neme, reme = make_scheme(nhist), make_scheme(rhist)
+        words = bs.encode_run_stream(neme, reme, data, rchar)
+        buf = np.frombuffer(words.tobytes(), np.uint8)
+        rd = bs.BitReader(buf, 0)
+        out, consumed = bs.decode_run_stream(neme, reme, rd, n, rchar)
+        assert consumed == len(words)
+        np.testing.assert_array_equal(out, data)
+
+
+def test_long_run_escape():
+    # runs >= 255 take the 255 escape with a 16-bit literal
+    data = np.full(1000, 70, np.uint8)
+    data[990] = 40
+    nhist = np.zeros(256, np.int64)
+    nhist[40] = 1
+    nhist[41] = 1
+    runlens, _, _ = bs.tokenize_runs(data, 70)
+    rhist = np.ones(256, np.int64) + np.bincount(np.minimum(runlens, 255), minlength=256)
+    neme, reme = make_scheme(nhist), make_scheme(rhist)
+    words = bs.encode_run_stream(neme, reme, data, 70)
+    buf = np.frombuffer(words.tobytes(), np.uint8)
+    out, consumed = bs.decode_run_stream(neme, reme, bs.BitReader(buf, 0), 1000, 70)
+    assert consumed == len(words)
+    np.testing.assert_array_equal(out, data)
+
+
+# ---------------------------------------------------------------------------
+# golden byte-identity vs the C tools
+# ---------------------------------------------------------------------------
+
+QCASES = [
+    dict(n_reads=12, min_len=0, max_len=400),                     # small, delChar found
+    dict(n_reads=12, min_len=0, max_len=400, del_run=False),      # no delChar
+    dict(n_reads=60, min_len=1500, max_len=2500, sub_heavy=True),  # subChar active (>200k)
+    dict(n_reads=30, min_len=3000, max_len=4000, spread=90),      # big alphabet, escapes
+]
+
+
+@pytest.mark.parametrize("case", range(len(QCASES)))
+@pytest.mark.parametrize("lossy", [False, True])
+def test_dexqv_golden(case, lossy, ref_tools, tmp_path):
+    rng = np.random.default_rng(300 + case)
+    quiva = make_quiva(rng, **QCASES[case])
+    (tmp_path / "g.quiva").write_bytes(quiva)
+    args = ["-k", "-l", "g.quiva"] if lossy else ["-k", "g.quiva"]
+    run_ref(ref_tools, "dexqv", args, tmp_path)
+    ref_dexqv = (tmp_path / "g.dexqv").read_bytes()
+
+    ours = encode_quiva_to_dexqv(quiva, lossy=lossy)
+    assert ours == ref_dexqv, (
+        f"encoded .dexqv differs from reference "
+        f"(ours {len(ours)}B vs ref {len(ref_dexqv)}B)")
+
+    run_ref(ref_tools, "undexqv", ["-k", "g.dexqv"], tmp_path)
+    ref_quiva = (tmp_path / "g.quiva").read_bytes()
+    assert decode_dexqv_to_quiva(ref_dexqv) == ref_quiva
+
+
+def test_dexqv_roundtrip_no_oracle():
+    rng = np.random.default_rng(42)
+    quiva = make_quiva(rng, n_reads=10, max_len=200)
+    enc = encode_quiva_to_dexqv(quiva)
+    assert decode_dexqv_to_quiva(enc) == quiva
