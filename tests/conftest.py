@@ -12,8 +12,9 @@ import subprocess
 import sys
 from pathlib import Path
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before jax is imported anywhere.  Force CPU: the ambient
+# environment may pin JAX_PLATFORMS to the tunneled TPU backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,81 @@
+"""CLI tools: flag behavior, file lifecycle, pipe mode."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from conftest import make_fasta, make_quiva
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(args, cwd, stdin: bytes | None = None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run([sys.executable, "-m", "dextractor_tpu", *args],
+                          cwd=cwd, input=stdin, capture_output=True, env=env)
+
+
+def test_dexta_cli_lifecycle(tmp_path):
+    rng = np.random.default_rng(0)
+    fasta = make_fasta(rng, n_reads=6, max_len=200)
+    (tmp_path / "g.fasta").write_bytes(fasta)
+
+    r = run_cli(["dexta", "-v", "g.fasta"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert b"Processing" in r.stderr
+    assert not (tmp_path / "g.fasta").exists()      # source removed without -k
+    assert (tmp_path / "g.dexta").exists()
+
+    r = run_cli(["undexta", "g.dexta"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert not (tmp_path / "g.dexta").exists()
+    assert (tmp_path / "g.fasta").read_bytes() == fasta
+
+
+def test_dexta_pipe_mode(tmp_path):
+    rng = np.random.default_rng(1)
+    fasta = make_fasta(rng, n_reads=4, max_len=120)
+    r = run_cli(["dexta", "-i"], tmp_path, stdin=fasta)
+    assert r.returncode == 0, r.stderr
+    r2 = run_cli(["undexta", "-i"], tmp_path, stdin=r.stdout)
+    assert r2.returncode == 0, r2.stderr
+    assert r2.stdout == fasta
+
+
+def test_undexta_flags(tmp_path):
+    rng = np.random.default_rng(2)
+    fasta = make_fasta(rng, n_reads=4, max_len=120)
+    (tmp_path / "g.fasta").write_bytes(fasta)
+    run_cli(["dexta", "-k", "g.fasta"], tmp_path)
+    r = run_cli(["undexta", "-k", "-U", "-w60", "g.dexta"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    out = (tmp_path / "g.fasta").read_bytes()
+    assert b"ACGT" in out or b"A" in out.split(b"\n")[1]
+
+
+def test_dexqv_cli(tmp_path):
+    rng = np.random.default_rng(3)
+    quiva = make_quiva(rng, n_reads=6, max_len=150)
+    (tmp_path / "g.quiva").write_bytes(quiva)
+    r = run_cli(["dexqv", "-k", "g.quiva"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["undexqv", "-k", "g.dexqv"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "g.quiva").read_bytes() == quiva
+
+
+def test_bad_usage(tmp_path):
+    r = run_cli(["dexta"], tmp_path)
+    assert r.returncode == 1
+    assert b"Usage" in r.stderr
+    r = run_cli(["undexta", "-z", "x.dexta"], tmp_path)
+    assert r.returncode == 1
+    r = run_cli(["dexta", "missing.fasta"], tmp_path)
+    assert r.returncode == 1
+    assert b"Cannot open" in r.stderr
