@@ -168,10 +168,12 @@ def encode_entry(coding: dq.QVCoding, delqv, tag, ins, mrg, sub, lossy: bool) ->
     return b"".join(parts)
 
 
-def encode_quiva_to_dexqv(data: bytes, lossy: bool = False) -> bytes:
+def encode_quiva_to_dexqv(data: bytes, lossy: bool = False, device: bool = True) -> bytes:
     q = qv.parse_quiva(data)
     stats = scan_quiva(q)
     coding = create_qvcoding(stats, q.prefix, lossy)
+    if device:
+        return _encode_entries_device(q, coding, lossy)
     off = np.zeros(q.n_entries + 1, np.int64)
     np.cumsum(q.lengths, out=off[1:])
     blobs = []
@@ -182,6 +184,100 @@ def encode_quiva_to_dexqv(data: bytes, lossy: bool = False) -> bytes:
             q.streams[DEL, s:e], q.streams[TAG, s:e], q.streams[INS, s:e],
             q.streams[MRG, s:e], q.streams[SUB, s:e], lossy))
     return dq.write_dexqv(coding, q.wells, q.begs, q.ends, q.qvs, blobs)
+
+
+# ---------------------------------------------------------------------------
+# batched TPU encode path
+# ---------------------------------------------------------------------------
+
+def _encode_entries_device(q: qv.QuivaFile, coding: dq.QVCoding, lossy: bool) -> bytes:
+    """Encode all entries' streams as five batched TPU programs."""
+    import jax
+    import jax.numpy as jnp
+    from ..formats.ragged import pad_rows
+    from ..ops import bitstream_jax as bj
+
+    n = q.n_entries
+    real_lengths = q.lengths.astype(np.int64)
+    # bucket both dims so device programs recompile rarely
+    n_pad = max(8, 1 << (max(n - 1, 0)).bit_length())
+    lengths = np.zeros(n_pad, np.int64)
+    lengths[:n] = real_lengths
+
+    def rect(s):
+        r = pad_rows(q.streams[s], real_lengths, align=512, bucket=True)
+        if n_pad != n:
+            r = np.concatenate([r, np.zeros((n_pad - n, r.shape[1]), np.uint8)])
+        return r
+
+    del_rows = rect(DEL)
+    ins_rows = rect(INS)
+    mrg_rows = rect(MRG)
+    sub_rows = rect(SUB)
+    tag_rows = rect(TAG)
+    if lossy:
+        ins_rows = ins_rows & 0xFE
+        mrg_rows = mrg_rows & 0xFC
+
+    del_flat, del_w = bj.encode_rows_np(del_rows, lengths, coding.del_scheme,
+                                        coding.drun_scheme, coding.del_char)
+    ins_flat, ins_w = bj.encode_rows_np(ins_rows, lengths, coding.ins_scheme)
+    mrg_flat, mrg_w = bj.encode_rows_np(mrg_rows, lengths, coding.mrg_scheme)
+    sub_flat, sub_w = bj.encode_rows_np(sub_rows, lengths, coding.sub_scheme,
+                                        coding.srun_scheme, coding.sub_char)
+
+    packed, clens = _pack_tags_device(tag_rows, del_rows, lengths, coding.del_char)
+    tag_lens = (clens + 3) >> 2
+    from ..formats.ragged import rows_to_flat
+    tag_flat = rows_to_flat(packed, tag_lens)
+
+    parts = [
+        (del_flat.view(np.uint8), 4 * del_w[:n]),
+        (tag_flat, tag_lens[:n]),
+        (ins_flat.view(np.uint8), 4 * ins_w[:n]),
+        (mrg_flat.view(np.uint8), 4 * mrg_w[:n]),
+        (sub_flat.view(np.uint8), 4 * sub_w[:n]),
+    ]
+    return dq.assemble_dexqv(coding, q.wells, q.begs, q.ends, q.qvs, parts)
+
+
+def _pack_tags_device(tag_rows, del_rows, lengths, del_char):
+    """Pack_Tag + Number_Read + Compress_Read batched on device.
+
+    Kept tag symbols (where delQV != delChar) are compacted to row starts
+    with a cumsum/scatter, then 2-bit packed.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    out, clens = _pack_tags_jit(jnp.asarray(tag_rows), jnp.asarray(del_rows),
+                                jnp.asarray(lengths.astype(np.int32)),
+                                jnp.int32(del_char),
+                                jnp.asarray(tb.NUMBER_BASE_LUT))
+    return np.asarray(out), np.asarray(clens).astype(np.int64)
+
+
+def _pack_tags_impl(tag_rows, del_rows, lengths, del_char, number_lut):
+    import jax
+    import jax.numpy as jnp
+    from ..ops.twobit import pack_2bit
+
+    n, l = tag_rows.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    valid = col < lengths[:, None]
+    keep = jnp.where(del_char >= 0, valid & (del_rows != del_char.astype(jnp.uint8)),
+                     valid)
+    kidx = jnp.cumsum(keep, axis=1) - 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, l), 0)
+    codes = jnp.zeros((n, l), jnp.uint8)
+    codes = codes.at[rows, jnp.where(keep, kidx, l)].set(
+        number_lut[tag_rows], mode="drop")
+    clens = keep.sum(axis=1)
+    return pack_2bit(codes, mask=False), clens
+
+
+import jax as _jax  # noqa: E402
+_pack_tags_jit = _jax.jit(_pack_tags_impl)
 
 
 def decode_entry(coding: dq.QVCoding, buf: np.ndarray, byte_off: int, rlen: int):

@@ -36,12 +36,23 @@ def _decode_rows(packed_rows, letter_lut):
     return letter_lut[codes]
 
 
+def _bucket_rows(rows: np.ndarray, lengths: np.ndarray):
+    """Pad the row count to a power of two (shape-bucketing for jit reuse)."""
+    n = rows.shape[0]
+    n_pad = max(8, 1 << max(n - 1, 0).bit_length())
+    if n_pad != n:
+        rows = np.concatenate([rows, np.zeros((n_pad - n, rows.shape[1]), rows.dtype)])
+        lengths = np.concatenate([lengths, np.zeros(n_pad - n, lengths.dtype)])
+    return rows, lengths, n
+
+
 def _pack_batch(seqs_flat, lengths, number_lut, device: bool):
     """Pack ragged ascii symbols into per-read 2-bit payload bytes."""
-    rows = pad_rows(seqs_flat, lengths, align=512)
+    rows = pad_rows(seqs_flat, lengths, align=512, bucket=device)
     if device:
-        packed = np.asarray(_encode_rows(jnp.asarray(rows), jnp.asarray(lengths),
-                                         jnp.asarray(number_lut)))
+        rows_p, lengths_p, n = _bucket_rows(rows, lengths)
+        packed = np.asarray(_encode_rows(jnp.asarray(rows_p), jnp.asarray(lengths_p),
+                                         jnp.asarray(number_lut)))[:n]
     else:
         packed = tb.pack_2bit_np(number_lut[rows], lengths)
     clens = (lengths + 3) >> 2
@@ -51,9 +62,10 @@ def _pack_batch(seqs_flat, lengths, number_lut, device: bool):
 
 def _unpack_batch(payload, clens, rlens, letter_lut, device: bool):
     """Unpack per-read payload bytes into an (N, Lpad) ascii rectangle."""
-    rows = pad_rows(payload, clens, align=128)
+    rows = pad_rows(payload, clens, align=128, bucket=device)
     if device:
-        sym = np.asarray(_decode_rows(jnp.asarray(rows), jnp.asarray(letter_lut)))
+        rows_p, _, n = _bucket_rows(rows, clens)
+        sym = np.asarray(_decode_rows(jnp.asarray(rows_p), jnp.asarray(letter_lut)))[:n]
     else:
         sym = letter_lut[tb.unpack_2bit_np(rows)]
     return sym

@@ -96,6 +96,60 @@ def parse_qvcoding(mv: memoryview, off: int) -> tuple[QVCoding, int]:
                     del_char, sub_char, prefix, flip), off
 
 
+def assemble_dexqv(coding: QVCoding, wells, begs, ends, qvs,
+                   parts: list[tuple[np.ndarray, np.ndarray]]) -> bytes:
+    """Vectorized container assembly from per-entry payload parts.
+
+    ``parts`` is an ordered list of (flat u8 array, per-entry byte lengths)
+    — for .dexqv: del words, packed tag, ins words, mrg words, sub words.
+    One ragged scatter per part builds the image; no per-entry Python loop.
+    """
+    head = struct.pack("<H", CONTAINER_KEY) + qvcoding_bytes(coding)
+
+    wells = np.asarray(wells, np.int64)
+    n = len(wells)
+    deltas = np.diff(wells, prepend=0)
+    if (deltas < 0).any():
+        raise FormatError("well numbers must be non-decreasing")
+    n_ff = deltas // 255
+    final = (deltas - 255 * n_ff).astype(np.uint8)
+
+    part_lens = [np.asarray(l, np.int64) for _, l in parts]
+    hdr_lens = n_ff + 13
+    ent_lens = hdr_lens + sum(part_lens)
+    ent_off = np.zeros(n + 1, np.int64)
+    np.cumsum(ent_lens, out=ent_off[1:])
+    out = np.empty(int(ent_off[-1]), np.uint8)
+
+    total_ff = int(n_ff.sum())
+    if total_ff:
+        f_starts = np.zeros(n, np.int64)
+        np.cumsum(n_ff[:-1], out=f_starts[1:])
+        pos = (np.arange(total_ff, dtype=np.int64) - np.repeat(f_starts, n_ff)
+               + np.repeat(ent_off[:-1], n_ff))
+        out[pos] = 0xFF
+    out[ent_off[:-1] + n_ff] = final
+    fields = np.empty((n, 12), np.uint8)
+    fields[:, 0:4] = np.asarray(begs, "<i4").reshape(n, 1).view(np.uint8)
+    fields[:, 4:8] = np.asarray(ends, "<i4").reshape(n, 1).view(np.uint8)
+    fields[:, 8:12] = np.asarray(qvs, "<i4").reshape(n, 1).view(np.uint8)
+    fpos = (ent_off[:-1] + n_ff + 1)[:, None] + np.arange(12, dtype=np.int64)[None, :]
+    out[fpos] = fields
+
+    base = ent_off[:-1] + hdr_lens
+    for k, (flat, lens) in enumerate(parts):
+        lens = part_lens[k]
+        total = int(lens.sum())
+        if total:
+            p_starts = np.zeros(n, np.int64)
+            np.cumsum(lens[:-1], out=p_starts[1:])
+            pos = (np.arange(total, dtype=np.int64) - np.repeat(p_starts, lens)
+                   + np.repeat(base, lens))
+            out[pos] = flat[:total]
+        base = base + lens
+    return head + out.tobytes()
+
+
 def write_dexqv(coding: QVCoding, wells, begs, ends, qvs,
                 entry_blobs: list[bytes]) -> bytes:
     """Assemble the .dexqv image (container key + coding + framed entries)."""

@@ -33,12 +33,22 @@ class Ragged:
         return pad_rows(self.flat, self.lengths, align=align, pad_value=pad_value)
 
 
+def next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
 def pad_rows(flat: np.ndarray, lengths: np.ndarray, align: int = 512,
-             pad_value: int = 0) -> np.ndarray:
-    """Scatter flat ragged rows into an (N, Lpad) rectangle."""
+             pad_value: int = 0, bucket: bool = False) -> np.ndarray:
+    """Scatter flat ragged rows into an (N, Lpad) rectangle.
+
+    With ``bucket``, Lpad is rounded to the next power of two so jitted
+    device programs see few distinct shapes (compile-cache friendly).
+    """
     n = len(lengths)
     lpad = max(int(lengths.max(initial=0)), 1)
     lpad = _round_up(lpad, align)
+    if bucket:
+        lpad = next_pow2(lpad)
     out = np.full((n, lpad), pad_value, dtype=flat.dtype)
     total = int(lengths.sum())
     if total:

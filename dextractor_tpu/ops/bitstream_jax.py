@@ -1,0 +1,253 @@
+"""Batched Huffman bitstream encoding on TPU.
+
+The reference encodes one symbol at a time through a 32-bit shift register
+(OCODE, QV.c:404-422).  The TPU formulation turns the whole file into one
+data-parallel program over an (N, Lpad) rectangle of streams:
+
+  1. per-symbol emission values/widths via 256-entry LUT gathers
+     (escapes fused: code||literal as one <=32-bit emission);
+  2. run tokenization via a row-wise exclusive running maximum of literal
+     positions (no sequential scan over symbols);
+  3. bit offsets via row-wise exclusive cumulative sums;
+  4. word assembly via a scatter-add of each emission's hi/lo 32-bit
+     contributions (contributions are bit-disjoint, so add == or);
+  5. the reference's exact tail-padding (duplicate/zero word) applied as a
+     cheap host-side gather using per-row totals.
+
+Every step is elementwise, cumsum, or scatter — shapes are static, so XLA
+fuses 1-3 and the TPU stays HBM-bound.  uint64 is avoided throughout (TPU
+has no native 64-bit lanes): hi/lo word contributions use clamped 32-bit
+shifts.
+
+Scheme tables enter as a (6, 256)-row LUT bundle so one jitted program
+serves any scheme (see ``scheme_luts``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .huffman import HScheme
+
+
+def scheme_luts(scheme: HScheme) -> np.ndarray:
+    """Pack a scheme into a (3, 256) int64-free LUT bundle:
+    row 0: codebits (u32 as int64), row 1: codelens, row 2: escape flag."""
+    lut = np.zeros((3, 256), np.int64)
+    lut[0] = scheme.codebits
+    lut[1] = scheme.codelens
+    if scheme.type == 2:
+        lut[2] = ((scheme.codebits == scheme.codebits[255])
+                  & (scheme.codelens == scheme.codelens[255])).astype(np.int64)
+    return lut
+
+
+def _excl_cumsum(x, axis):
+    c = jnp.cumsum(x, axis=axis)
+    return c - x
+
+
+def _sym_emissions(data, luts):
+    """Fused emission (value u32, width, granular-last-width) per symbol."""
+    bits = luts[0].astype(jnp.uint32)[data]
+    lens = luts[1][data].astype(jnp.int32)
+    esc = luts[2][data].astype(jnp.bool_)
+    v = jnp.where(esc, (bits << 8) | data.astype(jnp.uint32), bits)
+    n = jnp.where(esc, lens + 8, lens)
+    gran = jnp.where(esc, 8, lens)
+    return v, n, gran
+
+
+def plain_emissions(data, lengths, luts):
+    """Emissions for a non-RLE stream rectangle (N, L).
+
+    Returns (v, n) of shape (N, L) plus (T, last_gran) of shape (N,).
+    """
+    n_rows, l = data.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, l), 1)
+    valid = col < lengths[:, None]
+    v, n, gran = _sym_emissions(data, luts)
+    v = jnp.where(valid, v, 0)
+    n = jnp.where(valid, n, 0)
+    t = n.sum(axis=1)
+    idx = jnp.maximum(lengths - 1, 0)
+    last_gran = jnp.where(lengths > 0, jnp.take_along_axis(gran, idx[:, None], 1)[:, 0], 0)
+    return v, n, t, last_gran
+
+
+def run_emissions(data, lengths, rchar, sym_luts, run_luts):
+    """Emissions for an RLE stream rectangle (N, L).
+
+    Token layout per row: slots [2i, 2i+1] hold the run emission and the
+    literal emission for position i (nonzero only where data[i] != rchar),
+    slot 2L holds the trailing run emission.  Run lengths are recovered
+    without a sequential walk: an inclusive row max of literal positions,
+    shifted, gives the previous literal index at every position.
+    """
+    n_rows, l = data.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, l), 1)
+    valid = col < lengths[:, None]
+    is_lit = valid & (data != rchar)
+
+    lit_pos = jnp.where(is_lit, col, -1)
+    run_max = jax.lax.associative_scan(jnp.maximum, lit_pos, axis=1)
+    prev_lit = jnp.concatenate(
+        [jnp.full((n_rows, 1), -1, jnp.int32), run_max[:, :-1]], axis=1)
+    runlen = col - prev_lit - 1
+
+    # run emission before each literal
+    x = jnp.minimum(runlen, 255)
+    rb = run_luts[0].astype(jnp.uint32)[x]
+    rl = run_luts[1][x].astype(jnp.int32)
+    resc = x == 255
+    rv = jnp.where(resc, (rb << 16) | (runlen.astype(jnp.uint32) & 0xFFFF), rb)
+    rn = jnp.where(resc, rl + 16, rl)
+    rgran = jnp.where(resc, 16, rl)
+    rv = jnp.where(is_lit, rv, 0)
+    rn = jnp.where(is_lit, rn, 0)
+
+    sv, sn, sgran = _sym_emissions(data, sym_luts)
+    sv = jnp.where(is_lit, sv, 0)
+    sn = jnp.where(is_lit, sn, 0)
+
+    # trailing run after the last literal (only when > 0 symbols remain)
+    last_lit = run_max[:, -1] if l > 0 else jnp.full((n_rows,), -1, jnp.int32)
+    trail = jnp.maximum(lengths - last_lit - 1, 0)
+    has_trail = trail > 0
+    tx = jnp.minimum(trail, 255)
+    tb = run_luts[0].astype(jnp.uint32)[tx]
+    tl = run_luts[1][tx].astype(jnp.int32)
+    tesc = tx == 255
+    tv = jnp.where(tesc, (tb << 16) | (trail.astype(jnp.uint32) & 0xFFFF), tb)
+    tn = jnp.where(tesc, tl + 16, tl)
+    tgran = jnp.where(tesc, 16, tl)
+    tv = jnp.where(has_trail, tv, 0)
+    tn = jnp.where(has_trail, tn, 0)
+
+    # interleave: (N, 2L+1)
+    v = jnp.concatenate(
+        [jnp.stack([rv, sv], axis=2).reshape(n_rows, 2 * l), tv[:, None]], axis=1)
+    n = jnp.concatenate(
+        [jnp.stack([rn, sn], axis=2).reshape(n_rows, 2 * l), tn[:, None]], axis=1)
+    t = n.sum(axis=1)
+
+    # granular width of the final emission (for the tail-padding rule)
+    lit_gran = jnp.where(is_lit, sgran, 0)
+    idx = jnp.maximum(last_lit, 0)
+    last_lit_gran = jnp.take_along_axis(lit_gran, idx[:, None], 1)[:, 0]
+    last_gran = jnp.where(has_trail, tgran,
+                          jnp.where(last_lit >= 0, last_lit_gran, 0))
+    return v, n, t, last_gran
+
+
+def pack_words(v, n):
+    """Scatter emissions (N, M) into per-row u32 word rectangles (N, M+1).
+
+    Bit offsets are row-local; each emission lands in at most two words.
+    Contributions are bit-disjoint so scatter-add assembles the words.
+    """
+    n_rows, m = v.shape
+    off = _excl_cumsum(n, axis=1)
+    w = off >> 5
+    p = off & 31
+
+    pn = p + n
+    fits = pn <= 32
+    hi_shift = jnp.clip(32 - pn, 0, 31)
+    hi = jnp.where(fits, v << hi_shift.astype(jnp.uint32),
+                   v >> jnp.clip(pn - 32, 0, 31).astype(jnp.uint32))
+    lo = jnp.where(fits, jnp.uint32(0),
+                   v << jnp.clip(64 - pn, 0, 31).astype(jnp.uint32))
+    hi = jnp.where(n > 0, hi, 0)
+
+    words = jnp.zeros((n_rows, m + 1), jnp.uint32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, m), 0)
+    words = words.at[rows, w].add(hi, mode="drop")
+    words = words.at[rows, w + 1].add(lo, mode="drop")
+    return words
+
+
+def word_counts(t, last_gran):
+    """(raw_words, out_words, dup, zero_ext) per row from totals.
+
+    raw: ceil(T/32) — what pack_words fills;
+    out: what the reference encoder writes (tail-padding rule).
+    """
+    olen = t & 31
+    llen = (t - last_gran) & 31
+    raw = (t + 31) >> 5
+    dup = (olen > 0) & (llen > 16) & (olen > llen)
+    zext = (olen == 0) & (llen > 16) & (t > 0)
+    out = raw + dup.astype(t.dtype) + zext.astype(t.dtype)
+    return raw, out, dup, zext
+
+
+# ---------------------------------------------------------------------------
+# host-side finishing: expand rows into the exact byte streams
+# ---------------------------------------------------------------------------
+
+def finalize_rows(words: np.ndarray, raw: np.ndarray, out: np.ndarray,
+                  dup: np.ndarray, zext: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Gather each row's raw words into the padded output stream.
+
+    Returns (flat u32 array of all rows concatenated, per-row word counts).
+    A duplicated partial word repeats the final raw word; a zero-extension
+    appends a zero word (gather index -1 -> 0 via a guard row).
+    """
+    n_rows, m1 = words.shape
+    out = out.astype(np.int64)
+    raw = raw.astype(np.int64)
+    total = int(out.sum())
+    if total == 0:
+        return np.empty(0, np.uint32), out
+    starts = np.zeros(n_rows, np.int64)
+    np.cumsum(out[:-1], out=starts[1:])
+    rel = np.arange(total, dtype=np.int64) - np.repeat(starts, out)
+    row = np.repeat(np.arange(n_rows, dtype=np.int64), out)
+    # within-row source index: rel, except the dup/zext extra word
+    src = np.minimum(rel, np.repeat(raw, out) - 1)
+    is_extra = rel >= np.repeat(raw, out)
+    use_zero = np.repeat(zext, out) & is_extra
+    flat = words[row, src]
+    flat[use_zero] = 0
+    return flat, out
+
+
+# ---------------------------------------------------------------------------
+# fused device programs
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def encode_plain_rows(data, lengths, luts):
+    v, n, t, lg = plain_emissions(data, lengths, luts)
+    words = pack_words(v, n)
+    raw, out, dup, zext = word_counts(t, lg)
+    return words, raw, out, dup, zext
+
+
+@jax.jit
+def encode_run_rows(data, lengths, rchar, sym_luts, run_luts):
+    v, n, t, lg = run_emissions(data, lengths, rchar, sym_luts, run_luts)
+    words = pack_words(v, n)
+    raw, out, dup, zext = word_counts(t, lg)
+    return words, raw, out, dup, zext
+
+
+def encode_rows_np(data, lengths, scheme: HScheme,
+                   run_scheme: HScheme | None = None, rchar: int = -1,
+                   device: bool = True):
+    """Encode a rectangle of streams; returns (flat u32, words-per-row)."""
+    luts = jnp.asarray(scheme_luts(scheme))
+    d = jnp.asarray(data)
+    ln = jnp.asarray(lengths.astype(np.int32))
+    if run_scheme is None:
+        parts = encode_plain_rows(d, ln, luts)
+    else:
+        rluts = jnp.asarray(scheme_luts(run_scheme))
+        parts = encode_run_rows(d, ln, jnp.int32(rchar), luts, rluts)
+    words, raw, out, dup, zext = (np.asarray(x) for x in parts)
+    return finalize_rows(words, raw, out, dup, zext)

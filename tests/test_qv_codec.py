@@ -123,10 +123,13 @@ def test_dexqv_golden(case, lossy, ref_tools, tmp_path):
     run_ref(ref_tools, "dexqv", args, tmp_path)
     ref_dexqv = (tmp_path / "g.dexqv").read_bytes()
 
-    ours = encode_quiva_to_dexqv(quiva, lossy=lossy)
+    # batched device path and per-entry host path must both be byte-identical
+    ours = encode_quiva_to_dexqv(quiva, lossy=lossy, device=True)
     assert ours == ref_dexqv, (
-        f"encoded .dexqv differs from reference "
+        f"device-encoded .dexqv differs from reference "
         f"(ours {len(ours)}B vs ref {len(ref_dexqv)}B)")
+    ours_host = encode_quiva_to_dexqv(quiva, lossy=lossy, device=False)
+    assert ours_host == ref_dexqv
 
     run_ref(ref_tools, "undexqv", ["-k", "g.dexqv"], tmp_path)
     ref_quiva = (tmp_path / "g.quiva").read_bytes()
