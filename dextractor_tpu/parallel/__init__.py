@@ -1,0 +1,8 @@
+from .mesh import make_mesh, data_sharding
+from .pipeline import (
+    qv_encode_step,
+    qv_scan_step,
+    sharded_qv_encode,
+    sharded_qv_scan,
+    null_run_luts,
+)

@@ -1,0 +1,205 @@
+"""The flagship sharded codec pipeline.
+
+Production flow for .dexqv at scale (the TPU equivalent of the reference's
+serial two-pass dexqv.c:79-143):
+
+  phase A  ``sharded_qv_scan``  — every shard histograms its entries; the
+           six 256-bin tables are ``psum``-reduced over the data axis so all
+           hosts hold the *file-global* statistics (one Huffman table per
+           file, matching QVcoding-per-file semantics, QV.c:922-1023);
+  host     Huffman tables built once (256 symbols — microseconds) and
+           broadcast as replicated LUT arrays;
+  phase B  ``sharded_qv_encode`` — every shard encodes its own entries with
+           the shared tables; outputs are variable-length per read, gathered
+           back in original order host-side (shards are contiguous read
+           blocks, so concatenation preserves order).
+
+Both phases are `shard_map`-ed over a 1-D data mesh; the only collective is
+the histogram ``psum`` (tiny: 6x256 i64) — everything else is embarrassingly
+parallel, which is exactly why this domain scales linearly over ICI+DCN.
+
+The single-device ``qv_encode_step`` is also the compile-check entry point
+(see __graft_entry__.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops import bitstream_jax as bj
+from .mesh import DATA_AXIS
+
+
+def null_run_luts() -> np.ndarray:
+    """A run-LUT bundle that emits zero bits for run length 0.
+
+    Used to run plain (non-RLE) streams through the uniform run-aware
+    kernel: with rchar = -1 every valid position is a literal, all run
+    lengths are 0, and the null LUT makes those emissions vanish.
+    """
+    return np.zeros((3, 256), np.int64)
+
+
+# ---------------------------------------------------------------------------
+# single-device steps (jittable; vmapped over channels)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
+    """Encode the five QV channels of a batch of entries on one device.
+
+    streams:   (5, N, L) u8 — del, tag, ins, mrg, sub
+    lengths:   (N,) i32
+    sym_luts:  (4, 3, 256) — symbol LUTs for del, ins, mrg, sub
+    run_luts:  (4, 3, 256) — run LUTs (null bundle for plain channels)
+    rchars:    (4,) i32 — run char per channel (-1 for plain)
+    number_lut:(256,) u8 — tag base numbering
+
+    Returns (words (4, N, M+1) u32, raw (4, N), out (4, N), dup, zext,
+             packed_tags (N, L//4) u8, tag_clens (N,)).
+    """
+    data = jnp.stack([streams[0], streams[2], streams[3], streams[4]])
+
+    def one(d, sl, rl, rc):
+        v, n, t, lg = bj.run_emissions(d, lengths, rc, sl, rl)
+        words = bj.pack_words(v, n)
+        raw, out, dup, zext = bj.word_counts(t, lg)
+        return words, raw, out, dup, zext
+
+    words, raw, out, dup, zext = jax.vmap(one, in_axes=(0, 0, 0, 0))(
+        data, sym_luts, run_luts, rchars)
+
+    packed, clens = _pack_tags(streams[1], streams[0], lengths, rchars[0], number_lut)
+    return words, raw, out, dup, zext, packed, clens
+
+
+def _pack_tags(tag_rows, del_rows, lengths, del_char, number_lut):
+    """Pack_Tag + Number_Read + Compress_Read, batched (QV.c:810-819)."""
+    from ..ops.twobit import pack_2bit
+
+    n, l = tag_rows.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    valid = col < lengths[:, None]
+    keep = jnp.where(del_char >= 0,
+                     valid & (del_rows != del_char.astype(jnp.uint8)), valid)
+    kidx = jnp.cumsum(keep, axis=1) - 1
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, l), 0)
+    codes = jnp.zeros((n, l), jnp.uint8)
+    codes = codes.at[rows, jnp.where(keep, kidx, l)].set(
+        number_lut[tag_rows], mode="drop")
+    clens = keep.sum(axis=1)
+    return pack_2bit(codes, mask=False), clens
+
+
+def _histogram256(data, weights):
+    """256-bin histogram as a one-hot reduction (no scatter serialization)."""
+    sym = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    flat = data.reshape(-1, 1).astype(jnp.int32)
+    w = weights.reshape(-1, 1)
+    eq = (flat == sym) & w
+    # int32 accumulator: per-batch counts stay < 2^31; the host reduces
+    # batches in int64
+    return jnp.sum(eq, axis=0, dtype=jnp.int32)
+
+
+_I32_INF = np.int32(0x7FFFFFFF)
+
+
+@jax.jit
+def qv_scan_step(streams, lengths):
+    """Per-shard statistics (phase A): four 256-bin channel histograms,
+    per-shard character totals, and the first-'n'-tag location.
+
+    The run histograms need delChar/subChar which only exist after the
+    global reduction, so they are a second tiny pass (``qv_run_hist_step``).
+    NB: per-shard flat positions are int32 (shards < 2^31 chars).
+    """
+    _, n, l = streams.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    valid = col < lengths[:, None]
+    hists = jnp.stack([
+        _histogram256(streams[0], valid),
+        _histogram256(streams[2], valid),
+        _histogram256(streams[3], valid),
+        _histogram256(streams[4], valid),
+    ])
+    tot = lengths.astype(jnp.int32).sum()
+    isn = valid & ((streams[1] == ord("n")) | (streams[1] == ord("N")))
+    starts = (jnp.cumsum(lengths) - lengths).astype(jnp.int32)
+    flatpos = jnp.where(isn, col + starts[:, None], _I32_INF)
+    first_n = flatpos.min()
+    first_entry = jnp.where(isn.any(axis=1),
+                            jax.lax.broadcasted_iota(jnp.int32, (n,), 0), _I32_INF)
+    first_entry = first_entry.min()
+    # the delQV under the first 'n' tag
+    amin = jnp.argmin(flatpos.reshape(-1))
+    del_char_candidate = streams[0].reshape(-1)[amin].astype(jnp.int32)
+    return hists, tot, first_n, first_entry, del_char_candidate
+
+
+@jax.jit
+def qv_run_hist_step(data, lengths, rchar):
+    """Histogram_Runs over a shard (run-length buckets min(len,255))."""
+    n, l = data.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    valid = col < lengths[:, None]
+    is_lit = valid & (data != rchar.astype(jnp.uint8))
+    lit_pos = jnp.where(is_lit, col, -1)
+    run_max = jax.lax.associative_scan(jnp.maximum, lit_pos, axis=1)
+    prev_lit = jnp.concatenate(
+        [jnp.full((n, 1), -1, jnp.int32), run_max[:, :-1]], axis=1)
+    runlen = jnp.minimum(col - prev_lit - 1, 255)
+    hist = _histogram256(runlen.astype(jnp.uint8), is_lit)
+    last_lit = run_max[:, -1]
+    trail = jnp.maximum(lengths - last_lit - 1, 0)
+    t_hist = _histogram256(jnp.minimum(trail, 255).astype(jnp.uint8),
+                           (trail > 0)[:, None])
+    return hist + t_hist
+
+
+# ---------------------------------------------------------------------------
+# sharded wrappers (phase A reduction + phase B parallel encode)
+# ---------------------------------------------------------------------------
+
+def sharded_qv_scan(mesh):
+    """shard_map'd scan: per-shard stats psum-reduced over the data axis."""
+    def step(streams, lengths):
+        hists, tot, first_n, first_entry, dcand = qv_scan_step(streams, lengths)
+        hists = jax.lax.psum(hists, DATA_AXIS)
+        tot = jax.lax.psum(tot, DATA_AXIS)
+        # shards are contiguous read blocks in file order: the winning shard
+        # is the lowest-ranked one containing any 'n' tag
+        ai = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+        has_n = first_n < _I32_INF
+        winner = jax.lax.pmin(jnp.where(has_n, ai, _I32_INF), DATA_AXIS)
+        mine = (ai == winner) & has_n
+        dchar = jax.lax.pmax(jnp.where(mine, dcand, -1), DATA_AXIS)
+        # winning shard id + its local entry index (for the run-hist phase)
+        gentry = jax.lax.pmax(jnp.where(mine, first_entry, -1), DATA_AXIS)
+        return hists, tot, winner, gentry, dchar
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=(P(), P(), P(), P(), P()))
+
+
+def sharded_qv_encode(mesh):
+    """shard_map'd phase B: replicated tables, sharded entries."""
+    def step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
+        return qv_encode_step(streams, lengths, sym_luts, run_luts, rchars,
+                              number_lut)
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P(DATA_AXIS),
+                  P(), P(), P(), P()),
+        out_specs=(P(None, DATA_AXIS, None), P(None, DATA_AXIS),
+                   P(None, DATA_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
+                   P(DATA_AXIS, None), P(DATA_AXIS)))

@@ -13,11 +13,17 @@ import sys
 from pathlib import Path
 
 # Must happen before jax is imported anywhere.  Force CPU: the ambient
-# environment may pin JAX_PLATFORMS to the tunneled TPU backend.
+# environment may pin JAX_PLATFORMS to the tunneled TPU backend, and a
+# sitecustomize hook may re-register it — hence the config.update below too.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""        # disarm the TPU sitecustomize
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -99,6 +105,90 @@ def make_arrow(rng, n_reads=20, min_len=0, max_len=700, movie=b"m130205_1210_42"
         for j in range(0, rlen, width):
             lines.append(seq[j:j + width].tobytes())
     return b"\n".join(lines) + b"\n"
+
+
+def make_bam(rng, n_reads=8, min_len=50, max_len=300, movie=b"m54238_180903_1",
+             with_qv=True, with_pw=True, gz=True):
+    """A minimal PacBio subreads BAM image (+ the expected per-record fields)."""
+    import gzip
+    import struct
+
+    seq_code = b"=ACMGRSVTWYHKDBN"
+    recs = []
+    body = bytearray()
+    well = 0
+    for i in range(n_reads):
+        well += int(rng.integers(0, 3))
+        ln = int(rng.integers(min_len, max_len + 1))
+        beg = int(rng.integers(0, 100))
+        end = beg + ln
+        qname = b"%s/%d/%d_%d" % (movie, well, beg, end)
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=ln).tobytes()
+        rq = float(np.float32(rng.uniform(0.6, 1.0)))
+        snr = rng.uniform(3, 12, 4).astype(np.float32)
+        pw = rng.integers(1, 7, ln).astype(np.uint8)
+        # dq/iq/mq/sq are FASTQ-encoded QVs; dt is a base tag (acgt + 'n')
+        dq = (rng.integers(33, 80, ln)).astype(np.uint8)
+        dt = rng.choice(np.frombuffer(b"acgt", np.uint8), size=ln)
+        dt[dq == 70] = ord("n")
+        qvs = [dq.tobytes(), dt.tobytes(),
+               bytes((rng.integers(33, 80, ln)).astype(np.uint8)),
+               bytes((rng.integers(33, 80, ln)).astype(np.uint8)),
+               bytes((rng.integers(33, 80, ln)).astype(np.uint8))]
+        tagbuf = bytearray()
+
+        def tag_i(t, v):
+            tagbuf.extend(t + b"i" + struct.pack("<i", v))
+
+        def tag_f(t, v):
+            tagbuf.extend(t + b"f" + struct.pack("<f", v))
+
+        def tag_Z(t, v):
+            tagbuf.extend(t + b"Z" + v + b"\x00")
+
+        def tag_Bf(t, arr):
+            tagbuf.extend(t + b"B" + b"f" + struct.pack("<i", len(arr)))
+            tagbuf.extend(np.asarray(arr, "<f4").tobytes())
+
+        def tag_BC(t, arr):
+            tagbuf.extend(t + b"B" + b"C" + struct.pack("<i", len(arr)))
+            tagbuf.extend(np.asarray(arr, np.uint8).tobytes())
+
+        tag_i(b"qs", beg)
+        tag_i(b"qe", end)
+        tag_f(b"rq", rq)
+        tag_i(b"np", int(rng.integers(1, 20)))
+        tag_Bf(b"sn", snr)
+        if with_pw:
+            tag_BC(b"pw", pw)
+        if with_qv:
+            for t, v in zip((b"dq", b"dt", b"iq", b"mq", b"sq"), qvs):
+                tag_Z(t, v)
+
+        packed = np.zeros((ln + 1) // 2, np.uint8)
+        codes = np.frombuffer(seq, np.uint8)
+        idx = np.array([seq_code.index(c) for c in seq], np.uint8)
+        packed[: (ln // 2)] = (idx[0:ln - 1:2] << 4) | idx[1:ln:2]
+        if ln % 2:
+            packed[-1] = idx[-1] << 4
+        rec = bytearray()
+        rec += struct.pack("<iiBBHHHiii", -1, -1, len(qname) + 1, 255, 0, 0,
+                           4, ln, -1, -1)
+        rec += struct.pack("<i", 0)
+        rec += qname + b"\x00"
+        rec += packed.tobytes()
+        rec += b"\xff" * ln
+        rec += bytes(tagbuf)
+        body += struct.pack("<i", len(rec)) + bytes(rec)
+        recs.append(dict(qname=qname, well=well, beg=beg, end=end, ln=ln,
+                         seq=seq, rq=rq, snr=snr, pw=pw, qvs=qvs))
+
+    header_text = b"@HD\tVN:1.5\tSO:unknown\n"
+    bam = (b"BAM\x01" + struct.pack("<i", len(header_text)) + header_text
+           + struct.pack("<i", 0) + bytes(body))
+    if gz:
+        bam = gzip.compress(bam)
+    return bam, recs
 
 
 def make_quiva(rng, n_reads=12, min_len=0, max_len=400, movie=b"m130205_1210_42",

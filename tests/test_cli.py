@@ -17,6 +17,7 @@ def run_cli(args, cwd, stdin: bytes | None = None):
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO)
     env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""    # disarm the TPU sitecustomize
     return subprocess.run([sys.executable, "-m", "dextractor_tpu", *args],
                           cwd=cwd, input=stdin, capture_output=True, env=env)
 

@@ -1,0 +1,92 @@
+"""dextract: BAM/SAM ingestion, filter application, output formats."""
+
+import numpy as np
+import pytest
+
+from conftest import make_bam
+
+from dextractor_tpu.ingest.sam import SamReader, HASQV, HASPW
+from dextractor_tpu.cli.dextract import main as dextract_main
+
+
+def test_bam_reader_fields(tmp_path):
+    rng = np.random.default_rng(0)
+    bam, recs = make_bam(rng, n_reads=5)
+    p = tmp_path / "m.subreads.bam"
+    p.write_bytes(bam)
+    reader = SamReader(str(p))
+    assert reader.is_bam
+    assert reader.header_status() == (HASQV | HASPW)
+    got = list(reader)
+    assert len(got) == 5
+    for r, e in zip(got, recs):
+        assert r.well == e["well"] and r.beg == e["beg"] and r.end == e["end"]
+        assert r.seq == e["seq"]
+        assert abs(r.qual - e["rq"]) < 1e-6
+        np.testing.assert_allclose(r.snr, e["snr"], rtol=1e-6)
+        # pulse widths clamp at '4'
+        expect = (np.minimum(e["pw"].astype(np.int64), 4) + ord("0")).astype(np.uint8)
+        assert r.arr == expect.tobytes()
+        assert [bytes(q) for q in r.qv] == e["qvs"]
+
+
+def test_dextract_bam_outputs(tmp_path):
+    rng = np.random.default_rng(1)
+    bam, recs = make_bam(rng, n_reads=6, min_len=600, max_len=900)
+    (tmp_path / "m.subreads.bam").write_bytes(bam)
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = dextract_main(["-f", "-a", "-q", "-e" + "ln>=0", "m.subreads.bam"])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    fasta = (tmp_path / "m.fasta").read_bytes()
+    arrow = (tmp_path / "m.arrow").read_bytes()
+    quiva = (tmp_path / "m.quiva").read_bytes()
+
+    e = recs[0]
+    hdr = b">%s/%d/%d_%d RQ=0.%d\n" % (
+        e["qname"].split(b"/")[0], e["well"], e["beg"], e["end"],
+        int(e["rq"] * 1000.0))
+    assert fasta.startswith(hdr)
+    assert fasta.count(b">") == 6
+    assert arrow.count(b"SN=") == 6
+    assert quiva.count(b"@") >= 6
+
+    # the quiva output parses and roundtrips through our codec
+    from dextractor_tpu.codecs.qv_codec import encode_quiva_to_dexqv, decode_dexqv_to_quiva
+    assert decode_dexqv_to_quiva(encode_quiva_to_dexqv(quiva)) == quiva
+
+
+def test_dextract_default_filter_drops_short(tmp_path):
+    rng = np.random.default_rng(2)
+    bam, recs = make_bam(rng, n_reads=8, min_len=100, max_len=900)
+    (tmp_path / "m.subreads.bam").write_bytes(bam)
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = dextract_main(["m.subreads.bam"])     # default ln>=500 && rq>=750
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    fasta = (tmp_path / "m.fasta").read_bytes()
+    expect = sum(1 for e in recs
+                 if e["ln"] >= 500 and int(1000 * e["rq"]) >= 750)
+    assert fasta.count(b">") == expect
+
+
+def test_dextract_arrow_requires_pw(tmp_path):
+    rng = np.random.default_rng(3)
+    bam, _ = make_bam(rng, n_reads=3, with_pw=False)
+    (tmp_path / "m.subreads.bam").write_bytes(bam)
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = dextract_main(["-a", "m.subreads.bam"])
+    finally:
+        os.chdir(cwd)
+    assert rc == 1

@@ -1,0 +1,90 @@
+"""Sharded pipeline: 8-virtual-device CPU mesh must reproduce the
+single-device encode and the file-global histograms exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from conftest import make_quiva
+
+from dextractor_tpu.formats.quiva import parse_quiva
+from dextractor_tpu.formats.ragged import pad_rows
+from dextractor_tpu.codecs.qv_codec import scan_quiva, create_qvcoding
+from dextractor_tpu.ops import bitstream_jax as bj
+from dextractor_tpu.parallel import (
+    make_mesh, qv_encode_step, sharded_qv_encode, sharded_qv_scan,
+    null_run_luts,
+)
+
+
+def _prep(quiva_bytes, n_pad_to=None):
+    q = parse_quiva(quiva_bytes)
+    n = q.n_entries
+    lengths = q.lengths.astype(np.int64)
+    rects = [pad_rows(q.streams[s], lengths, align=512, bucket=True)
+             for s in range(5)]
+    streams = np.stack(rects)
+    if n_pad_to and n_pad_to != n:
+        pad = n_pad_to - n
+        streams = np.concatenate(
+            [streams, np.zeros((5, pad, streams.shape[2]), np.uint8)], axis=1)
+        lengths = np.concatenate([lengths, np.zeros(pad, np.int64)])
+    return q, streams, lengths
+
+
+def _luts(coding):
+    sym = np.stack([
+        bj.scheme_luts(coding.del_scheme),
+        bj.scheme_luts(coding.ins_scheme),
+        bj.scheme_luts(coding.mrg_scheme),
+        bj.scheme_luts(coding.sub_scheme),
+    ])
+    run = np.stack([
+        bj.scheme_luts(coding.drun_scheme) if coding.drun_scheme else null_run_luts(),
+        null_run_luts(),
+        null_run_luts(),
+        bj.scheme_luts(coding.srun_scheme) if coding.srun_scheme else null_run_luts(),
+    ])
+    rchars = np.array([coding.del_char, -1, -1, coding.sub_char], np.int32)
+    return sym, run, rchars
+
+
+def test_sharded_encode_matches_single():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    rng = np.random.default_rng(0)
+    quiva = make_quiva(rng, n_reads=24, min_len=0, max_len=300)
+    q, streams, lengths = _prep(quiva, n_pad_to=24)
+    stats = scan_quiva(q)
+    coding = create_qvcoding(stats, q.prefix, False)
+    sym, run, rchars = _luts(coding)
+
+    from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT
+    args = (jnp.asarray(streams), jnp.asarray(lengths.astype(np.int32)),
+            jnp.asarray(sym), jnp.asarray(run), jnp.asarray(rchars),
+            jnp.asarray(NUMBER_BASE_LUT))
+
+    single = qv_encode_step(*args)
+
+    mesh = make_mesh(8)
+    sharded = sharded_qv_encode(mesh)(*args)
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_scan_matches_host():
+    rng = np.random.default_rng(1)
+    quiva = make_quiva(rng, n_reads=16, min_len=1, max_len=400)
+    q, streams, lengths = _prep(quiva, n_pad_to=16)
+    stats = scan_quiva(q)
+
+    mesh = make_mesh(8)
+    hists, tot, winner, gentry, dchar = sharded_qv_scan(mesh)(
+        jnp.asarray(streams), jnp.asarray(lengths.astype(np.int32)))
+    hists = np.asarray(hists)
+    np.testing.assert_array_equal(hists[0], stats.del_hist)
+    np.testing.assert_array_equal(hists[1], stats.ins_hist)
+    np.testing.assert_array_equal(hists[2], stats.mrg_hist)
+    np.testing.assert_array_equal(hists[3], stats.sub_hist)
+    assert int(tot) == stats.tot_char
+    assert int(dchar) == stats.del_char
