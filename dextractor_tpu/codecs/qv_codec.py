@@ -54,26 +54,29 @@ def _run_hist_entries(streams_flat, offsets, entries, rchar):
     return hist
 
 
-def scan_quiva(q: qv.QuivaFile) -> QVStats:
-    """QVcoding_Scan (QV.c:922-1023), vectorized with exact order semantics."""
-    off = np.zeros(q.n_entries + 1, np.int64)
-    np.cumsum(q.lengths, out=off[1:])
+def scan_streams(streams: np.ndarray, lengths: np.ndarray) -> QVStats:
+    """QVcoding_Scan / QVcoding_Scan1 (QV.c:860-1023), vectorized with the
+    reference's exact order-dependent semantics.  ``streams`` is (5, total)
+    u8 with entry boundaries given by ``lengths``."""
+    n_entries = len(lengths)
+    off = np.zeros(n_entries + 1, np.int64)
+    np.cumsum(lengths, out=off[1:])
     total = int(off[-1])
 
-    del_hist = np.bincount(q.streams[DEL], minlength=256).astype(np.int64)
-    ins_hist = np.bincount(q.streams[INS], minlength=256).astype(np.int64)
-    mrg_hist = np.bincount(q.streams[MRG], minlength=256).astype(np.int64)
-    sub_hist = np.bincount(q.streams[SUB], minlength=256).astype(np.int64)
+    del_hist = np.bincount(streams[DEL], minlength=256).astype(np.int64)
+    ins_hist = np.bincount(streams[INS], minlength=256).astype(np.int64)
+    mrg_hist = np.bincount(streams[MRG], minlength=256).astype(np.int64)
+    sub_hist = np.bincount(streams[SUB], minlength=256).astype(np.int64)
 
     # delChar: the delQV under the first 'n'/'N' delTag in file order
     # (QV.c:993-1002); run histogram covers that entry onward.
-    tagn = np.flatnonzero((q.streams[TAG] == ord("n")) | (q.streams[TAG] == ord("N")))
+    tagn = np.flatnonzero((streams[TAG] == ord("n")) | (streams[TAG] == ord("N")))
     del_run = np.ones(256, np.int64)                    # init to 1 (QV.c:934-935)
     if len(tagn):
         k = int(tagn[0])
-        del_char = int(q.streams[DEL][k])
+        del_char = int(streams[DEL][k])
         r0 = int(np.searchsorted(off, k, "right") - 1)
-        del_run += _run_hist_entries(q.streams[DEL], off, range(r0, q.n_entries), del_char)
+        del_run += _run_hist_entries(streams[DEL], off, range(r0, n_entries), del_char)
     else:
         del_char = -1
 
@@ -84,12 +87,16 @@ def scan_quiva(q: qv.QuivaFile) -> QVStats:
     sub_char = -1
     if total >= 100000:
         r1 = int(np.searchsorted(off[1:], 100000, "left"))
-        part = np.bincount(q.streams[SUB][: off[r1 + 1]], minlength=256)
+        part = np.bincount(streams[SUB][: off[r1 + 1]], minlength=256)
         sub_char = int(np.argmax(part))                  # first max, like the C scan
-        sub_run += _run_hist_entries(q.streams[SUB], off, range(r1, q.n_entries), sub_char)
+        sub_run += _run_hist_entries(streams[SUB], off, range(r1, n_entries), sub_char)
 
     return QVStats(del_hist, ins_hist, mrg_hist, sub_hist, del_run, sub_run,
                    del_char, sub_char, total)
+
+
+def scan_quiva(q: qv.QuivaFile) -> QVStats:
+    return scan_streams(q.streams, q.lengths)
 
 
 def create_qvcoding(stats: QVStats, prefix: bytes, lossy: bool = False) -> dq.QVCoding:

@@ -1,0 +1,310 @@
+"""Dazzler DB builder — the dex2DB engine (reference dex2DB.c:125-1077).
+
+Create-or-append semantics with the reference's transactional protocol:
+byte offsets of every binary file are recorded before any write, a new stub
+image ``<root>.dbx`` is written alongside the old one, and on failure every
+file is truncated back and the .dbx removed; success commits atomically by
+renaming .dbx over .db (dex2DB.c:1017, 1024-1076).
+
+Cell ingestion is batched: sequences are 2-bit packed through the codec
+kernels, QV streams go through the per-cell scan -> Huffman tables -> batched
+encode flow (coding prefix ".qvs", no container key — dex2DB.c:561-566),
+arrow pulses are (value-1) packed with SNRs stowed in ``coff`` as 4x16 bits.
+Well grouping flags DB_CCS on followers and DB_BEST on the longest read of
+each group (dex2DB.c:649-685).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.errors import DextractorError
+from ..formats.ragged import pad_rows, rows_to_flat
+from ..ops import twobit as tb
+from ..codecs import qv_codec as qc
+from ..formats import dexqv as dq
+from . import model, stub as stub_mod
+
+PATHSEP = "/"                      # reference default build: HIDE_FILES unset
+
+
+@dataclass
+class CellData:
+    """One SMRT cell's accepted (filtered) reads, columnar."""
+
+    core: str                      # file root name
+    prolog: str                    # movie name / header prolog
+    wells: np.ndarray              # (N,) int32
+    fpulses: np.ndarray            # (N,) int32
+    qv1000: np.ndarray             # (N,) int32
+    seqs: np.ndarray               # flat u8 ascii acgt
+    lengths: np.ndarray            # (N,) int64
+    qv_streams: np.ndarray | None = None   # (5, total) u8 phred'd streams
+    pulses: np.ndarray | None = None       # flat u8 arrow codes 0..3 (value-1)
+    snrs: np.ndarray | None = None         # (N, 4) float
+
+
+class DBBuilder:
+    def __init__(self, path: str, arrow: bool = False, quiver: bool = False,
+                 lossy: bool = False, verbose: bool = False):
+        from ..utils.paths import path_to, root as rootof, catenate
+
+        self.pwd = path_to(path)
+        self.root = rootof(path, ".db")
+        self.dbname = catenate(self.pwd, "/", self.root, ".db")
+        self.lossy = lossy
+        self.verbose = verbose
+        self._p = lambda suf: catenate(self.pwd, PATHSEP, self.root, suf)
+
+        self.exists = os.path.exists(self.dbname)
+        self.created = []           # files created by this run (unlink on error)
+        self.rollbacks = {}         # path -> original size (truncate on error)
+
+        if not self.exists:
+            self.stub = stub_mod.Stub()
+            self.header = model.new_db_header()
+            self.arrow = arrow
+            self.quiver = quiver
+            self.ureads = 0
+            self.offset = 0
+            self._open_new()
+        else:
+            self.stub = stub_mod.read_stub(self.dbname)
+            with open(self._p(".idx"), "rb") as f:
+                raw = f.read()
+            self.header = np.frombuffer(raw[:model.DB_DTYPE.itemsize],
+                                        model.DB_DTYPE).copy()
+            nrec = (len(raw) - model.DB_DTYPE.itemsize) // model.READ_DTYPE.itemsize
+            last = (np.frombuffer(raw, model.READ_DTYPE,
+                                  offset=model.DB_DTYPE.itemsize + (nrec - 1)
+                                  * model.READ_DTYPE.itemsize, count=1)
+                    if nrec else None)
+            # type enforcement (dex2DB.c:309-331)
+            if last is not None and last["coff"][0] < 0:
+                if arrow or quiver:
+                    raise DextractorError(
+                        "Sequence DB but you set either the -a or -q flag?")
+                self.arrow = self.quiver = False
+            elif (int(self.header["allarr"][0]) & model.DB_ARROW) != 0:
+                if quiver:
+                    raise DextractorError("Arrow DB but you set the -q flag?")
+                self.arrow, self.quiver = True, False
+            else:
+                if arrow:
+                    raise DextractorError("Quiver DB but you set the -a flag?")
+                self.arrow, self.quiver = False, True
+            self.ureads = int(self.header["ureads"][0])
+            self.offset = os.path.getsize(self._p(".bps"))
+            self.rollbacks[self._p(".idx")] = os.path.getsize(self._p(".idx"))
+            self.rollbacks[self._p(".bps")] = self.offset
+            if self.quiver:
+                self.rollbacks[self._p(".qvs")] = os.path.getsize(self._p(".qvs"))
+            if self.arrow:
+                self.rollbacks[self._p(".arw")] = os.path.getsize(self._p(".arw"))
+
+        self.flist = list(dict.fromkeys(self.stub.fname))
+        self.new_count = np.zeros(4, np.int64)
+        self.new_totlen = 0
+        self.new_maxlen = 0
+
+    def _open_new(self):
+        for suf in [".bps", ".idx"] + ([".qvs"] if self.quiver else []) \
+                + ([".arw"] if self.arrow else []):
+            p = self._p(suf)
+            with open(p, "wb") as f:
+                if suf == ".idx":
+                    f.write(self.header.tobytes())
+            self.created.append(p)
+
+    # ------------------------------------------------------------------
+
+    def add_cell(self, cell: CellData) -> None:
+        if cell.core in self.flist:
+            raise DextractorError(
+                f"File {cell.core} is already in database {self.root}.db")
+        self.flist.append(cell.core)
+
+        n = len(cell.wells)
+        lengths = cell.lengths.astype(np.int64)
+        clens = (lengths + 3) >> 2
+
+        recs = np.zeros(n, model.READ_DTYPE)
+        recs["origin"] = cell.wells
+        recs["fpulse"] = cell.fpulses
+        recs["rlen"] = lengths
+        boffs = self.offset + np.concatenate([[0], np.cumsum(clens[:-1])])
+        recs["boff"] = boffs
+        recs["flags"] = cell.qv1000
+        recs["coff"] = -1
+
+        # base frequency count over the raw sequences (dex2DB.c:587-591)
+        codes_flat = tb.NUMBER_BASE_LUT[cell.seqs]
+        self.new_count += np.bincount(codes_flat, minlength=4)[:4]
+        self.new_totlen += int(lengths.sum())
+        if n:
+            self.new_maxlen = max(self.new_maxlen, int(lengths.max()))
+
+        # 2-bit pack sequences -> .bps
+        rows = pad_rows(codes_flat, lengths, align=4)
+        packed = tb.pack_2bit_np(rows, lengths)
+        payload = rows_to_flat(packed, clens)
+        with open(self._p(".bps"), "ab") as f:
+            f.write(payload.tobytes())
+
+        # QV streams -> .qvs (per-cell coding, prefix ".qvs", no container key)
+        if self.quiver:
+            if cell.qv_streams is None:
+                raise DextractorError(f"{cell.core} does not have Quiver information")
+            stats = qc.scan_streams(cell.qv_streams, lengths)
+            coding = qc.create_qvcoding(stats, b".qvs", self.lossy)
+            qpos = os.path.getsize(self._p(".qvs"))
+            blobs = []
+            off = np.zeros(n + 1, np.int64)
+            np.cumsum(lengths, out=off[1:])
+            head = dq.qvcoding_bytes(coding)
+            for i in range(n):
+                s, e = off[i], off[i + 1]
+                blobs.append(qc.encode_entry(
+                    coding,
+                    cell.qv_streams[0, s:e], cell.qv_streams[1, s:e],
+                    cell.qv_streams[2, s:e], cell.qv_streams[3, s:e],
+                    cell.qv_streams[4, s:e], self.lossy))
+            # coff of entry i = file position before its blob, except the
+            # first entry whose coff points at the coding header itself
+            # (dex2DB.c:565-566, 617-621: qpos is captured before
+            # Write_QVcoding and only advanced after each entry)
+            sizes = np.array([len(b) for b in blobs], np.int64)
+            starts = qpos + len(head) + np.concatenate([[0], np.cumsum(sizes[:-1])])
+            if n:
+                starts[0] = qpos
+            recs["coff"] = starts
+            with open(self._p(".qvs"), "ab") as f:
+                f.write(head)
+                f.write(b"".join(blobs))
+
+        # Arrow pulses -> .arw, SNRs into coff
+        if self.arrow:
+            if cell.pulses is None or cell.snrs is None:
+                raise DextractorError(f"{cell.core} does not have Arrow information")
+            prows = pad_rows(cell.pulses, lengths, align=4)
+            ppacked = tb.pack_2bit_np(prows, lengths)
+            with open(self._p(".arw"), "ab") as f:
+                f.write(rows_to_flat(ppacked, clens).tobytes())
+            cnr = (cell.snrs.astype(np.float64) * 100.0).astype(np.uint16)
+            recs["coff"] = model.pack_snr_coff(cnr.reshape(n, 4))
+
+        # well grouping: DB_CCS on followers, DB_BEST on longest per group
+        if n:
+            newgrp = np.empty(n, bool)
+            newgrp[0] = True
+            newgrp[1:] = cell.wells[1:] != cell.wells[:-1]
+            gid = np.cumsum(newgrp) - 1
+            recs["flags"][~newgrp] |= model.DB_CCS
+            # first-longest read per group gets DB_BEST (strict > comparison
+            # keeps the earliest maximum, dex2DB.c:665-669)
+            order = np.lexsort((np.arange(n), -lengths, gid))
+            first_of_group = np.empty(n, bool)
+            first_of_group[0] = True
+            first_of_group[1:] = gid[order][1:] != gid[order][:-1]
+            is_best = np.zeros(n, bool)
+            is_best[order[first_of_group]] = True
+            recs["flags"][is_best] |= model.DB_BEST
+
+        with open(self._p(".idx"), "ab") as f:
+            f.write(recs.tobytes())
+
+        self.offset += int(clens.sum())
+        self.ureads += n
+        self.stub.nfiles += 1
+        self.stub.nreads.append(self.ureads)
+        self.stub.fname.append(cell.core)
+        self.stub.prolog.append(cell.prolog)
+
+    # ------------------------------------------------------------------
+
+    def finalize(self) -> None:
+        hdr = self.header
+        ct = self.new_count
+        tl = self.new_totlen
+        if not self.exists:
+            hdr["freq"] = (ct / tl if tl else np.zeros(4)).astype(np.float32)
+            hdr["totlen"] = tl
+            hdr["maxlen"] = self.new_maxlen
+            hdr["cutoff"] = -1
+            hdr["allarr"] = model.DB_ARROW if self.arrow else 0
+        else:
+            old_tl = int(hdr["totlen"][0])
+            hdr["freq"] = ((hdr["freq"][0].astype(np.float64) * old_tl + ct)
+                           / (old_tl + tl)).astype(np.float32)
+            hdr["totlen"] = old_tl + tl
+            hdr["maxlen"] = max(int(hdr["maxlen"][0]), self.new_maxlen)
+        hdr["ureads"] = self.ureads
+
+        # extend the block partition if the DB was split (dex2DB.c:920-997)
+        if int(hdr["cutoff"][0]) >= 0 and self.stub.partitioned:
+            cutoff = self.stub.cutoff
+            allflag = 0 if self.stub.all else model.DB_BEST
+            size = self.stub.bsize
+            # drop the last (partial) block boundary and recompute forward
+            self.stub.ublocks = self.stub.ublocks[:-1]
+            self.stub.tblocks = self.stub.tblocks[:-1]
+            nblock = len(self.stub.ublocks) - 1
+            ufirst = self.stub.ublocks[-1]
+            tfirst = self.stub.tblocks[-1]
+            with open(self._p(".idx"), "rb") as f:
+                f.seek(model.DB_DTYPE.itemsize
+                       + model.READ_DTYPE.itemsize * ufirst)
+                raw = f.read()
+            recs = np.frombuffer(raw, model.READ_DTYPE)
+            totlen = 0
+            ireads = 0
+            for i in range(ufirst, self.ureads):
+                r = recs[i - ufirst]
+                rl = int(r["rlen"])
+                if rl >= cutoff and (int(r["flags"]) & model.DB_BEST) >= allflag:
+                    ireads += 1
+                    tfirst += 1
+                    totlen += rl
+                    if totlen >= size:
+                        self.stub.ublocks.append(i + 1)
+                        self.stub.tblocks.append(tfirst)
+                        totlen = 0
+                        ireads = 0
+                        nblock += 1
+            if ireads > 0:
+                self.stub.ublocks.append(self.ureads)
+                self.stub.tblocks.append(tfirst)
+                nblock += 1
+            self.stub.nblocks = nblock
+            hdr["treads"] = tfirst
+        else:
+            hdr["treads"] = self.ureads
+
+        # rewrite the header record in .idx
+        with open(self._p(".idx"), "r+b") as f:
+            f.write(hdr.tobytes())
+
+        # atomic commit: .dbx -> .db
+        dbx = os.path.join(self.pwd, self.root + ".dbx")
+        stub_mod.write_stub(dbx, self.stub)
+        os.replace(dbx, self.dbname)
+
+    def rollback(self) -> None:
+        """Restore every binary file to its pre-run size (dex2DB.c:1024-1076)."""
+        for p, size in self.rollbacks.items():
+            try:
+                with open(p, "r+b") as f:
+                    f.truncate(size)
+            except OSError:
+                pass
+        for p in self.created:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        dbx = os.path.join(self.pwd, self.root + ".dbx")
+        if os.path.exists(dbx):
+            os.unlink(dbx)

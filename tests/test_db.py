@@ -1,0 +1,160 @@
+"""Dazzler DB: build via dex2DB, open/trim/load, stub grammar, block looper."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import make_bam
+
+from dextractor_tpu.cli.dex2DB import main as dex2db_main
+from dextractor_tpu.db import (
+    open_db, read_stub, fetch_block_range, parse_block_db_arg,
+    DB_BEST, DB_CCS, READ_DTYPE, DB_DTYPE,
+)
+
+
+def _build_db(tmp_path, n_reads=10, quiver=False, arrow=False, seed=0,
+              name="TEST", expr="ln>=0"):
+    rng = np.random.default_rng(seed)
+    bam, recs = make_bam(rng, n_reads=n_reads, min_len=300, max_len=900)
+    (tmp_path / "m.subreads.bam").write_bytes(bam)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        args = []
+        if quiver:
+            args.append("-q")
+        if arrow:
+            args.append("-a")
+        args += [f"-e{expr}", name, "m.subreads.bam"]
+        rc = dex2db_main(args)
+    finally:
+        os.chdir(cwd)
+    return rc, recs
+
+
+def test_struct_layouts():
+    assert READ_DTYPE.itemsize == 40      # x86-64 sizeof(DAZZ_READ)
+    assert DB_DTYPE.itemsize == 112       # x86-64 sizeof(DAZZ_DB)
+
+
+def test_build_and_open_seq_db(tmp_path):
+    rc, recs = _build_db(tmp_path, n_reads=10)
+    assert rc == 0
+    assert (tmp_path / "TEST.db").exists()
+    assert (tmp_path / "TEST.idx").exists()
+    assert (tmp_path / "TEST.bps").exists()
+
+    db = open_db(str(tmp_path / "TEST.db"))
+    assert db.nreads == 10
+    hdr = db.header
+    assert int(hdr["ureads"][0]) == 10
+    assert int(hdr["treads"][0]) == 10
+    assert int(hdr["cutoff"][0]) == -1
+    assert abs(float(hdr["freq"][0].sum()) - 1.0) < 1e-5
+
+    # sequences roundtrip
+    for i, e in enumerate(recs):
+        assert db.load_read(i, ascii_mode=2) == e["seq"]
+        assert int(db.reads["origin"][i]) == e["well"]
+        assert int(db.reads["fpulse"][i]) == e["beg"]
+        assert int(db.reads["rlen"][i]) == e["ln"]
+        assert int(db.reads["coff"][i]) == -1
+
+
+def test_best_of_well_flags(tmp_path):
+    rc, recs = _build_db(tmp_path, n_reads=12, seed=3)
+    assert rc == 0
+    db = open_db(str(tmp_path / "TEST.db"))
+    flags = db.reads["flags"]
+    wells = db.reads["origin"]
+    rlens = db.reads["rlen"]
+    # exactly one DB_BEST per well group, on the first-longest read
+    i = 0
+    n = db.nreads
+    while i < n:
+        j = i
+        while j < n and wells[j] == wells[i]:
+            j += 1
+        grp = slice(i, j)
+        best = np.flatnonzero((flags[grp] & DB_BEST) != 0)
+        assert len(best) == 1
+        assert rlens[grp][best[0]] == rlens[grp].max()
+        # followers carry DB_CCS
+        ccs = (flags[grp] & DB_CCS) != 0
+        assert not ccs[0] and ccs[1:].all()
+        i = j
+
+
+def test_quiver_db_roundtrip(tmp_path):
+    rc, recs = _build_db(tmp_path, n_reads=8, quiver=True, seed=5)
+    assert rc == 0
+    db = open_db(str(tmp_path / "TEST.db"))
+    db.open_qvs()
+    for i, e in enumerate(recs):
+        entry = db.load_qventry(i, ascii_mode=1)
+        assert entry[0].tobytes() == e["qvs"][0]     # delQV
+        assert entry[2].tobytes() == e["qvs"][2]     # insQV
+        assert entry[3].tobytes() == e["qvs"][3]
+        assert entry[4].tobytes() == e["qvs"][4]
+        # delTag reconstructs up to case/n-substitution semantics
+        assert len(entry[1]) == e["ln"]
+
+
+def test_arrow_db_roundtrip(tmp_path):
+    rc, recs = _build_db(tmp_path, n_reads=8, arrow=True, seed=6)
+    assert rc == 0
+    db = open_db(str(tmp_path / "TEST.db"))
+    assert db.is_arrow
+    db.open_arrow()
+    for i, e in enumerate(recs):
+        got = db.load_arrow(i, ascii_mode=True)
+        expect = np.minimum(e["pw"].astype(np.int64), 4)
+        expect = (np.maximum(expect, 1) + ord("0")).astype(np.uint8).tobytes()
+        assert got == expect
+    snr = db.snrs()
+    np.testing.assert_array_equal(
+        snr[0], (recs[0]["snr"].astype(np.float64) * 100).astype(np.uint16))
+
+
+def test_append_and_type_enforcement(tmp_path):
+    rc, recs1 = _build_db(tmp_path, n_reads=5, seed=7)
+    assert rc == 0
+    rng = np.random.default_rng(8)
+    bam2, recs2 = make_bam(rng, n_reads=4, min_len=300, max_len=900,
+                           movie=b"m2_movie")
+    (tmp_path / "n.subreads.bam").write_bytes(bam2)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        # appending with -q to a sequence DB must fail and roll back
+        rc = dex2db_main(["-q", "-eln>=0", "TEST", "n.subreads.bam"])
+        assert rc == 1
+        db = open_db("TEST.db")
+        assert db.nreads == 5
+        # plain append works
+        rc = dex2db_main(["-eln>=0", "TEST", "n.subreads.bam"])
+        assert rc == 0
+        db = open_db("TEST.db")
+        assert db.nreads == 9
+        stub = read_stub("TEST.db")
+        assert stub.nfiles == 2
+        assert stub.nreads == [5, 9]
+        # duplicate add rejected
+        rc = dex2db_main(["-eln>=0", "TEST", "n.subreads.bam"])
+        assert rc == 1
+        assert open_db("TEST.db").nreads == 9
+    finally:
+        os.chdir(cwd)
+
+
+def test_block_looper():
+    lp = parse_block_db_arg("/x/FOO.@3-5.db")
+    assert (lp.first, lp.last) == (3, 5)
+    names = []
+    while lp.advance():
+        names.append(lp.arg_root())
+    assert names == ["FOO.3", "FOO.4", "FOO.5"]
+    lp2 = parse_block_db_arg("/x/FOO.db")
+    assert lp2.first == -1 and lp2.arg_root() == "FOO"
