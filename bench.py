@@ -132,9 +132,12 @@ def main() -> None:
 
     @jax.jit
     def chained(streams_, lengths_, sym_, run_, rchars_, nlut_, k):
+        # every iteration XORs the carried checksum into the symbol data so
+        # the loop body cannot be hoisted as loop-invariant; the encode cost
+        # profile is identical for arbitrary u8 symbols
         def body(_, acc):
-            out = qv_encode_step(streams_, lengths_ + (acc & 0), sym_, run_,
-                                 rchars_, nlut_)
+            d = streams_ ^ (acc & 0xFF).astype(jnp.uint8)
+            out = qv_encode_step(d, lengths_, sym_, run_, rchars_, nlut_)
             return acc + out[2].sum().astype(jnp.int32)
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 

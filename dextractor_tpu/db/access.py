@@ -232,6 +232,9 @@ def open_db(path: str) -> DazzDB:
         raise DextractorError(f"Could not open DB {path}")
     stub = stub_mod.read_stub(stub_path)
 
+    # absolutize so later lazy file access survives cwd changes
+    stub_path = os.path.abspath(stub_path)
+    pwd = os.path.dirname(stub_path)
     hidden = catenate(pwd, "/.", root, "")
     plain = catenate(pwd, PATHSEP, root, "")
     base = hidden if os.path.exists(hidden + ".idx") else plain

@@ -1,0 +1,76 @@
+"""Native host-side helpers, built on demand with the system toolchain.
+
+Shims are compiled once into ``native/build/`` and loaded via ctypes; every
+consumer must degrade gracefully (feature-gated) when a shim cannot build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_BUILD = os.path.join(_DIR, "build")
+
+
+def _build_shim(name: str, extra: list[str] | None = None):
+    src = os.path.join(_DIR, f"{name}.c")
+    out = os.path.join(_BUILD, f"_{name}.so")
+    os.makedirs(_BUILD, exist_ok=True)
+    if (not os.path.exists(out)
+            or os.path.getmtime(out) < os.path.getmtime(src)):
+        cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", out, "-ldl"]
+        if extra:
+            cmd[-2:-2] = extra
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        if r.returncode != 0:
+            raise OSError(f"building {name} failed: {r.stderr[:500]}")
+    return ctypes.CDLL(out)
+
+
+_hdf5 = None
+_hdf5_err = None
+
+
+def hdf5_shim():
+    """The HDF5 dlopen shim, or raise OSError if unavailable."""
+    global _hdf5, _hdf5_err
+    if _hdf5 is not None:
+        return _hdf5
+    if _hdf5_err is not None:
+        raise _hdf5_err
+    try:
+        lib = _build_shim("hdf5_shim")
+        lib.dxt_h5_init.argtypes = [ctypes.c_char_p]
+        lib.dxt_h5_init.restype = ctypes.c_int
+        lib.dxt_h5_open.argtypes = [ctypes.c_char_p]
+        lib.dxt_h5_open.restype = ctypes.c_longlong
+        lib.dxt_h5_close.argtypes = [ctypes.c_longlong]
+        lib.dxt_h5_dataset_dims.argtypes = [
+            ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_int]
+        lib.dxt_h5_dataset_dims.restype = ctypes.c_int
+        lib.dxt_h5_read.argtypes = [ctypes.c_longlong, ctypes.c_char_p,
+                                    ctypes.c_int, ctypes.c_void_p]
+        lib.dxt_h5_read.restype = ctypes.c_int
+        lib.dxt_h5_attr_str.argtypes = [ctypes.c_longlong, ctypes.c_char_p,
+                                        ctypes.c_char_p, ctypes.c_char_p,
+                                        ctypes.c_int]
+        lib.dxt_h5_attr_str.restype = ctypes.c_int
+        lib.dxt_h5_create.argtypes = [ctypes.c_char_p]
+        lib.dxt_h5_create.restype = ctypes.c_longlong
+        lib.dxt_h5_write.argtypes = [
+            ctypes.c_longlong, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_int]
+        lib.dxt_h5_write.restype = ctypes.c_int
+        lib.dxt_h5_attr_str_write.argtypes = [
+            ctypes.c_longlong, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p]
+        lib.dxt_h5_attr_str_write.restype = ctypes.c_int
+        if lib.dxt_h5_init(b"") != 0:
+            raise OSError("libhdf5 could not be initialized")
+    except OSError as e:
+        _hdf5_err = e
+        raise
+    _hdf5 = lib
+    return lib
