@@ -110,10 +110,10 @@ def main() -> None:
         bj.scheme_luts(coding.sub_scheme),
     ])
     run = np.stack([
-        bj.scheme_luts(coding.drun_scheme) if coding.drun_scheme else null_run_luts(),
+        bj.scheme_luts(coding.drun_scheme, run=True) if coding.drun_scheme else null_run_luts(),
         null_run_luts(),
         null_run_luts(),
-        bj.scheme_luts(coding.srun_scheme) if coding.srun_scheme else null_run_luts(),
+        bj.scheme_luts(coding.srun_scheme, run=True) if coding.srun_scheme else null_run_luts(),
     ])
     rchars = np.array([coding.del_char, -1, -1, coding.sub_char], np.int32)
 

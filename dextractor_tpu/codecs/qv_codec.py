@@ -336,7 +336,74 @@ def decode_entry(coding: dq.QVCoding, buf: np.ndarray, byte_off: int, rlen: int)
     return out, pos - byte_off
 
 
-def decode_dexqv_to_quiva(data: bytes, upper: bool = False) -> bytes:
+def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
+    """Decode all entries with the native sequential walker (the entry
+    chain is bit-serial; see native/qv_decode.c).  Returns the same tuple
+    shape as the Python walker or None when unavailable."""
+    from ..native import qv_decode_shim
+
+    try:
+        lib = qv_decode_shim()
+    except OSError:
+        return None
+    import ctypes
+
+    schemes = []
+
+    def sidx(s):
+        if s is None:
+            return -1
+        s.with_lookup()
+        schemes.append(s)
+        return len(schemes) - 1
+
+    sid = np.array([
+        sidx(coding.del_scheme), sidx(coding.drun_scheme),
+        sidx(coding.ins_scheme), sidx(coding.mrg_scheme),
+        sidx(coding.sub_scheme), sidx(coding.srun_scheme)], np.int32)
+    lookups = np.ascontiguousarray(
+        np.stack([s.lookup for s in schemes]).astype(np.int32))
+    lens = np.ascontiguousarray(
+        np.stack([np.minimum(s.codelens, 255) for s in schemes]).astype(np.uint8))
+    types = np.array([s.type for s in schemes], np.uint8)
+
+    buf = np.frombuffer(data, np.uint8)
+    size = len(buf)
+    cap_entries = max(size // 13 + 2, 16)
+    cap_total = max(8 * size, 1 << 16)
+    for _ in range(6):
+        wells = np.zeros(cap_entries, np.int32)
+        begs = np.zeros(cap_entries, np.int32)
+        ends_ = np.zeros(cap_entries, np.int32)
+        qvs = np.zeros(cap_entries, np.int32)
+        eoffs = np.zeros(cap_entries, np.int64)
+        elens = np.zeros(cap_entries, np.int64)
+        out = np.empty(5 * cap_total, np.uint8)
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        ne = lib.dxt_qv_walk(
+            ptr(buf), size, off, ptr(lookups), ptr(lens), ptr(types),
+            ptr(sid), coding.del_char, coding.sub_char, int(newv),
+            cap_entries, cap_total,
+            ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
+            ptr(elens), ptr(out), 1)
+        if ne == -3:
+            cap_total *= 4
+            continue
+        if ne < 0:
+            raise FormatError(f"corrupt .dexqv stream (native walker: {ne})")
+        ne = int(ne)
+        total = int(elens[:ne].sum())
+        streams = out.reshape(5, cap_total)[:, :total]
+        return (wells[:ne], begs[:ne], ends_[:ne], qvs[:ne],
+                elens[:ne], np.ascontiguousarray(streams))
+    raise FormatError("could not size .dexqv decode buffers")
+
+
+def decode_dexqv_to_quiva(data: bytes, upper: bool = False,
+                          native: bool = True) -> bytes:
     import struct as _struct
 
     mv = memoryview(data)
@@ -344,6 +411,17 @@ def decode_dexqv_to_quiva(data: bytes, upper: bool = False) -> bytes:
     off = 2 if key in (dq.CONTAINER_KEY, 0xAA55) else 0   # legacy: no container key
     coding, off = dq.parse_qvcoding(mv, off)
     newv = key in (dq.CONTAINER_KEY, 0xAA55)
+
+    if native and not coding.flip:
+        res = _walk_native(data, coding, off, newv)
+        if res is not None:
+            wells, begs, ends_, qvs, lengths, streams = res
+            if upper:
+                streams = streams.copy()
+                streams[TAG] = streams[TAG] - 32
+            return qv.write_quiva(coding.prefix, wells, begs, ends_, qvs,
+                                  lengths, streams)
+
     end = ">" if coding.flip else "<"
 
     buf = np.frombuffer(data, np.uint8)

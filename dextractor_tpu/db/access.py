@@ -102,6 +102,37 @@ class DazzDB:
             return tb.UPPER_LUT[codes].tobytes()
         return codes
 
+    def load_subread(self, i: int, beg: int, end: int,
+                     ascii_mode: int = 0) -> bytes | np.ndarray:
+        """Load_Subread (DB.c:1351-1441): bases [beg, end) of read i via
+        sub-byte offset math — only ceil((end-beg+3)/4)+1 payload bytes are
+        touched, not the whole read."""
+        r = self.reads[i]
+        bb = beg >> 2
+        eb = (end + 3) >> 2
+        with open(self.path + ".bps", "rb") as f:
+            f.seek(int(r["boff"]) + bb)
+            payload = np.frombuffer(f.read(eb - bb), np.uint8)
+        codes = tb.unpack_2bit_np(payload[None, :])[0]
+        codes = codes[beg - 4 * bb: beg - 4 * bb + (end - beg)]
+        if ascii_mode == 1:
+            return tb.LOWER_LUT[codes].tobytes()
+        if ascii_mode == 2:
+            return tb.UPPER_LUT[codes].tobytes()
+        return codes
+
+    def sizeof(self) -> int:
+        """Approximate in-memory footprint (reference sizeof_DB,
+        DB.c:1044-1076)."""
+        s = int(self.header.nbytes) + int(self.reads.nbytes)
+        if self._qv is not None:
+            s += int(self._qv.table.nbytes) + int(self._qv.data.nbytes)
+        if self._aoff is not None:
+            s += int(self._aoff.nbytes)
+        for t in getattr(self, "track_list", []):
+            s += t.nbytes()
+        return s
+
     def load_all_reads(self):
         """Columnar batch: (payload rows padded per read, lengths)."""
         rlens = self.reads["rlen"].astype(np.int64)

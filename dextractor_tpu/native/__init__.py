@@ -29,6 +29,38 @@ def _build_shim(name: str, extra: list[str] | None = None):
     return ctypes.CDLL(out)
 
 
+_qv = None
+_qv_err = None
+
+
+def qv_decode_shim():
+    """The sequential .dexqv walker, or raise OSError if unavailable."""
+    global _qv, _qv_err
+    if _qv is not None:
+        return _qv
+    if _qv_err is not None:
+        raise _qv_err
+    try:
+        import numpy as np
+
+        lib = _build_shim("qv_decode")
+        lib.dxt_qv_walk.restype = ctypes.c_longlong
+        lib.dxt_qv_walk.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int,
+        ]
+    except OSError as e:
+        _qv_err = e
+        raise
+    _qv = lib
+    return lib
+
+
 _hdf5 = None
 _hdf5_err = None
 

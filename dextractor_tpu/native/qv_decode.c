@@ -1,0 +1,274 @@
+/* Sequential .dexqv entry-chain decoder.
+ *
+ * Huffman decode of a .dexqv file is a bit-serial chain: every stream's
+ * byte length is only known after decoding it, and the five streams of the
+ * entries are butted end to end (QV.c:1381-1426).  This walker resolves the
+ * chain at C speed — the host-side "data loader" of the framework — while
+ * all byte-parallel post-processing (run expansion already done here is
+ * cheap; Phred shifts, container assembly, text framing) stays vectorized
+ * in NumPy/JAX.  It also doubles as the boundary indexer for the TPU batch
+ * decoder (materialize=0 records offsets only).
+ *
+ * The bitstream semantics replicate Decode/Decode_Run (QV.c:510-691): 16-bit
+ * peeks into a 64K lookup table, escape symbol + 8-bit literal (16-bit run
+ * length), and the encoder's word-count formula for stream advancement.
+ *
+ * Build: gcc -O2 -shared -fPIC qv_decode.c -o _qv_decode.so
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+typedef struct
+  { const uint8_t *buf;
+    int64_t        size;
+    int64_t        base;    /* byte offset of current stream */
+    int64_t        pos;     /* bit position within the stream */
+  } BitRead;
+
+static inline uint32_t word_at(const BitRead *b, int64_t byteoff)
+{ uint32_t w = 0;
+  int64_t  n = b->size - byteoff;
+  if (n >= 4)
+    memcpy(&w, b->buf + byteoff, 4);
+  else if (n > 0)
+    memcpy(&w, b->buf + byteoff, (size_t) n);
+  return w;     /* little-endian host */
+}
+
+static inline uint32_t peek16(const BitRead *b)
+{ int64_t  bit = b->pos;
+  int64_t  at = b->base + (bit >> 5) * 4;
+  uint64_t win = ((uint64_t) word_at(b, at) << 32) | word_at(b, at + 4);
+  return (uint32_t) ((win >> (48 - (bit & 31))) & 0xffff);
+}
+
+/* words the encoder wrote for a stream (tail-padding rule, QV.c:436-442) */
+static inline int64_t stream_words(int64_t total, int last)
+{ int64_t nfull, olen, llen;
+  if (total == 0)
+    return 0;
+  nfull = total >> 5;
+  olen = total & 31;
+  llen = (total - last) & 31;
+  if (olen > 0)
+    return nfull + ((llen > 16 && olen > llen) ? 2 : 1);
+  return nfull + (llen > 16 ? 1 : 0);
+}
+
+/* plain stream: decode rlen symbols, return words consumed (or -1) */
+static int64_t dec_plain(BitRead *b, const int32_t *look, const uint8_t *lens,
+                         int type, uint8_t *out, int64_t rlen)
+{ int     signal = (type == 2) ? 255 : 256;
+  int     last = 0;
+  int64_t j;
+
+  for (j = 0; j < rlen; j++)
+    { int c = look[peek16(b)];
+      int n = lens[c];
+      b->pos += n;
+      last = n;
+      if (c == signal)
+        { c = (int) ((peek16(b) >> 8) & 0xff);
+          b->pos += 8;
+          last = 8;
+        }
+      if (out != NULL)
+        out[j] = (uint8_t) c;
+    }
+  return stream_words(b->pos, last);
+}
+
+/* RLE stream: decode rlen expanded symbols */
+static int64_t dec_run(BitRead *b, const int32_t *nlook, const uint8_t *nlens,
+                       int ntype, const int32_t *rlook, const uint8_t *rlens,
+                       uint8_t *out, int64_t rlen, int rchar)
+{ int     nsignal = (ntype == 2) ? 255 : 256;
+  int     last = 0;
+  int64_t j = 0;
+
+  while (j < rlen)
+    { int c = rlook[peek16(b)];
+      int n = rlens[c];
+      b->pos += n;
+      last = n;
+      if (c == 255)
+        { c = (int) peek16(b);
+          b->pos += 16;
+          last = 16;
+        }
+      { int64_t k, e = j + c;
+        if (e > rlen)
+          e = rlen;
+        if (out != NULL)
+          for (k = j; k < e; k++)
+            out[k] = (uint8_t) rchar;
+        j = e;
+      }
+      if (j < rlen)
+        { int s = nlook[peek16(b)];
+          n = nlens[s];
+          b->pos += n;
+          last = n;
+          if (s == nsignal)
+            { s = (int) ((peek16(b) >> 8) & 0xff);
+              b->pos += 8;
+              last = 8;
+            }
+          if (out != NULL)
+            out[j] = (uint8_t) s;
+          j += 1;
+        }
+    }
+  return stream_words(b->pos, last);
+}
+
+static const char LOWER[5] = { 'a', 'c', 'g', 't', 0 };
+
+/* Walk every entry of a .dexqv payload.
+ *
+ * schemes: ns x (65536 int32 lookup || 256 uint8 lens || 1 uint8 type),
+ * sid[6]: scheme index for del, drun, ins, mrg, sub, srun (-1 if absent).
+ * Outputs (all may be partially filled; return = entries decoded, <0 error):
+ *   wells/begs/ends/qvs  per entry
+ *   eoffs[e]             byte offset of entry e's first stream
+ *   elens[e]             rlen of entry e
+ *   out[5*cap_total]     decoded streams, stream-major (out + s*cap_total)
+ *                        entries concatenated; NULL-able via materialize=0
+ */
+long long dxt_qv_walk(
+    const uint8_t *buf, long long size, long long off0,
+    const int32_t *lookups, const uint8_t *lens, const uint8_t *types,
+    const int32_t *sid, int del_char, int sub_char, int newv,
+    long long cap_entries, long long cap_total,
+    int32_t *wells, int32_t *begs, int32_t *ends, int32_t *qvs,
+    long long *eoffs, long long *elens,
+    uint8_t *out, int materialize)
+{
+#define LOOK(i) (lookups + (int64_t) (i) * 65536)
+#define LENS(i) (lens + (int64_t) (i) * 256)
+  int64_t off = off0;
+  int64_t ne = 0;
+  int64_t total = 0;
+  int     well = 0;
+
+  while (off < size && ne < cap_entries)
+    { int64_t rlen, clen, tlen, w;
+      int     beg, end, qv;
+      uint8_t byte;
+      BitRead br;
+      uint8_t *odel, *otag, *oins, *omrg, *osub;
+
+      byte = buf[off++];
+      while (byte == 255)
+        { well += 255;
+          if (off >= size) return -2;
+          byte = buf[off++];
+        }
+      well += byte;
+
+      if (newv)
+        { if (off + 12 > size) return -2;
+          memcpy(&beg, buf + off, 4);
+          memcpy(&end, buf + off + 4, 4);
+          memcpy(&qv, buf + off + 8, 4);
+          off += 12;
+        }
+      else
+        { uint16_t h;
+          if (off + 6 > size) return -2;
+          memcpy(&h, buf + off, 2); beg = h;
+          memcpy(&h, buf + off + 2, 2); end = h;
+          memcpy(&h, buf + off + 4, 2); qv = h;
+          off += 6;
+        }
+      rlen = (int64_t) end - beg;
+      if (rlen < 0 || total + rlen > cap_total)
+        return -3;
+
+      wells[ne] = well;
+      begs[ne] = beg;
+      ends[ne] = end;
+      qvs[ne] = qv;
+      eoffs[ne] = off;
+      elens[ne] = rlen;
+
+      odel = materialize ? out + total : NULL;
+      otag = materialize ? out + cap_total + total : NULL;
+      oins = materialize ? out + 2 * cap_total + total : NULL;
+      omrg = materialize ? out + 3 * cap_total + total : NULL;
+      osub = materialize ? out + 4 * cap_total + total : NULL;
+
+      /* delQV — note: even with materialize=0 the del content is needed
+         for the packed-tag length, so it is always decoded */
+      { static uint8_t scratch[1 << 20];
+        uint8_t *dd = odel;
+        if (dd == NULL)
+          { if (rlen > (int64_t) sizeof(scratch)) return -4;
+            dd = scratch;
+          }
+        br.buf = buf; br.size = size; br.base = off; br.pos = 0;
+        if (del_char < 0)
+          { w = dec_plain(&br, LOOK(sid[0]), LENS(sid[0]), types[sid[0]], dd, rlen);
+            clen = rlen;
+          }
+        else
+          { int64_t k;
+            w = dec_run(&br, LOOK(sid[0]), LENS(sid[0]), types[sid[0]],
+                        LOOK(sid[1]), LENS(sid[1]), dd, rlen, del_char);
+            clen = 0;
+            for (k = 0; k < rlen; k++)
+              clen += (dd[k] != (uint8_t) del_char);
+          }
+        off += 4 * w;
+
+        /* packed delTag: 2-bit unpack + lower + Unpack_Tag (QV.c:1437-1461) */
+        tlen = (clen + 3) >> 2;
+        if (off + tlen > size)
+          return -2;
+        if (materialize)
+          { int64_t k, p = clen - 1;
+            if (del_char < 0)
+              { for (k = 0; k < rlen; k++)
+                  { uint8_t pb = buf[off + (k >> 2)];
+                    otag[k] = LOWER[(pb >> (6 - 2 * (k & 3))) & 3];
+                  }
+              }
+            else
+              { for (k = rlen - 1; k >= 0; k--)
+                  { if (dd[k] == (uint8_t) del_char)
+                      otag[k] = 'n';
+                    else
+                      { uint8_t pb = buf[off + (p >> 2)];
+                        otag[k] = LOWER[(pb >> (6 - 2 * (p & 3))) & 3];
+                        p -= 1;
+                      }
+                  }
+              }
+          }
+        off += tlen;
+      }
+
+      br.buf = buf; br.size = size; br.base = off; br.pos = 0;
+      w = dec_plain(&br, LOOK(sid[2]), LENS(sid[2]), types[sid[2]], oins, rlen);
+      off += 4 * w;
+
+      br.buf = buf; br.size = size; br.base = off; br.pos = 0;
+      w = dec_plain(&br, LOOK(sid[3]), LENS(sid[3]), types[sid[3]], omrg, rlen);
+      off += 4 * w;
+
+      br.buf = buf; br.size = size; br.base = off; br.pos = 0;
+      if (sub_char < 0)
+        w = dec_plain(&br, LOOK(sid[4]), LENS(sid[4]), types[sid[4]], osub, rlen);
+      else
+        w = dec_run(&br, LOOK(sid[4]), LENS(sid[4]), types[sid[4]],
+                    LOOK(sid[5]), LENS(sid[5]), osub, rlen, sub_char);
+      off += 4 * w;
+
+      if (off > size)
+        return -2;
+      total += rlen;
+      ne += 1;
+    }
+  return ne;
+}

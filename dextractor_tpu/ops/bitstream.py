@@ -129,12 +129,16 @@ def encode_run_stream(neme: HScheme, reme: HScheme, data: np.ndarray, rchar: int
         return np.empty(0, np.uint32)
     runlens, symbols, has_symbol = tokenize_runs(data, rchar)
 
-    # run-length emissions: code for min(run,255); code 255 always escapes
-    # with a 16-bit literal of the full length (clamped, see module note).
+    # run-length emissions: the escape fires whenever a bucket's code equals
+    # symbol 255's code — Encode_Run tests c == rspec unconditionally
+    # (QV.c:468-469, 486-487), so in a type-2 run scheme every merged bucket
+    # escapes, not just 255.  A 16-bit literal of the full length follows
+    # (clamped, see module note).
     x = np.minimum(runlens, 255)
     rl = reme.codelens[x].astype(np.int64)
     rb = reme.codebits[x].astype(np.uint64)
-    resc = x == 255
+    resc = (reme.codebits[x] == reme.codebits[255]) \
+        & (reme.codelens[x] == reme.codelens[255])
     rv = np.where(resc, (rb << np.uint64(16)) | (runlens.astype(np.uint64) & np.uint64(0xFFFF)), rb)
     rn = np.where(resc, rl + 16, rl)
     rlast = np.where(resc, 16, rl)

@@ -34,13 +34,18 @@ import jax.numpy as jnp
 from .huffman import HScheme
 
 
-def scheme_luts(scheme: HScheme) -> np.ndarray:
-    """Pack a scheme into a (3, 256) int64-free LUT bundle:
-    row 0: codebits (u32 as int64), row 1: codelens, row 2: escape flag."""
+def scheme_luts(scheme: HScheme, run: bool = False) -> np.ndarray:
+    """Pack a scheme into a (3, 256) LUT bundle: row 0 codebits, row 1
+    codelens, row 2 escape flag.
+
+    Symbol schemes escape only when type == 2 (Encode, QV.c:397-402); run
+    schemes test code-equals-255's-code *unconditionally* (Encode_Run,
+    QV.c:468-469), so their flag is set for every bucket sharing 255's code.
+    """
     lut = np.zeros((3, 256), np.int64)
     lut[0] = scheme.codebits
     lut[1] = scheme.codelens
-    if scheme.type == 2:
+    if run or scheme.type == 2:
         lut[2] = ((scheme.codebits == scheme.codebits[255])
                   & (scheme.codelens == scheme.codelens[255])).astype(np.int64)
     return lut
@@ -99,11 +104,12 @@ def run_emissions(data, lengths, rchar, sym_luts, run_luts):
         [jnp.full((n_rows, 1), -1, jnp.int32), run_max[:, :-1]], axis=1)
     runlen = col - prev_lit - 1
 
-    # run emission before each literal
+    # run emission before each literal (escape flag from the LUT: any
+    # bucket sharing 255's code escapes, not just 255)
     x = jnp.minimum(runlen, 255)
     rb = run_luts[0].astype(jnp.uint32)[x]
     rl = run_luts[1][x].astype(jnp.int32)
-    resc = x == 255
+    resc = run_luts[2][x].astype(jnp.bool_)
     rv = jnp.where(resc, (rb << 16) | (runlen.astype(jnp.uint32) & 0xFFFF), rb)
     rn = jnp.where(resc, rl + 16, rl)
     rgran = jnp.where(resc, 16, rl)
@@ -121,7 +127,7 @@ def run_emissions(data, lengths, rchar, sym_luts, run_luts):
     tx = jnp.minimum(trail, 255)
     tb = run_luts[0].astype(jnp.uint32)[tx]
     tl = run_luts[1][tx].astype(jnp.int32)
-    tesc = tx == 255
+    tesc = run_luts[2][tx].astype(jnp.bool_)
     tv = jnp.where(tesc, (tb << 16) | (trail.astype(jnp.uint32) & 0xFFFF), tb)
     tn = jnp.where(tesc, tl + 16, tl)
     tgran = jnp.where(tesc, 16, tl)
@@ -247,7 +253,7 @@ def encode_rows_np(data, lengths, scheme: HScheme,
     if run_scheme is None:
         parts = encode_plain_rows(d, ln, luts)
     else:
-        rluts = jnp.asarray(scheme_luts(run_scheme))
+        rluts = jnp.asarray(scheme_luts(run_scheme, run=True))
         parts = encode_run_rows(d, ln, jnp.int32(rchar), luts, rluts)
     words, raw, out, dup, zext = (np.asarray(x) for x in parts)
     return finalize_rows(words, raw, out, dup, zext)

@@ -61,6 +61,33 @@ LOWER_LUT = np.frombuffer(b"acgt", np.uint8).copy()
 UPPER_LUT = np.frombuffer(b"ACGT", np.uint8).copy()
 ARROW_LETTER_LUT = np.frombuffer(b"1234", np.uint8).copy()
 
+
+def _change_case_table() -> np.ndarray:
+    """acgt <-> ACGT case toggle (reference Change_Read, DB.c:443-465)."""
+    t = np.zeros(256, np.uint8)
+    for ch in b"acgt":
+        t[ch] = ch - 32
+        t[ch - 32] = ch
+    return t
+
+
+CHANGE_CASE_LUT = _change_case_table()
+
+
+def change_read(seq: np.ndarray) -> np.ndarray:
+    """Toggle sequence case (Change_Read)."""
+    return CHANGE_CASE_LUT[seq]
+
+
+def print_read(codes: np.ndarray, width: int = 80) -> bytes:
+    """Numeric codes -> lowercase text wrapped at ``width``
+    (reference Print_Read, DB.c:1164-1183)."""
+    sym = LOWER_LUT[codes]
+    out = []
+    for i in range(0, len(sym), width):
+        out.append(sym[i:i + width].tobytes())
+    return b"\n".join(out) + b"\n" if out else b""
+
 _PACK_SHIFTS = np.array([6, 4, 2, 0], np.uint8)
 
 

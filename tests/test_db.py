@@ -158,3 +158,61 @@ def test_block_looper():
     assert names == ["FOO.3", "FOO.4", "FOO.5"]
     lp2 = parse_block_db_arg("/x/FOO.db")
     assert lp2.first == -1 and lp2.arg_root() == "FOO"
+
+
+def test_tracks_and_extras(tmp_path):
+    rc, recs = _build_db(tmp_path, n_reads=6, seed=9)
+    assert rc == 0
+    from dextractor_tpu.db import open_db
+    from dextractor_tpu.db.tracks import (
+        Track, Extra, write_track, open_track, check_track,
+        DB_INT, DB_SUM, DB_EXACT,
+    )
+
+    db = open_db(str(tmp_path / "TEST.db"))
+    n = db.nreads
+
+    # a variable-length data track with an extra
+    lens = np.arange(1, n + 1, dtype=np.int64)
+    anno = np.zeros(n + 1, np.int32)
+    np.cumsum(lens, out=anno[1:])
+    data = np.arange(anno[-1], dtype=np.int64).astype(np.uint8)
+    tr = Track(name="test", size=4, nreads=n, anno=anno, data=data,
+               extras=[Extra(DB_INT, DB_SUM, b"coverage",
+                             np.array([42], np.int64))])
+    write_track(db.path, "test", tr)
+
+    assert check_track(db, "test") == 0
+    got = open_track(db, "test")
+    assert got.nreads == n and got.size == 4
+    np.testing.assert_array_equal(got.read_data(2), data[anno[2]:anno[3]])
+    assert got.extras[0].name == b"coverage"
+    assert int(got.extras[0].value[0]) == 42
+
+    # extras folding
+    e1 = Extra(DB_INT, DB_SUM, b"coverage", np.array([10], np.int64))
+    e1.fold(Extra(DB_INT, DB_SUM, b"coverage", np.array([5], np.int64)))
+    assert int(e1.value[0]) == 15
+    e2 = Extra(DB_INT, DB_EXACT, b"p", np.array([7], np.int64))
+    e2.fold(Extra(DB_INT, DB_EXACT, b"p", np.array([7], np.int64)))
+    import pytest as _pytest
+    from dextractor_tpu.utils.errors import FormatError
+    with _pytest.raises(FormatError):
+        e2.fold(Extra(DB_INT, DB_EXACT, b"p", np.array([8], np.int64)))
+
+    # fixed-size anno track (no data part)
+    tr2 = Track(name="qual", size=2, nreads=n,
+                anno=np.arange(2 * n, dtype=np.uint8).reshape(n, 2), data=None)
+    write_track(db.path, "qual", tr2)
+    got2 = open_track(db, "qual")
+    assert got2.data is None and got2.anno.shape == (n, 2)
+
+
+def test_load_subread(tmp_path):
+    rc, recs = _build_db(tmp_path, n_reads=4, seed=10)
+    assert rc == 0
+    from dextractor_tpu.db import open_db
+    db = open_db(str(tmp_path / "TEST.db"))
+    e = recs[2]
+    for beg, end in [(0, 10), (3, 17), (5, e["ln"]), (1, 2)]:
+        assert db.load_subread(2, beg, end, ascii_mode=2) == e["seq"][beg:end]

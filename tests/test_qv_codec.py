@@ -141,3 +141,29 @@ def test_dexqv_roundtrip_no_oracle():
     quiva = make_quiva(rng, n_reads=10, max_len=200)
     enc = encode_quiva_to_dexqv(quiva)
     assert decode_dexqv_to_quiva(enc) == quiva
+
+
+def test_native_and_python_decode_agree(ref_tools, tmp_path):
+    rng = np.random.default_rng(777)
+    from conftest import make_quiva
+    quiva = make_quiva(rng, n_reads=20, min_len=0, max_len=500)
+    enc = encode_quiva_to_dexqv(quiva)
+    a = decode_dexqv_to_quiva(enc, native=True)
+    b = decode_dexqv_to_quiva(enc, native=False)
+    assert a == b == quiva
+    au = decode_dexqv_to_quiva(enc, upper=True, native=True)
+    bu = decode_dexqv_to_quiva(enc, upper=True, native=False)
+    assert au == bu
+
+
+def test_dexqv_golden_large_type2_runscheme(ref_tools, tmp_path):
+    """Large file: the delRun histogram grows >16-bit codes, forcing a
+    type-2 RUN scheme whose merged buckets must escape exactly like the
+    reference (Encode_Run tests code==255's-code unconditionally)."""
+    rng = np.random.default_rng(4242)
+    quiva = make_quiva(rng, n_reads=500, min_len=1900, max_len=2100)
+    (tmp_path / "g.quiva").write_bytes(quiva)
+    run_ref(ref_tools, "dexqv", ["-k", "g.quiva"], tmp_path)
+    ref_dexqv = (tmp_path / "g.dexqv").read_bytes()
+    assert encode_quiva_to_dexqv(quiva, device=True) == ref_dexqv
+    assert decode_dexqv_to_quiva(ref_dexqv) == quiva
