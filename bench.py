@@ -150,12 +150,22 @@ def main() -> None:
     run_k(1)                             # compile + warm
     print(f"[bench] upload+compile {time.perf_counter()-t0:.1f}s",
           file=sys.stderr, flush=True)
-    # steps are micro/milliseconds while a result fetch costs ~0.2s through
-    # the relay: spread K wide so the difference dominates the fetch noise
-    k_lo, k_hi = 2, 1002
+    # steps are milliseconds while a result fetch costs ~0.2s through the
+    # relay: widen K until the difference clears the noise floor, but keep
+    # total device time bounded (very long chained programs can trip the
+    # worker watchdog)
+    k_lo = 2
     t_lo = min(run_k(k_lo) for _ in range(3))
-    t_hi = min(run_k(k_hi) for _ in range(3))
-    dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
+    dt = None
+    for k_hi in (12, 52, 202):
+        t_hi = min(run_k(k_hi) for _ in range(2))
+        print(f"[bench] k={k_hi}: {t_hi:.3f}s (k={k_lo}: {t_lo:.3f}s)",
+              file=sys.stderr, flush=True)
+        if t_hi - t_lo > 0.4 or t_hi > 30:
+            dt = (t_hi - t_lo) / (k_hi - k_lo)
+            break
+    if dt is None:
+        dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
 
     payload_bytes = int(q.lengths.sum()) * 5        # the five QV streams
     gbps = payload_bytes / dt / 1e9

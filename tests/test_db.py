@@ -216,3 +216,19 @@ def test_load_subread(tmp_path):
     e = recs[2]
     for beg, end in [(0, 10), (3, 17), (5, e["ln"]), (1, 2)]:
         assert db.load_subread(2, beg, end, ascii_mode=2) == e["seq"][beg:end]
+
+
+def test_load_all_qventries_batch(tmp_path):
+    """TPU batch QV decode must match the per-entry loader exactly."""
+    rc, recs = _build_db(tmp_path, n_reads=9, quiver=True, seed=11)
+    assert rc == 0
+    from dextractor_tpu.db import open_db
+    db = open_db(str(tmp_path / "TEST.db"))
+    db.open_qvs()
+    streams, lengths = db.load_all_qventries(ascii_mode=1)
+    off = np.zeros(db.nreads + 1, np.int64)
+    np.cumsum(lengths, out=off[1:])
+    for i in range(db.nreads):
+        entry = db.load_qventry(i, ascii_mode=1)
+        got = streams[:, off[i]: off[i + 1]]
+        np.testing.assert_array_equal(got, entry)
