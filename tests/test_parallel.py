@@ -88,3 +88,31 @@ def test_sharded_scan_matches_host():
     np.testing.assert_array_equal(hists[3], stats.sub_hist)
     assert int(tot) == stats.tot_char
     assert int(dchar) == stats.del_char
+
+
+def test_ordered_gather_and_ranges():
+    from dextractor_tpu.parallel.multihost import ordered_gather, process_read_range
+    parts = [
+        (np.array([1, 2, 3], np.uint8), np.array([2, 1], np.int64)),
+        (np.array([4, 5], np.uint8), np.array([2], np.int64)),
+    ]
+    flat, lengths, offsets = ordered_gather(parts)
+    np.testing.assert_array_equal(flat, [1, 2, 3, 4, 5])
+    np.testing.assert_array_equal(offsets, [0, 2, 3, 5])
+    beg, end = process_read_range(100, process_id=1, num_processes=3)
+    assert (beg, end) == (34, 68)
+    assert process_read_range(100, 2, 3) == (68, 100)
+
+
+def test_profiling_reporter():
+    import io
+    from dextractor_tpu.utils.profiling import Reporter
+    r = Reporter(enabled=True)
+    with r.stage("pack", nbytes=1000):
+        pass
+    with r.stage("pack", nbytes=1000):
+        pass
+    buf = io.StringIO()
+    r.report(buf)
+    assert "pack" in buf.getvalue()
+    assert r.stages["pack"].calls == 2
