@@ -135,6 +135,46 @@ def _read_key(mv: memoryview, arrow: bool):
     raise FormatError(f"Not a {kind} file, endian key invalid")
 
 
+def _read_dexta_native(data: bytes, arrow: bool, newv: bool, off: int,
+                       prefix: bytes) -> "DextaFile | None":
+    """Entry walk via the native indexer (entry sizes chain sequentially)."""
+    from ..native import dexta_index_shim
+
+    try:
+        lib = dexta_index_shim()
+    except OSError:
+        return None
+    import ctypes
+
+    buf = np.frombuffer(data, np.uint8)
+    size = len(buf)
+    mode = 1 if arrow else (0 if newv else 2)
+    cap = max(size // (14 if newv else 7) + 2, 16)
+    wells = np.zeros(cap, np.int32)
+    begs = np.zeros(cap, np.int32)
+    ends_ = np.zeros(cap, np.int32)
+    qvs = np.zeros(cap, np.int32)
+    cnrs = np.zeros(4 * cap, np.uint16)
+    poffs = np.zeros(cap, np.int64)
+    plens = np.zeros(cap, np.int64)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    ne = lib.dxt_dexta_walk(ptr(buf), size, off, mode, cap,
+                            ptr(wells), ptr(begs), ptr(ends_), ptr(qvs),
+                            ptr(cnrs), ptr(poffs), ptr(plens))
+    if ne < 0:
+        raise FormatError("truncated container (payload)")
+    ne = int(ne)
+    flat = flat_gather_lens(buf, poffs[:ne], plens[:ne])
+    return DextaFile(
+        prefix=prefix, wells=wells[:ne], begs=begs[:ne], ends=ends_[:ne],
+        qvs=None if arrow else qvs[:ne],
+        cnrs=cnrs.reshape(cap, 4)[:ne] if arrow else None,
+        payload=Ragged(flat, plens[:ne]))
+
+
 def read_dexta(data: bytes, arrow: bool = False) -> DextaFile:
     """Parse a .dexta (arrow=False) or .dexar (arrow=True) image."""
     mv = memoryview(data)
@@ -145,6 +185,11 @@ def read_dexta(data: bytes, arrow: bool = False) -> DextaFile:
         raise FormatError("truncated container (prefix)")
     prefix = bytes(mv[6:6 + plen])
     off = 6 + plen
+
+    if not flip:
+        fast = _read_dexta_native(data, arrow, newv, off, prefix)
+        if fast is not None:
+            return fast
 
     buf = np.frombuffer(data, np.uint8)
     size = len(buf)

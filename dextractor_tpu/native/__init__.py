@@ -61,6 +61,33 @@ def qv_decode_shim():
     return lib
 
 
+_dexta = None
+_dexta_err = None
+
+
+def dexta_index_shim():
+    """The .dexta/.dexar entry walker, or raise OSError if unavailable."""
+    global _dexta, _dexta_err
+    if _dexta is not None:
+        return _dexta
+    if _dexta_err is not None:
+        raise _dexta_err
+    try:
+        lib = _build_shim("dexta_index")
+        lib.dxt_dexta_walk.restype = ctypes.c_longlong
+        lib.dxt_dexta_walk.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+    except OSError as e:
+        _dexta_err = e
+        raise
+    _dexta = lib
+    return lib
+
+
 _hdf5 = None
 _hdf5_err = None
 
