@@ -175,12 +175,27 @@ def encode_entry(coding: dq.QVCoding, delqv, tag, ins, mrg, sub, lossy: bool) ->
     return b"".join(parts)
 
 
-def encode_quiva_to_dexqv(data: bytes, lossy: bool = False, device: bool = True) -> bytes:
+def encode_quiva_to_dexqv(data: bytes, lossy: bool = False,
+                          device: bool | None = None) -> bytes:
+    """Encode a .quiva image.
+
+    device=True  -> batched TPU/XLA pipeline;
+    device=False -> native C channel encoder (falls back to the per-entry
+                    NumPy path);
+    device=None  -> auto: device pipeline when an accelerator backend is
+                    active, native otherwise.
+    """
     q = qv.parse_quiva(data)
     stats = scan_quiva(q)
     coding = create_qvcoding(stats, q.prefix, lossy)
+    if device is None:
+        import jax
+        device = jax.default_backend() != "cpu"
     if device:
         return _encode_entries_device(q, coding, lossy)
+    out = _encode_entries_native(q, coding, lossy)
+    if out is not None:
+        return out
     off = np.zeros(q.n_entries + 1, np.int64)
     np.cumsum(q.lengths, out=off[1:])
     blobs = []
@@ -191,6 +206,76 @@ def encode_quiva_to_dexqv(data: bytes, lossy: bool = False, device: bool = True)
             q.streams[DEL, s:e], q.streams[TAG, s:e], q.streams[INS, s:e],
             q.streams[MRG, s:e], q.streams[SUB, s:e], lossy))
     return dq.write_dexqv(coding, q.wells, q.begs, q.ends, q.qvs, blobs)
+
+
+def _encode_entries_native(q: qv.QuivaFile, coding: dq.QVCoding, lossy: bool):
+    """All five channels through the C channel encoder (host CPU path)."""
+    from ..native import qv_encode_shim
+
+    try:
+        lib = qv_encode_shim()
+    except OSError:
+        return None
+    import ctypes
+
+    n = q.n_entries
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(q.lengths, out=offs[1:])
+    total = int(offs[-1])
+    cap = 8 * total + 64 * n + 1024
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    def channel(data, scheme, run_scheme=None, rchar=-1):
+        data = np.ascontiguousarray(data)
+        out = np.empty(cap, np.uint8)
+        out_lens = np.zeros(n, np.int64)
+        bits = np.ascontiguousarray(scheme.codebits.astype(np.uint32))
+        lens = np.ascontiguousarray(scheme.codelens.astype(np.int32))
+        if run_scheme is None:
+            r = lib.dxt_encode_plain(ptr(data), ptr(offs), n, ptr(bits),
+                                     ptr(lens), int(scheme.type), ptr(out),
+                                     cap, ptr(out_lens))
+        else:
+            rbits = np.ascontiguousarray(run_scheme.codebits.astype(np.uint32))
+            rlens = np.ascontiguousarray(run_scheme.codelens.astype(np.int32))
+            r = lib.dxt_encode_run(ptr(data), ptr(offs), n, ptr(bits),
+                                   ptr(lens), int(scheme.type), ptr(rbits),
+                                   ptr(rlens), int(rchar), ptr(out), cap,
+                                   ptr(out_lens))
+        if r < 0:
+            raise FormatError("native encode buffer overflow")
+        return out[: int(r)], out_lens
+
+    ins_data = q.streams[INS]
+    mrg_data = q.streams[MRG]
+    if lossy:
+        ins_data = ins_data & 0xFE
+        mrg_data = mrg_data & 0xFC
+
+    del_flat, del_w = channel(q.streams[DEL], coding.del_scheme,
+                              coding.drun_scheme, coding.del_char)
+    ins_flat, ins_w = channel(ins_data, coding.ins_scheme)
+    mrg_flat, mrg_w = channel(mrg_data, coding.mrg_scheme)
+    sub_flat, sub_w = channel(q.streams[SUB], coding.sub_scheme,
+                              coding.srun_scheme, coding.sub_char)
+
+    tag_out = np.empty(total // 4 + 4 * n + 16, np.uint8)
+    tag_lens = np.zeros(n, np.int64)
+    r = lib.dxt_pack_tags(ptr(np.ascontiguousarray(q.streams[TAG])),
+                          ptr(np.ascontiguousarray(q.streams[DEL])),
+                          ptr(offs), n, coding.del_char,
+                          ptr(tb.NUMBER_BASE_LUT), ptr(tag_out),
+                          len(tag_out), ptr(tag_lens))
+    if r < 0:
+        raise FormatError("native tag pack buffer overflow")
+
+    parts = [
+        (del_flat, del_w), (tag_out[: int(r)], tag_lens),
+        (ins_flat, ins_w), (mrg_flat, mrg_w), (sub_flat, sub_w),
+    ]
+    return dq.assemble_dexqv(coding, q.wells, q.begs, q.ends, q.qvs, parts)
 
 
 # ---------------------------------------------------------------------------

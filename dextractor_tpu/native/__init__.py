@@ -61,6 +61,43 @@ def qv_decode_shim():
     return lib
 
 
+_qve = None
+_qve_err = None
+
+
+def qv_encode_shim():
+    """The host-side channel encoder, or raise OSError if unavailable."""
+    global _qve, _qve_err
+    if _qve is not None:
+        return _qve
+    if _qve_err is not None:
+        raise _qve_err
+    try:
+        lib = _build_shim("qv_encode")
+        for fn, extra in (("dxt_encode_plain", 0), ("dxt_encode_run", 1),
+                          ("dxt_pack_tags", 2)):
+            f = getattr(lib, fn)
+            f.restype = ctypes.c_longlong
+        lib.dxt_encode_plain.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p]
+        lib.dxt_encode_run.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p]
+        lib.dxt_pack_tags.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p]
+    except OSError as e:
+        _qve_err = e
+        raise
+    _qve = lib
+    return lib
+
+
 _dexta = None
 _dexta_err = None
 

@@ -1,0 +1,177 @@
+/* Host-side Huffman channel encoder (CPU fallback for the TPU pipeline).
+ *
+ * Replicates the reference's 32-bit OCODE emitter byte for byte
+ * (QV.c:404-506) including the tail-padding rule, the escape literal
+ * (8-bit value / 16-bit run length), and the unconditional run-escape
+ * test against symbol 255's code.  All entries of one channel are encoded
+ * in a single call over concatenated streams.
+ *
+ * Build: gcc -O2 -shared -fPIC qv_encode.c -o _qv_encode.so
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+typedef struct
+  { uint8_t  *out;
+    int64_t   cap;
+    int64_t   len;
+    uint32_t  ocode;
+    int       olen;
+    int       llen;
+  } Emit;
+
+static inline int put_word(Emit *e, uint32_t w)
+{ if (e->len + 4 > e->cap)
+    return -1;
+  memcpy(e->out + e->len, &w, 4);     /* little-endian host */
+  e->len += 4;
+  return 0;
+}
+
+static inline int ocode(Emit *e, uint32_t code, int len)
+{ int t = e->olen + len;
+  e->llen = e->olen;
+  if (t >= 32)
+    { e->olen = t - 32;
+      e->ocode |= (e->olen ? (code >> e->olen) : code);
+      if (put_word(e, e->ocode) < 0)
+        return -1;
+      e->ocode = e->olen ? (code << (32 - e->olen)) : 0;
+    }
+  else
+    { e->olen = t;
+      e->ocode |= code << (32 - t);
+    }
+  return 0;
+}
+
+static inline int flush(Emit *e)
+{ if (e->olen > 0)
+    { if (put_word(e, e->ocode) < 0)
+        return -1;
+      if (e->llen > 16 && e->olen > e->llen)
+        if (put_word(e, e->ocode) < 0)
+          return -1;
+    }
+  else if (e->llen > 16)
+    if (put_word(e, e->ocode) < 0)
+      return -1;
+  e->ocode = 0;
+  e->olen = 0;
+  e->llen = 0;
+  return 0;
+}
+
+/* Encode n_entries plain streams (concatenated in data with offs[n+1]).
+ * Returns total bytes or -1 on cap overflow.  out_lens: bytes per entry. */
+long long dxt_encode_plain(
+    const uint8_t *data, const int64_t *offs, long long n_entries,
+    const uint32_t *bits, const int32_t *lens, int type,
+    uint8_t *out, long long cap, int64_t *out_lens)
+{ Emit     e = { out, cap, 0, 0, 0, 0 };
+  uint32_t nspec = type == 2 ? bits[255] : 0xffffffffu;
+  int      nslen = type == 2 ? lens[255] : -1;
+  int64_t  i, k, before;
+
+  for (i = 0; i < n_entries; i++)
+    { before = e.len;
+      for (k = offs[i]; k < offs[i + 1]; k++)
+        { uint8_t  x = data[k];
+          uint32_t c = bits[x];
+          int      n = lens[x];
+          if (ocode(&e, c, n) < 0)
+            return -1;
+          if (c == nspec && n == nslen)
+            if (ocode(&e, x, 8) < 0)
+              return -1;
+        }
+      if (flush(&e) < 0)
+        return -1;
+      out_lens[i] = e.len - before;
+    }
+  return e.len;
+}
+
+long long dxt_encode_run(
+    const uint8_t *data, const int64_t *offs, long long n_entries,
+    const uint32_t *nbits, const int32_t *nlens, int ntype,
+    const uint32_t *rbits, const int32_t *rlens, int rchar,
+    uint8_t *out, long long cap, int64_t *out_lens)
+{ Emit     e = { out, cap, 0, 0, 0, 0 };
+  uint32_t nspec = ntype == 2 ? nbits[255] : 0xffffffffu;
+  int      nslen = ntype == 2 ? nlens[255] : -1;
+  uint32_t rspec = rbits[255];
+  int      rslen = rlens[255];
+  int64_t  i, before;
+
+  for (i = 0; i < n_entries; i++)
+    { int64_t k = offs[i], end = offs[i + 1];
+      before = e.len;
+      while (k < end)
+        { int64_t  h = k;
+          uint32_t c;
+          int      n, x;
+          while (k < end && data[k] == (uint8_t) rchar)
+            k += 1;
+          x = (k - h >= 255) ? 255 : (int) (k - h);
+          c = rbits[x];
+          n = rlens[x];
+          if (ocode(&e, c, n) < 0)
+            return -1;
+          if (c == rspec && n == rslen)
+            if (ocode(&e, (uint32_t) ((k - h) & 0xffff), 16) < 0)
+              return -1;
+          if (k < end)
+            { uint8_t s = data[k];
+              c = nbits[s];
+              n = nlens[s];
+              if (ocode(&e, c, n) < 0)
+                return -1;
+              if (c == nspec && n == nslen)
+                if (ocode(&e, s, 8) < 0)
+                  return -1;
+              k += 1;
+            }
+        }
+      if (flush(&e) < 0)
+        return -1;
+      out_lens[i] = e.len - before;
+    }
+  return e.len;
+}
+
+/* Pack_Tag + Number_Read + Compress_Read for all entries: keep tag bytes
+ * where del != rchar (or all, rchar < 0), 2-bit pack.  Returns total. */
+long long dxt_pack_tags(
+    const uint8_t *tag, const uint8_t *del, const int64_t *offs,
+    long long n_entries, int rchar, const uint8_t *number_lut,
+    uint8_t *out, long long cap, int64_t *out_lens)
+{ int64_t i, k, total = 0;
+
+  for (i = 0; i < n_entries; i++)
+    { int64_t  clen = 0;
+      uint8_t  acc = 0;
+      int      nin = 0;
+      int64_t  before = total;
+      for (k = offs[i]; k < offs[i + 1]; k++)
+        { if (rchar >= 0 && del[k] == (uint8_t) rchar)
+            continue;
+          acc = (uint8_t) ((acc << 2) | number_lut[tag[k]]);
+          nin += 1;
+          clen += 1;
+          if (nin == 4)
+            { if (total + 1 > cap) return -1;
+              out[total++] = acc;
+              acc = 0;
+              nin = 0;
+            }
+        }
+      if (nin > 0)
+        { if (total + 1 > cap) return -1;
+          out[total++] = (uint8_t) (acc << (2 * (4 - nin)));
+        }
+      out_lens[i] = total - before;
+    }
+  return total;
+}
