@@ -75,14 +75,23 @@ def _unpack_batch(payload, clens, rlens, letter_lut, device: bool):
 # .dexta
 # ---------------------------------------------------------------------------
 
-def encode_fasta_to_dexta(data: bytes, device: bool = True) -> bytes:
+def _auto(device):
+    if device is None:
+        import jax
+        return jax.default_backend() != "cpu"
+    return device
+
+
+def encode_fasta_to_dexta(data: bytes, device: bool | None = None) -> bytes:
+    device = _auto(device)
     f = fa.parse_seq_file(data, arrow=False)
     payload, clens = _pack_batch(f.seqs.flat, f.seqs.lengths, tb.NUMBER_BASE_LUT, device)
     return dx.write_dexta(f.prefix, f.wells, f.begs, f.ends, f.qvs, payload, clens)
 
 
 def decode_dexta_to_fasta(data: bytes, width: int = 80, upper: bool = False,
-                          device: bool = True) -> bytes:
+                          device: bool | None = None) -> bytes:
+    device = _auto(device)
     d = dx.read_dexta(data, arrow=False)
     rlens = (d.ends - d.begs).astype(np.int64)
     lut = tb.UPPER_LUT if upper else tb.LOWER_LUT
@@ -103,14 +112,17 @@ def _snr_to_cnr(snrs: np.ndarray) -> np.ndarray:
     return np.where(s > 99.99, 9999, (s * 100.0).astype(np.int64)).astype(np.uint16)
 
 
-def encode_arrow_to_dexar(data: bytes, device: bool = True) -> bytes:
+def encode_arrow_to_dexar(data: bytes, device: bool | None = None) -> bytes:
+    device = _auto(device)
     f = fa.parse_seq_file(data, arrow=True)
     payload, clens = _pack_batch(f.seqs.flat, f.seqs.lengths, tb.NUMBER_ARROW_LUT, device)
     cnrs = _snr_to_cnr(f.snrs)
     return dx.write_dexar(f.prefix, f.wells, f.begs, f.ends, cnrs, payload, clens)
 
 
-def decode_dexar_to_arrow(data: bytes, width: int = 80, device: bool = True) -> bytes:
+def decode_dexar_to_arrow(data: bytes, width: int = 80,
+                          device: bool | None = None) -> bytes:
+    device = _auto(device)
     d = dx.read_dexta(data, arrow=True)
     rlens = (d.ends - d.begs).astype(np.int64)
     sym = _unpack_batch(d.payload.flat, d.payload.lengths, rlens, tb.ARROW_LETTER_LUT, device)
