@@ -47,6 +47,60 @@ class CellData:
     snrs: np.ndarray | None = None         # (N, 4) float
 
 
+def split_db(path: str, bsize: int, cutoff: int = 0, keep_all: bool = True) -> int:
+    """Partition a DB into ~bsize-base blocks (DBsplit semantics implied by
+    the stub grammar DB.h:425-435 and the append-extension loop
+    dex2DB.c:953-991).  Returns the number of blocks."""
+    from ..utils.paths import path_to, root as rootof, catenate
+    from . import model, stub as stub_mod
+    import numpy as np
+
+    pwd = path_to(path)
+    root = rootof(path, ".db")
+    stub_path = catenate(pwd, "/", root, ".db")
+    stub = stub_mod.read_stub(stub_path)
+    idx_path = catenate(pwd, PATHSEP, root, ".idx")
+    with open(idx_path, "rb") as f:
+        raw = f.read()
+    header = np.frombuffer(raw[: model.DB_DTYPE.itemsize], model.DB_DTYPE).copy()
+    reads = np.frombuffer(raw, model.READ_DTYPE,
+                          offset=model.DB_DTYPE.itemsize)
+
+    allflag = 0 if keep_all else model.DB_BEST
+    ublocks, tblocks = [0], [0]
+    totlen = 0
+    tfirst = 0
+    for i in range(len(reads)):
+        r = reads[i]
+        if int(r["rlen"]) >= cutoff and (int(r["flags"]) & model.DB_BEST) >= allflag:
+            tfirst += 1
+            totlen += int(r["rlen"])
+            if totlen >= bsize:
+                ublocks.append(i + 1)
+                tblocks.append(tfirst)
+                totlen = 0
+    if ublocks[-1] != len(reads) or len(ublocks) == 1:
+        ublocks.append(len(reads))
+        tblocks.append(tfirst)
+
+    stub.partitioned = True
+    stub.nblocks = len(ublocks) - 1
+    stub.bsize = bsize
+    stub.cutoff = cutoff
+    stub.all = 1 if keep_all else 0
+    stub.ublocks = ublocks
+    stub.tblocks = tblocks
+    stub_mod.write_stub(stub_path, stub)
+
+    # NB: the on-disk header's allarr holds DB_ARROW only; the 'all' flag
+    # lives in the stub and is OR'd in at open time (DB.c:818)
+    header["cutoff"] = cutoff
+    header["treads"] = tfirst
+    with open(idx_path, "r+b") as f:
+        f.write(header.tobytes())
+    return stub.nblocks
+
+
 class DBBuilder:
     def __init__(self, path: str, arrow: bool = False, quiver: bool = False,
                  lossy: bool = False, verbose: bool = False):

@@ -232,3 +232,46 @@ def test_load_all_qventries_batch(tmp_path):
         entry = db.load_qventry(i, ascii_mode=1)
         got = streams[:, off[i]: off[i + 1]]
         np.testing.assert_array_equal(got, entry)
+
+
+def test_split_open_block_and_append_extends_partition(tmp_path):
+    rc, recs1 = _build_db(tmp_path, n_reads=10, seed=20)
+    assert rc == 0
+    from dextractor_tpu.db.build import split_db
+    from dextractor_tpu.db import open_db, read_stub, fetch_block_range
+
+    total = sum(e["ln"] for e in recs1)
+    nb = split_db(str(tmp_path / "TEST.db"), bsize=total // 3, cutoff=0)
+    assert nb >= 2
+    stub = read_stub(str(tmp_path / "TEST.db"))
+    assert stub.nblocks == nb
+    assert stub.ublocks[0] == 0 and stub.ublocks[-1] == 10
+
+    # open a block part
+    db1 = open_db(str(tmp_path / "TEST.1.db"))
+    f, l = fetch_block_range(str(tmp_path / "TEST.db"), False, 0)
+    assert db1.nreads == l - f
+    full = open_db(str(tmp_path / "TEST.db"))
+    np.testing.assert_array_equal(db1.reads, full.reads[f:l])
+    assert db1.load_read(0, 2) == full.load_read(f, 2)
+
+    # appending another cell extends the partition
+    rng = np.random.default_rng(21)
+    from conftest import make_bam
+    bam2, recs2 = make_bam(rng, n_reads=6, min_len=300, max_len=900,
+                           movie=b"m_second")
+    (tmp_path / "n.subreads.bam").write_bytes(bam2)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        from dextractor_tpu.cli.dex2DB import main as dex2db_main
+        rc = dex2db_main(["-eln>=0", "TEST", "n.subreads.bam"])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    stub2 = read_stub(str(tmp_path / "TEST.db"))
+    assert stub2.partitioned
+    assert stub2.ublocks[-1] == 16
+    assert stub2.nblocks >= nb
+    db = open_db(str(tmp_path / "TEST.db"))
+    assert int(db.header["treads"][0]) == 16     # cutoff 0, all kept
