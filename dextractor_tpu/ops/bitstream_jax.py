@@ -9,8 +9,8 @@ data-parallel program over an (N, Lpad) rectangle of streams:
   2. run tokenization via a row-wise exclusive running maximum of literal
      positions (no sequential scan over symbols);
   3. bit offsets via row-wise exclusive cumulative sums;
-  4. word assembly via a scatter-add of each emission's hi/lo 32-bit
-     contributions (contributions are bit-disjoint, so add == or);
+  4. word assembly via running sums over slots plus one scatter-set per
+     word (see ``pack_words`` — word indices are monotone and never skip);
   5. the reference's exact tail-padding (duplicate/zero word) applied as a
      cheap host-side gather using per-row totals.
 
@@ -19,8 +19,8 @@ fuses 1-3 and the TPU stays HBM-bound.  uint64 is avoided throughout (TPU
 has no native 64-bit lanes): hi/lo word contributions use clamped 32-bit
 shifts.
 
-Scheme tables enter as a (6, 256)-row LUT bundle so one jitted program
-serves any scheme (see ``scheme_luts``).
+Scheme tables enter as packed (256,) int32 LUTs (bits<<6 | len<<1 | esc)
+so each symbol costs one gather (see ``scheme_luts``).
 """
 
 from __future__ import annotations
@@ -35,20 +35,22 @@ from .huffman import HScheme
 
 
 def scheme_luts(scheme: HScheme, run: bool = False) -> np.ndarray:
-    """Pack a scheme into a (3, 256) LUT bundle: row 0 codebits, row 1
-    codelens, row 2 escape flag.
+    """Pack a scheme into a (256,) int32 LUT: ``bits << 6 | len << 1 | esc``.
+
+    One gather per symbol recovers all three fields (final schemes have
+    codes <= 16 bits and lengths <= 16, so the packing is exact).
 
     Symbol schemes escape only when type == 2 (Encode, QV.c:397-402); run
     schemes test code-equals-255's-code *unconditionally* (Encode_Run,
     QV.c:468-469), so their flag is set for every bucket sharing 255's code.
     """
-    lut = np.zeros((3, 256), np.int64)
-    lut[0] = scheme.codebits
-    lut[1] = scheme.codelens
+    esc = np.zeros(256, np.int64)
     if run or scheme.type == 2:
-        lut[2] = ((scheme.codebits == scheme.codebits[255])
-                  & (scheme.codelens == scheme.codelens[255])).astype(np.int64)
-    return lut
+        esc = ((scheme.codebits == scheme.codebits[255])
+               & (scheme.codelens == scheme.codelens[255])).astype(np.int64)
+    packed = ((scheme.codebits.astype(np.int64) << 6)
+              | (scheme.codelens.astype(np.int64) << 1) | esc)
+    return packed.astype(np.int32)
 
 
 def _excl_cumsum(x, axis):
@@ -57,10 +59,13 @@ def _excl_cumsum(x, axis):
 
 
 def _sym_emissions(data, luts):
-    """Fused emission (value u32, width, granular-last-width) per symbol."""
-    bits = luts[0].astype(jnp.uint32)[data]
-    lens = luts[1][data].astype(jnp.int32)
-    esc = luts[2][data].astype(jnp.bool_)
+    """Fused emission (value u32, width, granular-last-width) per symbol.
+
+    One packed-LUT gather per symbol: bits<<6 | len<<1 | esc."""
+    packed = luts[data.astype(jnp.int32)].astype(jnp.uint32)
+    bits = packed >> jnp.uint32(6)
+    lens = ((packed >> jnp.uint32(1)) & 31).astype(jnp.int32)
+    esc = (packed & 1).astype(jnp.bool_)
     v = jnp.where(esc, (bits << 8) | data.astype(jnp.uint32), bits)
     n = jnp.where(esc, lens + 8, lens)
     gran = jnp.where(esc, 8, lens)
@@ -107,9 +112,10 @@ def run_emissions(data, lengths, rchar, sym_luts, run_luts):
     # run emission before each literal (escape flag from the LUT: any
     # bucket sharing 255's code escapes, not just 255)
     x = jnp.minimum(runlen, 255)
-    rb = run_luts[0].astype(jnp.uint32)[x]
-    rl = run_luts[1][x].astype(jnp.int32)
-    resc = run_luts[2][x].astype(jnp.bool_)
+    rpacked = run_luts[x].astype(jnp.uint32)
+    rb = rpacked >> jnp.uint32(6)
+    rl = ((rpacked >> jnp.uint32(1)) & 31).astype(jnp.int32)
+    resc = (rpacked & 1).astype(jnp.bool_)
     rv = jnp.where(resc, (rb << 16) | (runlen.astype(jnp.uint32) & 0xFFFF), rb)
     rn = jnp.where(resc, rl + 16, rl)
     rgran = jnp.where(resc, 16, rl)
@@ -125,9 +131,10 @@ def run_emissions(data, lengths, rchar, sym_luts, run_luts):
     trail = jnp.maximum(lengths - last_lit - 1, 0)
     has_trail = trail > 0
     tx = jnp.minimum(trail, 255)
-    tb = run_luts[0].astype(jnp.uint32)[tx]
-    tl = run_luts[1][tx].astype(jnp.int32)
-    tesc = run_luts[2][tx].astype(jnp.bool_)
+    tpacked = run_luts[tx].astype(jnp.uint32)
+    tb = tpacked >> jnp.uint32(6)
+    tl = ((tpacked >> jnp.uint32(1)) & 31).astype(jnp.int32)
+    tesc = (tpacked & 1).astype(jnp.bool_)
     tv = jnp.where(tesc, (tb << 16) | (trail.astype(jnp.uint32) & 0xFFFF), tb)
     tn = jnp.where(tesc, tl + 16, tl)
     tgran = jnp.where(tesc, 16, tl)

@@ -37,13 +37,13 @@ from .mesh import DATA_AXIS
 
 
 def null_run_luts() -> np.ndarray:
-    """A run-LUT bundle that emits zero bits for run length 0.
+    """A packed run-LUT that emits zero bits for run length 0.
 
     Used to run plain (non-RLE) streams through the uniform run-aware
     kernel: with rchar = -1 every valid position is a literal, all run
     lengths are 0, and the null LUT makes those emissions vanish.
     """
-    return np.zeros((3, 256), np.int64)
+    return np.zeros(256, np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -56,8 +56,8 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
 
     streams:   (5, N, L) u8 — del, tag, ins, mrg, sub
     lengths:   (N,) i32
-    sym_luts:  (4, 3, 256) — symbol LUTs for del, ins, mrg, sub
-    run_luts:  (4, 3, 256) — run LUTs (null bundle for plain channels)
+    sym_luts:  (4, 256) packed i32 — symbol LUTs for del, ins, mrg, sub
+    run_luts:  (4, 256) packed i32 — run LUTs (null LUT for plain channels)
     rchars:    (4,) i32 — run char per channel (-1 for plain)
     number_lut:(256,) u8 — tag base numbering
 
