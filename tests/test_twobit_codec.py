@@ -106,3 +106,68 @@ def test_dexar_golden(seed, ref_tools, tmp_path):
     run_ref(ref_tools, "undexar", ["-k", "g.dexar"], tmp_path)
     ref_arrow = (tmp_path / "g.arrow").read_bytes()
     assert decode_dexar_to_arrow(ref_dexar) == ref_arrow
+
+
+def test_legacy_dexta_decode(ref_tools, tmp_path):
+    """Legacy 0x33cc containers carry uint16 beg/end/qv (undexta.c:140-159).
+    Our encoder never writes them; our decoder and the C tool must agree."""
+    import struct
+    from dextractor_tpu.ops import twobit as tb2
+
+    rng = np.random.default_rng(5)
+    reads = []
+    well = 0
+    out = bytearray()
+    prefix = b">legacy_movie"
+    out += struct.pack("<H", 0x33CC)
+    out += struct.pack("<i", len(prefix))
+    out += prefix
+    lwell = 0
+    for i in range(6):
+        well += int(rng.integers(0, 3))
+        rlen = int(rng.integers(1, 200))
+        beg = int(rng.integers(0, 50))
+        seq = rng.integers(0, 4, rlen).astype(np.uint8)
+        reads.append((well, beg, beg + rlen, seq))
+        d = well - lwell
+        while d >= 255:
+            out.append(0xFF)
+            d -= 255
+        out.append(d)
+        lwell = well
+        out += struct.pack("<HHH", beg, beg + rlen, 7)
+        padded = np.zeros((rlen + 3) & ~3, np.uint8)
+        padded[:rlen] = seq
+        out += tb2.pack_2bit_np(padded[None, :])[0].tobytes()
+
+    (tmp_path / "g.dexta").write_bytes(bytes(out))
+    run_ref(ref_tools, "undexta", ["-k", "g.dexta"], tmp_path)
+    ref_fasta = (tmp_path / "g.fasta").read_bytes()
+    assert decode_dexta_to_fasta(bytes(out)) == ref_fasta
+
+
+def test_trim_db_with_cutoff(tmp_path):
+    import os
+    from conftest import make_bam
+    from dextractor_tpu.cli.dex2DB import main as dex2db_main
+    from dextractor_tpu.db import open_db, DB_BEST
+    from dextractor_tpu.db.build import split_db
+
+    rng = np.random.default_rng(33)
+    bam, recs = make_bam(rng, n_reads=14, min_len=100, max_len=900)
+    (tmp_path / "m.subreads.bam").write_bytes(bam)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert dex2db_main(["-eln>=0", "T2", "m.subreads.bam"]) == 0
+        split_db("T2.db", bsize=10**9, cutoff=500, keep_all=False)
+        db = open_db("T2.db")
+    finally:
+        os.chdir(cwd)
+    n_untrimmed = db.nreads
+    db.trim()
+    keep = [e for e in recs if e["ln"] >= 500]
+    # trimmed keeps only DB_BEST reads >= cutoff
+    assert db.nreads <= n_untrimmed
+    assert (db.reads["rlen"] >= 500).all()
+    assert ((db.reads["flags"] & DB_BEST) != 0).all()
