@@ -350,22 +350,8 @@ def _pack_tags_device(tag_rows, del_rows, lengths, del_char):
 
 
 def _pack_tags_impl(tag_rows, del_rows, lengths, del_char, number_lut):
-    import jax
-    import jax.numpy as jnp
-    from ..ops.twobit import pack_2bit
-
-    n, l = tag_rows.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
-    valid = col < lengths[:, None]
-    keep = jnp.where(del_char >= 0, valid & (del_rows != del_char.astype(jnp.uint8)),
-                     valid)
-    kidx = jnp.cumsum(keep, axis=1) - 1
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, l), 0)
-    codes = jnp.zeros((n, l), jnp.uint8)
-    codes = codes.at[rows, jnp.where(keep, kidx, l)].set(
-        number_lut[tag_rows], mode="drop")
-    clens = keep.sum(axis=1)
-    return pack_2bit(codes, mask=False), clens
+    from ..parallel.pipeline import _pack_tags
+    return _pack_tags(tag_rows, del_rows, lengths, del_char, number_lut)
 
 
 import jax as _jax  # noqa: E402

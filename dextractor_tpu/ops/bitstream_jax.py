@@ -58,11 +58,51 @@ def _excl_cumsum(x, axis):
     return c - x
 
 
+USE_MXU_GATHER = True
+
+
+def _lut_gather(data, lut_i32):
+    """256-entry LUT lookup for every element of ``data`` (u8 -> i32).
+
+    TPU one-element gathers cost ~16 cycles each, so by default the lookup
+    rides the MXU instead: a one-hot matmul against the LUT split into
+    three bf16-exact byte planes (each < 256, so every product and the
+    single-term sums are exact).  data (N, L) -> (N, L) i32.
+    """
+    if not USE_MXU_GATHER:
+        return lut_i32[data.astype(jnp.int32)]
+    shape = data.shape
+    total = 1
+    for s in shape:
+        total *= s
+    chunk = 1 << 15
+    pad = (-total) % chunk
+    flat = data.reshape(-1).astype(jnp.int32)
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
+    chunks = flat.reshape(-1, chunk)
+    planes = jnp.stack([lut_i32 & 0xFF, (lut_i32 >> 8) & 0xFF,
+                        (lut_i32 >> 16) & 0xFF], axis=1).astype(jnp.bfloat16)
+    sym = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+
+    def one(c):
+        oh = (c[:, None] == sym).astype(jnp.bfloat16)         # (chunk, 256)
+        out = jnp.dot(oh, planes, preferred_element_type=jnp.float32)
+        return (out[:, 0].astype(jnp.int32)
+                + (out[:, 1].astype(jnp.int32) << 8)
+                + (out[:, 2].astype(jnp.int32) << 16))
+
+    vals = jax.lax.map(one, chunks).reshape(-1)
+    if pad:
+        vals = vals[:total]
+    return vals.reshape(shape)
+
+
 def _sym_emissions(data, luts):
     """Fused emission (value u32, width, granular-last-width) per symbol.
 
     One packed-LUT gather per symbol: bits<<6 | len<<1 | esc."""
-    packed = luts[data.astype(jnp.int32)].astype(jnp.uint32)
+    packed = _lut_gather(data, luts).astype(jnp.uint32)
     bits = packed >> jnp.uint32(6)
     lens = ((packed >> jnp.uint32(1)) & 31).astype(jnp.int32)
     esc = (packed & 1).astype(jnp.bool_)
@@ -112,7 +152,7 @@ def run_emissions(data, lengths, rchar, sym_luts, run_luts):
     # run emission before each literal (escape flag from the LUT: any
     # bucket sharing 255's code escapes, not just 255)
     x = jnp.minimum(runlen, 255)
-    rpacked = run_luts[x].astype(jnp.uint32)
+    rpacked = _lut_gather(x, run_luts).astype(jnp.uint32)
     rb = rpacked >> jnp.uint32(6)
     rl = ((rpacked >> jnp.uint32(1)) & 31).astype(jnp.int32)
     resc = (rpacked & 1).astype(jnp.bool_)
@@ -186,28 +226,36 @@ def pack_words(v, n):
                    v << jnp.clip(64 - pn, 0, 31).astype(jnp.uint32))
     hi = jnp.where(n > 0, hi, 0)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n_rows, m), 0)
     words = jnp.zeros((n_rows, m + 2), jnp.uint32)
 
     def seg_accumulate(words, contrib, keys, key_min):
         """Add per-slot contributions grouped by monotone no-skip keys.
 
-        Keys outside [key_min, key_max(row)] have no slots; their words get
-        zero via the range mask (no-skip means no interior gaps).
+        Word indices are consecutive from key_min, so the last slot of word
+        w has rank w - key_min among all last slots: a key sort *is* the
+        compaction (no scatter).  Keys outside [key_min, key_max(row)] have
+        no slots; their words get zero via the range mask.
         """
         cs = jnp.cumsum(contrib.astype(jnp.uint32), axis=1)
         nxt = jnp.concatenate(
             [keys[:, 1:], jnp.full((n_rows, 1), -1, keys.dtype)], axis=1)
         last = keys != nxt                       # last slot of each word
-        cum_at = jnp.zeros((n_rows, m + 3), jnp.uint32)
-        cum_at = cum_at.at[rows, jnp.where(last, keys, m + 2)].set(
-            cs, mode="drop")
+        skeys = jnp.where(last, keys, jnp.int32(0x7FFFFFFF))
+        skeys, svals = jax.lax.sort_key_val(skeys, cs, dimension=1)
+        # position j holds word key_min + j; pad to m+3 for the diff shift
+        pad = jnp.zeros((n_rows, 3), jnp.uint32)
+        cum_at = jnp.concatenate([svals[:, : m], pad], axis=1)
         key_max = jnp.max(jnp.where(n > 0, keys, -1), axis=1, keepdims=True)
         idx = jax.lax.broadcasted_iota(jnp.int32, (n_rows, m + 2), 1)
         present = (idx >= key_min) & (idx <= key_max)
-        diff = cum_at[:, :-1] - jnp.concatenate(
-            [jnp.zeros((n_rows, 1), jnp.uint32), cum_at[:, :-2]], axis=1)
-        return words + jnp.where(present, diff[:, : m + 2], 0)
+        # value of word w = cum_at[w - key_min] - cum_at[w - key_min - 1]
+        prev = jnp.concatenate(
+            [jnp.zeros((n_rows, 1), jnp.uint32), cum_at[:, : m + 1]], axis=1)
+        diff = cum_at[:, : m + 2] - prev
+        if key_min:
+            diff = jnp.concatenate(
+                [jnp.zeros((n_rows, key_min), jnp.uint32), diff], axis=1)[:, : m + 2]
+        return words + jnp.where(present, diff, 0)
 
     words = seg_accumulate(words, hi, w, 0)
     words = seg_accumulate(words, lo, w + 1, 1)

@@ -80,7 +80,10 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
 
 
 def _pack_tags(tag_rows, del_rows, lengths, del_char, number_lut):
-    """Pack_Tag + Number_Read + Compress_Read, batched (QV.c:810-819)."""
+    """Pack_Tag + Number_Read + Compress_Read, batched (QV.c:810-819).
+
+    Compaction of kept symbols to row starts is a key sort (destination
+    rank is monotone), not a scatter."""
     from ..ops.twobit import pack_2bit
 
     n, l = tag_rows.shape
@@ -88,13 +91,12 @@ def _pack_tags(tag_rows, del_rows, lengths, del_char, number_lut):
     valid = col < lengths[:, None]
     keep = jnp.where(del_char >= 0,
                      valid & (del_rows != del_char.astype(jnp.uint8)), valid)
-    kidx = jnp.cumsum(keep, axis=1) - 1
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, l), 0)
-    codes = jnp.zeros((n, l), jnp.uint8)
-    codes = codes.at[rows, jnp.where(keep, kidx, l)].set(
-        number_lut[tag_rows], mode="drop")
+    skeys = jnp.where(keep, col, jnp.int32(0x7FFFFFFF))
+    codes = number_lut[tag_rows].astype(jnp.int32)
+    _, svals = jax.lax.sort_key_val(skeys, codes, dimension=1)
     clens = keep.sum(axis=1)
-    return pack_2bit(codes, mask=False), clens
+    codes_c = jnp.where(col < clens[:, None], svals, 0).astype(jnp.uint8)
+    return pack_2bit(codes_c, mask=False), clens
 
 
 def _histogram256(data, weights):
