@@ -100,14 +100,28 @@ def _pack_tags(tag_rows, del_rows, lengths, del_char, number_lut):
 
 
 def _histogram256(data, weights):
-    """256-bin histogram as a one-hot reduction (no scatter serialization)."""
+    """256-bin histogram via one-hot matmul on the MXU.
+
+    ones(1,K) @ one_hot(K,256) in bf16 with f32 accumulation counts exactly
+    (products are 0/1; sums < 2^24 per chunk); chunks reduce in int32.
+    """
+    flat = data.reshape(-1).astype(jnp.int32)
+    w = weights.reshape(-1)
+    chunk = 1 << 15
+    pad = (-flat.shape[0]) % chunk
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full(pad, -1, jnp.int32)])
+        w = jnp.concatenate([w, jnp.zeros(pad, w.dtype)])
+    flat = jnp.where(w.astype(jnp.bool_), flat, -1).reshape(-1, chunk)
     sym = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
-    flat = data.reshape(-1, 1).astype(jnp.int32)
-    w = weights.reshape(-1, 1)
-    eq = (flat == sym) & w
-    # int32 accumulator: per-batch counts stay < 2^31; the host reduces
-    # batches in int64
-    return jnp.sum(eq, axis=0, dtype=jnp.int32)
+
+    def one(c):
+        oh = (c[:, None] == sym).astype(jnp.bfloat16)
+        ones = jnp.ones((1, chunk), jnp.bfloat16)
+        return jnp.dot(ones, oh, preferred_element_type=jnp.float32)[0]
+
+    hists = jax.lax.map(one, flat)
+    return hists.sum(axis=0).astype(jnp.int32)
 
 
 _I32_INF = np.int32(0x7FFFFFFF)
