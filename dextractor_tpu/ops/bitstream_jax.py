@@ -226,40 +226,39 @@ def pack_words(v, n):
                    v << jnp.clip(64 - pn, 0, 31).astype(jnp.uint32))
     hi = jnp.where(n > 0, hi, 0)
 
-    words = jnp.zeros((n_rows, m + 2), jnp.uint32)
+    # Word indices w are monotone/no-skip along slots, so each word's bits
+    # are a contiguous slot range and its value is a difference of two
+    # running-sum samples.  The last slot of word j has rank j among all
+    # last slots — a key sort IS the compaction (no scatter).  The lo
+    # contributions of word j+1 end at the *same* last slot, so one sort
+    # carries both cumsum planes.
+    cs_hi = jnp.cumsum(hi.astype(jnp.uint32), axis=1)
+    cs_lo = jnp.cumsum(lo.astype(jnp.uint32), axis=1)
+    nxt = jnp.concatenate(
+        [w[:, 1:], jnp.full((n_rows, 1), -1, w.dtype)], axis=1)
+    last = w != nxt
+    skeys = jnp.where(last, w, jnp.int32(0x7FFFFFFF))
+    _, s_hi, s_lo = jax.lax.sort((skeys, cs_hi, cs_lo), dimension=1,
+                                 num_keys=1)
 
-    def seg_accumulate(words, contrib, keys, key_min):
-        """Add per-slot contributions grouped by monotone no-skip keys.
+    key_max = jnp.max(jnp.where(n > 0, w, -1), axis=1, keepdims=True)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n_rows, m + 1), 1)
+    z1 = jnp.zeros((n_rows, 1), jnp.uint32)
 
-        Word indices are consecutive from key_min, so the last slot of word
-        w has rank w - key_min among all last slots: a key sort *is* the
-        compaction (no scatter).  Keys outside [key_min, key_max(row)] have
-        no slots; their words get zero via the range mask.
-        """
-        cs = jnp.cumsum(contrib.astype(jnp.uint32), axis=1)
-        nxt = jnp.concatenate(
-            [keys[:, 1:], jnp.full((n_rows, 1), -1, keys.dtype)], axis=1)
-        last = keys != nxt                       # last slot of each word
-        skeys = jnp.where(last, keys, jnp.int32(0x7FFFFFFF))
-        skeys, svals = jax.lax.sort_key_val(skeys, cs, dimension=1)
-        # position j holds word key_min + j; pad to m+3 for the diff shift
-        pad = jnp.zeros((n_rows, 3), jnp.uint32)
-        cum_at = jnp.concatenate([svals[:, : m], pad], axis=1)
-        key_max = jnp.max(jnp.where(n > 0, keys, -1), axis=1, keepdims=True)
-        idx = jax.lax.broadcasted_iota(jnp.int32, (n_rows, m + 2), 1)
-        present = (idx >= key_min) & (idx <= key_max)
-        # value of word w = cum_at[w - key_min] - cum_at[w - key_min - 1]
-        prev = jnp.concatenate(
-            [jnp.zeros((n_rows, 1), jnp.uint32), cum_at[:, : m + 1]], axis=1)
-        diff = cum_at[:, : m + 2] - prev
-        if key_min:
-            diff = jnp.concatenate(
-                [jnp.zeros((n_rows, key_min), jnp.uint32), diff], axis=1)[:, : m + 2]
-        return words + jnp.where(present, diff, 0)
+    # hi: word j = s_hi[j] - s_hi[j-1], valid for 0 <= j <= key_max
+    # (pad one column: there are m slots but m+1 output words; the pad is
+    # always masked since key_max <= m - 1 + ... bounded by real words)
+    s_hi = jnp.concatenate([s_hi, z1], axis=1)
+    hi_cum = s_hi[:, : m + 1]
+    hi_prev = jnp.concatenate([z1, hi_cum[:, : m]], axis=1)
+    hi_vals = jnp.where(idx <= key_max, hi_cum - hi_prev, 0)
 
-    words = seg_accumulate(words, hi, w, 0)
-    words = seg_accumulate(words, lo, w + 1, 1)
-    return words[:, : m + 1]
+    # lo: word j+1 = s_lo[j] - s_lo[j-1], valid for 1 <= j+1 <= key_max+1
+    lo_cum = jnp.concatenate([z1, s_lo[:, : m]], axis=1)
+    lo_prev = jnp.concatenate([z1, lo_cum[:, : m]], axis=1)
+    lo_vals = jnp.where((idx >= 1) & (idx <= key_max + 1), lo_cum - lo_prev, 0)
+
+    return hi_vals + lo_vals
 
 
 def word_counts(t, last_gran):
