@@ -80,3 +80,39 @@ def test_bad_usage(tmp_path):
     r = run_cli(["dexta", "missing.fasta"], tmp_path)
     assert r.returncode == 1
     assert b"Cannot open" in r.stderr
+
+
+def test_dextract_o_stdout_and_named(tmp_path):
+    from conftest import make_bam
+    rng = np.random.default_rng(9)
+    bam, recs = make_bam(rng, n_reads=5, min_len=600, max_len=800)
+    (tmp_path / "m.subreads.bam").write_bytes(bam)
+
+    # bare -o: single stream to stdout
+    r = run_cli(["dextract", "-f", "-o", "-eln>=0", "m.subreads.bam"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count(b">") == 5
+    # bare -o with two streams is an error
+    r = run_cli(["dextract", "-f", "-q", "-o", "-eln>=0", "m.subreads.bam"], tmp_path)
+    assert r.returncode == 1
+    # -o<name>: named outputs
+    r = run_cli(["dextract", "-f", "-q", "-oOUT", "-eln>=0", "m.subreads.bam"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "OUT.fasta").exists()
+    assert (tmp_path / "OUT.quiva").exists()
+
+
+def test_undexqv_upper_flag(tmp_path):
+    from conftest import make_quiva
+    rng = np.random.default_rng(10)
+    quiva = make_quiva(rng, n_reads=4, min_len=10, max_len=80)
+    (tmp_path / "g.quiva").write_bytes(quiva)
+    r = run_cli(["dexqv", "-k", "g.quiva"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    r = run_cli(["undexqv", "-k", "-U", "g.dexqv"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    out = (tmp_path / "g.quiva").read_bytes()
+    # delTag lines (2nd of each 5) are uppercased
+    lines = out.split(b"\n")
+    tag_line = lines[2]
+    assert tag_line == tag_line.upper()
