@@ -116,3 +116,37 @@ def test_undexqv_upper_flag(tmp_path):
     lines = out.split(b"\n")
     tag_line = lines[2]
     assert tag_line == tag_line.upper()
+
+
+def test_dexar_cli_roundtrip(tmp_path):
+    # NB: SN headers truncate to snr*100 (dexar.c:159-163), so one roundtrip
+    # is not byte-identity for borderline floats (same in the C tools); the
+    # second roundtrip must be a fixpoint.
+    from conftest import make_arrow
+    rng = np.random.default_rng(13)
+    arrow = make_arrow(rng, n_reads=5, max_len=200)
+    (tmp_path / "g.arrow").write_bytes(arrow)
+    assert run_cli(["dexar", "-k", "g.arrow"], tmp_path).returncode == 0
+    assert run_cli(["undexar", "-k", "g.dexar"], tmp_path).returncode == 0
+    dec1 = (tmp_path / "g.arrow").read_bytes()
+    # sequences are loss-free; only header floats may shift once
+    assert [l for l in dec1.split(b"\n") if not l.startswith(b">")] == \
+        [l for l in arrow.split(b"\n") if not l.startswith(b">")]
+    assert run_cli(["dexar", "-k", "g.arrow"], tmp_path).returncode == 0
+    assert run_cli(["undexar", "-k", "g.dexar"], tmp_path).returncode == 0
+    assert (tmp_path / "g.arrow").read_bytes() == dec1
+
+
+def test_dex2db_file_list(tmp_path):
+    from conftest import make_bam
+    rng = np.random.default_rng(14)
+    for i, movie in enumerate((b"m_one", b"m_two")):
+        bam, _ = make_bam(rng, n_reads=3, min_len=300, max_len=600, movie=movie)
+        (tmp_path / f"in{i}.subreads.bam").write_bytes(bam)
+    (tmp_path / "files.txt").write_text("in0.subreads.bam\nin1.subreads.bam\n")
+    r = run_cli(["dex2DB", "-ffiles.txt", "-eln>=0", "LISTDB"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    from dextractor_tpu.db import open_db, read_stub
+    stub = read_stub(str(tmp_path / "LISTDB.db"))
+    assert stub.nfiles == 2
+    assert open_db(str(tmp_path / "LISTDB.db")).nreads == 6

@@ -275,3 +275,14 @@ def test_split_open_block_and_append_extends_partition(tmp_path):
     assert stub2.nblocks >= nb
     db = open_db(str(tmp_path / "TEST.db"))
     assert int(db.header["treads"][0]) == 16     # cutoff 0, all kept
+
+
+def test_block_slices():
+    from dextractor_tpu.db import parse_block_las_arg
+    lp = parse_block_las_arg("/x/RUN.@1-10.las")
+    # the reference keeps the char before '@' in the root (Root() strips
+    # only the suffix; *ppnt++='\0' cuts at the @): "/x/RUN.@1-4"
+    assert lp.next_slice(4) == "/x/RUN.@1-4"
+    assert lp.next_slice(4) == "/x/RUN.@5-8"
+    assert lp.next_slice(4) == "/x/RUN.@9-10"
+    assert lp.next_slice(4) is None

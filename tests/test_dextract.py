@@ -90,3 +90,60 @@ def test_dextract_arrow_requires_pw(tmp_path):
     finally:
         os.chdir(cwd)
     assert rc == 1
+
+
+def _bam_to_sam_text(recs, movie=b"m54238_180903_1"):
+    """Render the synthetic records as SAM text (tab-separated, typed tags)."""
+    lines = [b"@HD\tVN:1.5\tSO:unknown"]
+    for e in recs:
+        tags = [
+            b"qs:i:%d" % e["beg"], b"qe:i:%d" % e["end"],
+            b"rq:f:%g" % e["rq"], b"np:i:3",
+            b"sn:B:f," + b",".join(b"%g" % x for x in e["snr"]),
+            b"pw:B:C," + b",".join(b"%d" % x for x in e["pw"]),
+            b"dq:Z:" + e["qvs"][0], b"dt:Z:" + e["qvs"][1],
+            b"iq:Z:" + e["qvs"][2], b"mq:Z:" + e["qvs"][3],
+            b"sq:Z:" + e["qvs"][4],
+        ]
+        lines.append(b"\t".join([
+            e["qname"], b"4", b"*", b"0", b"255", b"*", b"*", b"0", b"0",
+            e["seq"], b"*"] + tags))
+    return b"\n".join(lines) + b"\n"
+
+
+def test_sam_text_reader(tmp_path):
+    rng = np.random.default_rng(11)
+    _, recs = make_bam(rng, n_reads=4, min_len=100, max_len=300)
+    sam = _bam_to_sam_text(recs)
+    p = tmp_path / "m.subreads.sam"
+    p.write_bytes(sam)
+    reader = SamReader(str(p))
+    assert not reader.is_bam
+    assert reader.header_status() == (HASQV | HASPW)
+    got = list(reader)
+    assert len(got) == 4
+    for r, e in zip(got, recs):
+        assert r.seq == e["seq"]
+        assert r.well == e["well"]
+        assert abs(r.qual - e["rq"]) < 1e-4
+        assert [bytes(q) for q in r.qv] == e["qvs"]
+        expect_pw = (np.minimum(np.maximum(e["pw"].astype(np.int64), 1), 4)
+                     + ord("0")).astype(np.uint8)
+        assert r.arr == expect_pw.tobytes()
+
+
+def test_dextract_sam_matches_bam(tmp_path):
+    rng = np.random.default_rng(12)
+    bam, recs = make_bam(rng, n_reads=5, min_len=600, max_len=800)
+    (tmp_path / "a.subreads.bam").write_bytes(bam)
+    (tmp_path / "b.subreads.sam").write_bytes(_bam_to_sam_text(recs))
+    import os
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert dextract_main(["-f", "-q", "-eln>=0", "a.subreads.bam"]) == 0
+        assert dextract_main(["-f", "-q", "-eln>=0", "b.subreads.sam"]) == 0
+    finally:
+        os.chdir(cwd)
+    assert (tmp_path / "a.fasta").read_bytes() == (tmp_path / "b.fasta").read_bytes()
+    assert (tmp_path / "a.quiva").read_bytes() == (tmp_path / "b.quiva").read_bytes()
