@@ -179,6 +179,17 @@ def qv_run_hist_step(data, lengths, rchar):
     return hist + t_hist
 
 
+@jax.jit
+def qv_subchar_prefix_step(sub_rows, lengths, upto_entry):
+    """Partial substitution histogram over entries [0, upto_entry] of a
+    shard — the slice the subChar mode is chosen from (QV.c:1006-1017)."""
+    n, l = sub_rows.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, l), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    w = (row <= upto_entry) & (col < lengths[:, None])
+    return _histogram256(sub_rows, w)
+
+
 # ---------------------------------------------------------------------------
 # sharded wrappers (phase A reduction + phase B parallel encode)
 # ---------------------------------------------------------------------------
@@ -204,6 +215,78 @@ def sharded_qv_scan(mesh):
         step, mesh=mesh,
         in_specs=(P(None, DATA_AXIS, None), P(DATA_AXIS)),
         out_specs=(P(), P(), P(), P(), P()))
+
+
+def sharded_run_hist(mesh):
+    """shard_map'd Histogram_Runs with per-shard masked lengths + psum."""
+    def step(data, lengths, rchar):
+        h = qv_run_hist_step(data, lengths, rchar)
+        return jax.lax.psum(h, DATA_AXIS)
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P()),
+        out_specs=P())
+
+
+def sharded_hist_masked(mesh):
+    """shard_map'd masked histogram + psum (for the subChar prefix)."""
+    def step(data, lengths):
+        n, l = data.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+        return jax.lax.psum(_histogram256(data, col < lengths[:, None]),
+                            DATA_AXIS)
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=P())
+
+
+def sharded_scan_to_stats(mesh, streams, lengths):
+    """Full phase-A scan over a sharded batch, reproducing the sequential
+    QVcoding_Scan semantics exactly (QV.c:922-1023): global histograms via
+    psum, file-order delChar election, the subChar chosen from the prefix
+    up to the 100k-char crossing entry, and run histograms from the
+    discovery entries onward.  Returns a codecs.qv_codec.QVStats.
+    """
+    from ..codecs.qv_codec import QVStats
+
+    n = int(lengths.shape[0])
+    nsh = mesh.devices.size
+    per_shard = n // nsh
+
+    hists, tot, winner, gentry, dchar = sharded_qv_scan(mesh)(streams, lengths)
+    hists = np.asarray(hists).astype(np.int64)
+    del_char = int(dchar)
+    lengths_np = np.asarray(lengths).astype(np.int64)
+    entry_idx = np.arange(n)
+
+    del_run = np.ones(256, np.int64)
+    if del_char >= 0:
+        r0 = int(winner) * per_shard + int(gentry)
+        masked = jnp.asarray(np.where(entry_idx >= r0, lengths_np, 0)
+                             .astype(np.int32))
+        del_run += np.asarray(sharded_run_hist(mesh)(
+            streams[0], masked, jnp.int32(del_char))).astype(np.int64)
+
+    sub_run = np.ones(256, np.int64)
+    sub_char = -1
+    total = int(tot)
+    cum = np.cumsum(lengths_np)
+    if total >= 100000:
+        r1 = int(np.searchsorted(cum, 100000, "left"))
+        masked = jnp.asarray(np.where(entry_idx <= r1, lengths_np, 0)
+                             .astype(np.int32))
+        part = np.asarray(sharded_hist_masked(mesh)(streams[4], masked))
+        sub_char = int(np.argmax(part))
+        masked2 = jnp.asarray(np.where(entry_idx >= r1, lengths_np, 0)
+                              .astype(np.int32))
+        sub_run += np.asarray(sharded_run_hist(mesh)(
+            streams[4], masked2, jnp.int32(sub_char))).astype(np.int64)
+
+    return QVStats(hists[0], hists[1], hists[2], hists[3], del_run, sub_run,
+                   del_char, sub_char, total)
 
 
 def sharded_qv_encode(mesh):

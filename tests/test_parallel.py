@@ -116,3 +116,37 @@ def test_profiling_reporter():
     r.report(buf)
     assert "pack" in buf.getvalue()
     assert r.stages["pack"].calls == 2
+
+
+def test_sharded_scan_to_stats_exact():
+    """The fully sharded phase-A scan must reproduce the sequential scan's
+    QVStats exactly — including delChar/subChar discovery entries and run
+    histograms (one 256-entry difference would change the stream format)."""
+    from dextractor_tpu.parallel.pipeline import sharded_scan_to_stats
+
+    rng = np.random.default_rng(7)
+    # enough chars to cross both the 100k subChar threshold and, with
+    # sub_heavy, the 50% modal test
+    quiva = make_quiva(rng, n_reads=64, min_len=1800, max_len=2200,
+                       sub_heavy=True)
+    q, streams, lengths = _prep(quiva, n_pad_to=64)
+    host_stats = scan_quiva(q)
+
+    mesh = make_mesh(8)
+    stats = sharded_scan_to_stats(mesh, jnp.asarray(streams),
+                                  jnp.asarray(lengths.astype(np.int32)))
+    np.testing.assert_array_equal(stats.del_hist, host_stats.del_hist)
+    np.testing.assert_array_equal(stats.ins_hist, host_stats.ins_hist)
+    np.testing.assert_array_equal(stats.mrg_hist, host_stats.mrg_hist)
+    np.testing.assert_array_equal(stats.sub_hist, host_stats.sub_hist)
+    np.testing.assert_array_equal(stats.del_run, host_stats.del_run)
+    np.testing.assert_array_equal(stats.sub_run, host_stats.sub_run)
+    assert stats.del_char == host_stats.del_char
+    assert stats.sub_char == host_stats.sub_char
+    assert stats.tot_char == host_stats.tot_char
+
+    # and the codings built from them are identical byte-for-byte
+    from dextractor_tpu.formats.dexqv import qvcoding_bytes
+    a = create_qvcoding(host_stats, q.prefix, False)
+    b = create_qvcoding(stats, q.prefix, False)
+    assert qvcoding_bytes(a) == qvcoding_bytes(b)
