@@ -167,3 +167,43 @@ def test_dexqv_golden_large_type2_runscheme(ref_tools, tmp_path):
     ref_dexqv = (tmp_path / "g.dexqv").read_bytes()
     assert encode_quiva_to_dexqv(quiva, device=True) == ref_dexqv
     assert decode_dexqv_to_quiva(ref_dexqv) == quiva
+
+
+def test_legacy_dexqv_no_container_key(ref_tools, tmp_path):
+    """Legacy .dexqv files lack the 0x55aa container key and use uint16
+    entry fields (undexqv.c:103-110, 155-180)."""
+    import struct
+    from dextractor_tpu.formats.quiva import parse_quiva
+    from dextractor_tpu.formats import dexqv as dq
+    from dextractor_tpu.codecs.qv_codec import (
+        scan_quiva, create_qvcoding, encode_entry, DEL, TAG, INS, MRG, SUB)
+
+    rng = np.random.default_rng(606)
+    quiva = make_quiva(rng, n_reads=6, min_len=1, max_len=150)
+    q = parse_quiva(quiva)
+    coding = create_qvcoding(scan_quiva(q), q.prefix, False)
+
+    out = bytearray()
+    out += dq.qvcoding_bytes(coding)          # no container key
+    off = np.zeros(q.n_entries + 1, np.int64)
+    np.cumsum(q.lengths, out=off[1:])
+    lwell = 0
+    for i in range(q.n_entries):
+        s, e = off[i], off[i + 1]
+        d = int(q.wells[i]) - lwell
+        while d >= 255:
+            out.append(0xFF)
+            d -= 255
+        out.append(d)
+        lwell = int(q.wells[i])
+        out += struct.pack("<HHH", int(q.begs[i]), int(q.ends[i]), int(q.qvs[i]))
+        out += encode_entry(coding, q.streams[DEL, s:e], q.streams[TAG, s:e],
+                            q.streams[INS, s:e], q.streams[MRG, s:e],
+                            q.streams[SUB, s:e], False)
+
+    (tmp_path / "g.dexqv").write_bytes(bytes(out))
+    run_ref(ref_tools, "undexqv", ["-k", "g.dexqv"], tmp_path)
+    ref_quiva = (tmp_path / "g.quiva").read_bytes()
+    assert decode_dexqv_to_quiva(bytes(out)) == ref_quiva
+    # native and python walkers agree on legacy too
+    assert decode_dexqv_to_quiva(bytes(out), native=False) == ref_quiva
