@@ -64,16 +64,43 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
     Returns (words (4, N, M+1) u32, raw (4, N), out (4, N), dup, zext,
              packed_tags (N, L//4) u8, tag_clens (N,)).
     """
-    data = jnp.stack([streams[0], streams[2], streams[3], streams[4]])
+    # del/sub may be RLE: run machinery over (N, 2L+1) slots; ins/mrg are
+    # always plain: half the slots and no run scan
+    rdata = jnp.stack([streams[0], streams[4]])
+    pdata = jnp.stack([streams[2], streams[3]])
 
-    def one(d, sl, rl, rc):
+    def one_run(d, sl, rl, rc):
         v, n, t, lg = bj.run_emissions(d, lengths, rc, sl, rl)
         words = bj.pack_words(v, n)
         raw, out, dup, zext = bj.word_counts(t, lg)
         return words, raw, out, dup, zext
 
-    words, raw, out, dup, zext = jax.vmap(one, in_axes=(0, 0, 0, 0))(
-        data, sym_luts, run_luts, rchars)
+    def one_plain(d, sl):
+        v, n, t, lg = bj.plain_emissions(d, lengths, sl)
+        words = bj.pack_words(v, n)
+        raw, out, dup, zext = bj.word_counts(t, lg)
+        return words, raw, out, dup, zext
+
+    r_words, r_raw, r_out, r_dup, r_zext = jax.vmap(
+        one_run, in_axes=(0, 0, 0, 0))(
+        rdata, sym_luts[jnp.array([0, 3])], run_luts[jnp.array([0, 3])],
+        rchars[jnp.array([0, 3])])
+    p_words, p_raw, p_out, p_dup, p_zext = jax.vmap(
+        one_plain, in_axes=(0, 0))(pdata, sym_luts[jnp.array([1, 2])])
+
+    # channel order del, ins, mrg, sub; plain word rects are narrower —
+    # pad so the stacked output keeps one shape
+    pad = r_words.shape[2] - p_words.shape[2]
+    p_words = jnp.pad(p_words, ((0, 0), (0, 0), (0, pad)))
+    words = jnp.stack([r_words[0], p_words[0], p_words[1], r_words[1]])
+
+    def mix(a, b):
+        return jnp.stack([a[0], b[0], b[1], a[1]])
+
+    raw = mix(r_raw, p_raw)
+    out = mix(r_out, p_out)
+    dup = mix(r_dup, p_dup)
+    zext = mix(r_zext, p_zext)
 
     packed, clens = _pack_tags(streams[1], streams[0], lengths, rchars[0], number_lut)
     return words, raw, out, dup, zext, packed, clens
