@@ -278,6 +278,33 @@ def _encode_entries_native(q: qv.QuivaFile, coding: dq.QVCoding, lossy: bool):
     return dq.assemble_dexqv(coding, q.wells, q.begs, q.ends, q.qvs, parts)
 
 
+def assemble_from_step(step_out, coding: dq.QVCoding, wells, begs, ends,
+                       qvs, n: int) -> bytes:
+    """Build the .dexqv container from qv_encode_step outputs.
+
+    ``step_out`` = (words (4,N,M+1), raw, out, dup, zext, packed_tags,
+    tag_clens) — single-device or gathered from a sharded run; rows beyond
+    ``n`` are shape padding.
+    """
+    from ..ops import bitstream_jax as bj
+    from ..formats.ragged import rows_to_flat
+
+    words, raw, out, dup, zext, packed, clens = (np.asarray(x) for x in step_out)
+    flats = []
+    lens = []
+    for c in range(4):
+        f, w = bj.finalize_rows(words[c], raw[c], out[c], dup[c], zext[c])
+        flats.append(f.view(np.uint8))
+        lens.append(4 * w[:n])
+    tag_lens = ((clens.astype(np.int64) + 3) >> 2)
+    tag_flat = rows_to_flat(packed, tag_lens)
+    parts = [
+        (flats[0], lens[0]), (tag_flat, tag_lens[:n]),
+        (flats[1], lens[1]), (flats[2], lens[2]), (flats[3], lens[3]),
+    ]
+    return dq.assemble_dexqv(coding, wells, begs, ends, qvs, parts)
+
+
 # ---------------------------------------------------------------------------
 # batched TPU encode path
 # ---------------------------------------------------------------------------

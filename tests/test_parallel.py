@@ -150,3 +150,33 @@ def test_sharded_scan_to_stats_exact():
     a = create_qvcoding(host_stats, q.prefix, False)
     b = create_qvcoding(stats, q.prefix, False)
     assert qvcoding_bytes(a) == qvcoding_bytes(b)
+
+
+def test_sharded_encode_produces_identical_container(ref_tools, tmp_path):
+    """Distributed phase A + phase B + host assembly == the C encoder's file."""
+    from conftest import run_ref
+    from dextractor_tpu.parallel.pipeline import sharded_scan_to_stats
+    from dextractor_tpu.codecs.qv_codec import assemble_from_step
+    from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT
+
+    rng = np.random.default_rng(8)
+    quiva = make_quiva(rng, n_reads=24, min_len=200, max_len=600)
+    (tmp_path / "g.quiva").write_bytes(quiva)
+    run_ref(ref_tools, "dexqv", ["-k", "g.quiva"], tmp_path)
+    ref_dexqv = (tmp_path / "g.dexqv").read_bytes()
+
+    q, streams, lengths = _prep(quiva, n_pad_to=24)
+    mesh = make_mesh(8)
+    streams_d = jnp.asarray(streams)
+    lengths_d = jnp.asarray(lengths.astype(np.int32))
+
+    stats = sharded_scan_to_stats(mesh, streams_d, lengths_d)
+    coding = create_qvcoding(stats, q.prefix, False)
+    sym, run, rchars = _luts(coding)
+
+    out = sharded_qv_encode(mesh)(
+        streams_d, lengths_d, jnp.asarray(sym), jnp.asarray(run),
+        jnp.asarray(rchars), jnp.asarray(NUMBER_BASE_LUT))
+    ours = assemble_from_step(out, coding, q.wells, q.begs, q.ends, q.qvs,
+                              q.n_entries)
+    assert ours == ref_dexqv
