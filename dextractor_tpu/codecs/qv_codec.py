@@ -20,7 +20,6 @@ import numpy as np
 from ..utils.errors import FormatError
 from ..formats import quiva as qv
 from ..formats import dexqv as dq
-from ..formats.dexta import _read_key  # container endian handling
 from ..ops import twobit as tb
 from ..ops import bitstream as bs
 from ..ops.huffman import make_scheme

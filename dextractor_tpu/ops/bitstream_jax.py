@@ -25,8 +25,6 @@ so each symbol costs one gather (see ``scheme_luts``).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

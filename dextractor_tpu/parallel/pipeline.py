@@ -24,12 +24,10 @@ The single-device ``qv_encode_step`` is also the compile-check entry point
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..ops import bitstream_jax as bj
