@@ -164,6 +164,25 @@ class DazzDB:
             return tb.ARROW_LETTER_LUT[codes].tobytes()
         return codes
 
+    def load_all_arrows(self, ascii_mode: bool = False):
+        """Load_All_Arrows (DB.c:1570-1632), batched: all pulse streams.
+
+        Returns (symbols (N, Lpad) u8, lengths)."""
+        from ..formats.ragged import pad_rows
+
+        rlens = self.reads["rlen"].astype(np.int64)
+        clens = (rlens + 3) >> 2
+        offs = (self._aoff if self._aoff is not None
+                else self.reads["boff"].astype(np.int64))
+        with open(self.path + ".arw", "rb") as f:
+            flat = np.frombuffer(f.read(), np.uint8)
+        payload = flat_gather_lens(flat, offs, clens)
+        rows = pad_rows(payload, clens, align=128)
+        codes = tb.unpack_2bit_np(rows)
+        if ascii_mode:
+            return tb.ARROW_LETTER_LUT[codes], rlens
+        return codes, rlens
+
     def snrs(self) -> np.ndarray:
         """Per-read 4xSNR (value*100 as uint16) from the coff field."""
         return model.unpack_snr_coff(self.reads["coff"])

@@ -286,3 +286,15 @@ def test_block_slices():
     assert lp.next_slice(4) == "/x/RUN.@5-8"
     assert lp.next_slice(4) == "/x/RUN.@9-10"
     assert lp.next_slice(4) is None
+
+
+def test_load_all_arrows_batch(tmp_path):
+    rc, recs = _build_db(tmp_path, n_reads=6, arrow=True, seed=40)
+    assert rc == 0
+    from dextractor_tpu.db import open_db
+    db = open_db(str(tmp_path / "TEST.db"))
+    db.open_arrow()
+    sym, lens = db.load_all_arrows(ascii_mode=True)
+    for i, e in enumerate(recs):
+        expect = (np.clip(e["pw"].astype(np.int64), 1, 4) + ord("0")).astype(np.uint8)
+        np.testing.assert_array_equal(sym[i, : lens[i]], expect)
