@@ -503,6 +503,8 @@ def decode_dexqv_to_quiva(data: bytes, upper: bool = False,
                           native: bool = True) -> bytes:
     import struct as _struct
 
+    if len(data) < 2:
+        raise FormatError("not a .dexqv file (empty or truncated)")
     mv = memoryview(data)
     (key,) = _struct.unpack_from("<H", mv, 0)
     off = 2 if key in (dq.CONTAINER_KEY, 0xAA55) else 0   # legacy: no container key

@@ -121,6 +121,8 @@ class DextaFile:
 
 
 def _read_key(mv: memoryview, arrow: bool):
+    if len(mv) < 6:
+        raise FormatError("truncated container (header)")
     (key,) = struct.unpack_from("<H", mv, 0)
     if key == KEY_NEW:
         return False, True
