@@ -195,6 +195,31 @@ def run_emissions(data, lengths, rchar, sym_luts, run_luts):
     return v, n, t, last_gran
 
 
+def compact_monotone(vals: tuple, keep):
+    """Stable left-compaction of flagged elements via log2(M) shifts.
+
+    Destinations are the ranks of the kept elements, so the displacement
+    ``d = position - rank`` is monotone non-decreasing along the row; moving
+    every element whose remaining displacement has bit b set by 2^b, LSB to
+    MSB, routes all kept elements without collisions (overwrites only hit
+    dropped slots).  ~10x cheaper than a sort on TPU.
+    """
+    n_rows, m = keep.shape
+    ranks = jnp.cumsum(keep, axis=1) - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, m), 1)
+    d = jnp.where(keep, col - ranks, 0)
+    bits = max(m - 1, 1).bit_length()
+    for b in range(bits):
+        step = 1 << b
+        move_src = jnp.roll((d >> b) & 1, -step, axis=1) == 1
+        zero_tail = jax.lax.broadcasted_iota(jnp.int32, (n_rows, m), 1) < m - step
+        move_src = move_src & zero_tail
+        vals = tuple(jnp.where(move_src, jnp.roll(x, -step, axis=1), x)
+                     for x in vals)
+        d = jnp.where(move_src, jnp.roll(d, -step, axis=1) - step, d)
+    return vals
+
+
 def pack_words(v, n):
     """Assemble emissions (N, M) into per-row u32 word rectangles (N, M+1).
 
@@ -206,10 +231,11 @@ def pack_words(v, n):
       (every emission is <= 32 bits), so contributions to one word are a
       contiguous slot range;
     - running sums over slots (u32, wraparound-safe) turn each word's value
-      into a difference of two cumsum samples;
-    - one scatter-set per *word* (the last slot of each word writes the
-      cumsum sample) plus an adjacent-difference recovers all words —
-      ~10-30x fewer scatter updates than per-emission.
+      into a difference of two cumsum samples at word boundaries;
+    - the boundary samples move to their word indexes by shift-network
+      compaction (their destinations are their ranks); the lo contributions
+      of word j+1 end at the same boundary slot, so one compaction carries
+      both cumsum planes.
     """
     n_rows, m = v.shape
     off = _excl_cumsum(n, axis=1)
@@ -224,20 +250,12 @@ def pack_words(v, n):
                    v << jnp.clip(64 - pn, 0, 31).astype(jnp.uint32))
     hi = jnp.where(n > 0, hi, 0)
 
-    # Word indices w are monotone/no-skip along slots, so each word's bits
-    # are a contiguous slot range and its value is a difference of two
-    # running-sum samples.  The last slot of word j has rank j among all
-    # last slots — a key sort IS the compaction (no scatter).  The lo
-    # contributions of word j+1 end at the *same* last slot, so one sort
-    # carries both cumsum planes.
     cs_hi = jnp.cumsum(hi.astype(jnp.uint32), axis=1)
     cs_lo = jnp.cumsum(lo.astype(jnp.uint32), axis=1)
     nxt = jnp.concatenate(
         [w[:, 1:], jnp.full((n_rows, 1), -1, w.dtype)], axis=1)
     last = w != nxt
-    skeys = jnp.where(last, w, jnp.int32(0x7FFFFFFF))
-    _, s_hi, s_lo = jax.lax.sort((skeys, cs_hi, cs_lo), dimension=1,
-                                 num_keys=1)
+    s_hi, s_lo = compact_monotone((cs_hi, cs_lo), last)
 
     key_max = jnp.max(jnp.where(n > 0, w, -1), axis=1, keepdims=True)
     idx = jax.lax.broadcasted_iota(jnp.int32, (n_rows, m + 1), 1)

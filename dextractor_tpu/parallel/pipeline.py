@@ -107,8 +107,8 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
 def _pack_tags(tag_rows, del_rows, lengths, del_char, number_lut):
     """Pack_Tag + Number_Read + Compress_Read, batched (QV.c:810-819).
 
-    Compaction of kept symbols to row starts is a key sort (destination
-    rank is monotone), not a scatter."""
+    Compaction of kept symbols to row starts via the shift network
+    (destinations are ranks)."""
     from ..ops.twobit import pack_2bit
 
     n, l = tag_rows.shape
@@ -116,9 +116,8 @@ def _pack_tags(tag_rows, del_rows, lengths, del_char, number_lut):
     valid = col < lengths[:, None]
     keep = jnp.where(del_char >= 0,
                      valid & (del_rows != del_char.astype(jnp.uint8)), valid)
-    skeys = jnp.where(keep, col, jnp.int32(0x7FFFFFFF))
     codes = number_lut[tag_rows].astype(jnp.int32)
-    _, svals = jax.lax.sort_key_val(skeys, codes, dimension=1)
+    (svals,) = bj.compact_monotone((codes,), keep)
     clens = keep.sum(axis=1)
     codes_c = jnp.where(col < clens[:, None], svals, 0).astype(jnp.uint8)
     return pack_2bit(codes_c, mask=False), clens
