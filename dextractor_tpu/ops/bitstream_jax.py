@@ -67,33 +67,11 @@ def _lut_gather(data, lut_i32):
     three bf16-exact byte planes (each < 256, so every product and the
     single-term sums are exact).  data (N, L) -> (N, L) i32.
     """
-    if not USE_MXU_GATHER:
+    if not USE_MXU_GATHER or jax.default_backend() == "cpu":
         return lut_i32[data.astype(jnp.int32)]
-    shape = data.shape
-    total = 1
-    for s in shape:
-        total *= s
-    chunk = 1 << 15
-    pad = (-total) % chunk
-    flat = data.reshape(-1).astype(jnp.int32)
-    if pad:
-        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
-    chunks = flat.reshape(-1, chunk)
-    planes = jnp.stack([lut_i32 & 0xFF, (lut_i32 >> 8) & 0xFF,
-                        (lut_i32 >> 16) & 0xFF], axis=1).astype(jnp.bfloat16)
-    sym = jax.lax.broadcasted_iota(jnp.int32, (1, 256), 1)
+    from .lut_pallas import lut_gather_pallas
 
-    def one(c):
-        oh = (c[:, None] == sym).astype(jnp.bfloat16)         # (chunk, 256)
-        out = jnp.dot(oh, planes, preferred_element_type=jnp.float32)
-        return (out[:, 0].astype(jnp.int32)
-                + (out[:, 1].astype(jnp.int32) << 8)
-                + (out[:, 2].astype(jnp.int32) << 16))
-
-    vals = jax.lax.map(one, chunks).reshape(-1)
-    if pad:
-        vals = vals[:total]
-    return vals.reshape(shape)
+    return lut_gather_pallas(data, lut_i32)
 
 
 def _sym_emissions(data, luts):
