@@ -1,14 +1,14 @@
-"""Pallas TPU kernel: 256-entry LUT lookup as an in-VMEM one-hot matmul.
+"""Pallas TPU kernel: 256-entry LUT lookup as an in-VMEM weighted reduce.
 
-The XLA formulation of the MXU gather (ops/bitstream_jax._lut_gather)
-materializes each chunk's one-hot matrix in HBM — a 256x traffic
-amplification that dominates the encode step.  This kernel builds the
-one-hot inside VMEM and contracts it on the MXU, so HBM sees only the
-input bytes and the output words.
+The XLA formulations either gather per element (~16 cycles each) or
+materialize one-hot matrices in HBM (256x traffic).  This kernel keeps the
+expansion entirely in VMEM: for a (R, 128) tile of symbols it evaluates
 
-Exactness: the LUT (int32, < 2^24) is split into three byte planes, each
-in [0, 255] and hence exact in bf16; every product is 0 or a plane value
-and each output row sums exactly one product, accumulated in f32.
+    out[r, l] = sum_s  (d[r, l] == s) ? lut[s] : 0
+
+as a lane-resident select + reduction over a broadcast 256-wide axis.
+Exactness: LUT values < 2^24 are exact in f32 and each output sums exactly
+one non-zero term.  HBM sees only the input bytes and the i32 outputs.
 """
 
 from __future__ import annotations
@@ -21,52 +21,48 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# rows per grid step; one-hot scratch is (BLOCK, 256) bf16 = 256 KB VMEM
-BLOCK = 512
+R = 16                      # tile rows; VMEM temp is (R, 128, 256) f32 = 2 MB
+LANES = 128
 
 
-def _kernel(data_ref, planes_ref, out_ref):
-    d = data_ref[:].astype(jnp.int32)                      # (BLOCK, 1)
-    sym = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 256), 1)
-    oh = (d == sym).astype(jnp.bfloat16)                   # in VMEM only
-    prod = jnp.dot(oh, planes_ref[:], preferred_element_type=jnp.float32)
-    out_ref[:] = prod
+def _kernel(data_ref, lut_ref, out_ref):
+    d = data_ref[:].astype(jnp.int32)                       # (R, LANES)
+    sym = jax.lax.broadcasted_iota(jnp.int32, (R, LANES, 256), 2)
+    lut = lut_ref[:].astype(jnp.float32)                    # (1, 256)
+    sel = jnp.where(d[:, :, None] == sym, lut[0][None, None, :], 0.0)
+    out_ref[:] = jnp.sum(sel, axis=2).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def lut_gather_pallas(data, lut_i32, interpret: bool = False):
-    """data (any shape, u8/i32) -> i32 LUT values, via the MXU in VMEM."""
+    """data (any shape, u8/i32) -> i32 LUT values (values < 2^24)."""
     shape = data.shape
     total = int(np.prod(shape))
-    pad = (-total) % BLOCK
+    tile = R * LANES
+    pad = (-total) % tile
     flat = data.reshape(-1).astype(jnp.int32)
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int32)])
-    flat = flat.reshape(-1, 1)
+    rows = flat.reshape(-1, LANES)
+    lut2 = lut_i32.reshape(1, 256)
 
-    planes = jnp.stack([lut_i32 & 0xFF, (lut_i32 >> 8) & 0xFF,
-                        (lut_i32 >> 16) & 0xFF], axis=1)
-    planes = jnp.pad(planes, ((0, 0), (0, 125))).astype(jnp.bfloat16)
-
-    n_blocks = flat.shape[0] // BLOCK
+    n_blocks = rows.shape[0] // R
     out = pl.pallas_call(
         _kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((R, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((256, 128), lambda i: (0, 0),
+            pl.BlockSpec((1, 256), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((R, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * BLOCK, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(rows.shape, jnp.int32),
         interpret=interpret,
-    )(flat, planes)
+    )(rows, lut2)
 
-    v = (out[:, 0].astype(jnp.int32)
-         + (out[:, 1].astype(jnp.int32) << 8)
-         + (out[:, 2].astype(jnp.int32) << 16))
+    v = out.reshape(-1)
     if pad:
         v = v[:total]
     return v.reshape(shape)
