@@ -21,16 +21,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-R = 16                      # tile rows; VMEM temp is (R, 128, 256) f32 = 2 MB
+R = 16                      # rows per sub-tile; VMEM temp (R, 128, 256) f32 = 2 MB
+SUB = 8                     # sub-tiles per grid step (amortizes grid overhead)
 LANES = 128
 
 
 def _kernel(data_ref, lut_ref, out_ref):
-    d = data_ref[:].astype(jnp.int32)                       # (R, LANES)
-    sym = jax.lax.broadcasted_iota(jnp.int32, (R, LANES, 256), 2)
     lut = lut_ref[:].astype(jnp.float32)                    # (1, 256)
-    sel = jnp.where(d[:, :, None] == sym, lut[0][None, None, :], 0.0)
-    out_ref[:] = jnp.sum(sel, axis=2).astype(jnp.int32)
+    sym = jax.lax.broadcasted_iota(jnp.int32, (R, LANES, 256), 2)
+    for t in range(SUB):
+        d = data_ref[t * R:(t + 1) * R, :].astype(jnp.int32)
+        sel = jnp.where(d[:, :, None] == sym, lut[0][None, None, :], 0.0)
+        out_ref[t * R:(t + 1) * R, :] = jnp.sum(sel, axis=2).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -38,7 +40,7 @@ def lut_gather_pallas(data, lut_i32, interpret: bool = False):
     """data (any shape, u8/i32) -> i32 LUT values (values < 2^24)."""
     shape = data.shape
     total = int(np.prod(shape))
-    tile = R * LANES
+    tile = R * SUB * LANES
     pad = (-total) % tile
     flat = data.reshape(-1).astype(jnp.int32)
     if pad:
@@ -46,17 +48,17 @@ def lut_gather_pallas(data, lut_i32, interpret: bool = False):
     rows = flat.reshape(-1, LANES)
     lut2 = lut_i32.reshape(1, 256)
 
-    n_blocks = rows.shape[0] // R
+    n_blocks = rows.shape[0] // (R * SUB)
     out = pl.pallas_call(
         _kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((R, LANES), lambda i: (i, 0),
+            pl.BlockSpec((R * SUB, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 256), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((R, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((R * SUB, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(rows.shape, jnp.int32),
         interpret=interpret,
