@@ -298,3 +298,12 @@ def test_load_all_arrows_batch(tmp_path):
     for i, e in enumerate(recs):
         expect = (np.clip(e["pw"].astype(np.int64), 1, 4) + ord("0")).astype(np.uint8)
         np.testing.assert_array_equal(sym[i, : lens[i]], expect)
+
+
+def test_fetch_block_range_out_of_range(tmp_path):
+    rc, _ = _build_db(tmp_path, n_reads=6, seed=50)
+    assert rc == 0
+    from dextractor_tpu.db.build import split_db
+    split_db(str(tmp_path / "TEST.db"), bsize=10**9)
+    assert fetch_block_range(str(tmp_path / "TEST.db"), False, 99) == (-1, -1)
+    assert fetch_block_range(str(tmp_path / "TEST.db"), True, -1) == (-1, -1)

@@ -207,3 +207,29 @@ def test_legacy_dexqv_no_container_key(ref_tools, tmp_path):
     assert decode_dexqv_to_quiva(bytes(out)) == ref_quiva
     # native and python walkers agree on legacy too
     assert decode_dexqv_to_quiva(bytes(out), native=False) == ref_quiva
+
+
+def test_dexqv_golden_well_jumps(ref_tools, tmp_path):
+    """Well deltas >= 255 take 0xff escape bytes in .dexqv entry headers."""
+    rng = np.random.default_rng(909)
+    from conftest import make_quiva
+    quiva = make_quiva(rng, n_reads=10, min_len=5, max_len=120)
+    # rewrite headers with jumping well numbers
+    lines = quiva.split(b"\n")
+    well = 0
+    out = []
+    for i, l in enumerate(lines):
+        if l.startswith(b"@"):
+            well += int(rng.integers(200, 700))
+            pre, rest = l.split(b"/", 1)
+            _, tail = rest.split(b"/", 1)
+            out.append(pre + b"/%d/" % well + tail)
+        else:
+            out.append(l)
+    quiva = b"\n".join(out)
+    (tmp_path / "g.quiva").write_bytes(quiva)
+    run_ref(ref_tools, "dexqv", ["-k", "g.quiva"], tmp_path)
+    ref = (tmp_path / "g.dexqv").read_bytes()
+    assert encode_quiva_to_dexqv(quiva, device=True) == ref
+    assert encode_quiva_to_dexqv(quiva, device=False) == ref
+    assert decode_dexqv_to_quiva(ref) == quiva
