@@ -174,10 +174,15 @@ def main() -> None:
     build = build_ref_tools()
     base_dt = float("nan")
     if build is not None:
-        t0 = time.perf_counter()
-        r = subprocess.run([str(build / "dexqv"), "-k", str(src)],
-                           capture_output=True)
-        base_dt = time.perf_counter() - t0 if r.returncode == 0 else float("nan")
+        times = []
+        for _ in range(3):                       # min-of-3: host timing noise
+            t0 = time.perf_counter()
+            r = subprocess.run([str(build / "dexqv"), "-k", str(src)],
+                               capture_output=True)
+            if r.returncode == 0:
+                times.append(time.perf_counter() - t0)
+        if times:
+            base_dt = min(times)
     base_gbps = payload_bytes / base_dt / 1e9 if base_dt == base_dt else None
     vs = (gbps / base_gbps) if base_gbps else None
 
