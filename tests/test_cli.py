@@ -150,3 +150,16 @@ def test_dex2db_file_list(tmp_path):
     stub = read_stub(str(tmp_path / "LISTDB.db"))
     assert stub.nfiles == 2
     assert open_db(str(tmp_path / "LISTDB.db")).nreads == 6
+
+
+def test_dexar_pipe_mode(tmp_path):
+    from conftest import make_arrow
+    rng = np.random.default_rng(21)
+    arrow = make_arrow(rng, n_reads=3, max_len=90)
+    r = run_cli(["dexar", "-i"], tmp_path, stdin=arrow)
+    assert r.returncode == 0, r.stderr
+    r2 = run_cli(["undexar", "-i"], tmp_path, stdin=r.stdout)
+    assert r2.returncode == 0, r2.stderr
+    # sequences loss-free through the pipe pair
+    assert [l for l in r2.stdout.split(b"\n") if not l.startswith(b">")] == \
+        [l for l in arrow.split(b"\n") if not l.startswith(b">")]
