@@ -100,3 +100,48 @@ def test_decode_run_batch_matches_oracle():
     for i, d in enumerate(datas):
         np.testing.assert_array_equal(out[i, : rlens[i]], d)
         assert words[i] * 4 == len(chunks[i]), i
+
+
+def test_decode_plain_batch_type2_escapes():
+    """Type-2 schemes: the lane must take the escape branch (code peek ->
+    8-bit literal peek) exactly like the oracle."""
+    rng = np.random.default_rng(9)
+    n = 9
+    # extreme skew forces >16-bit codes -> truncated scheme with escapes
+    datas, rlens = [], []
+    hist = np.zeros(256, np.int64)
+    hist[40] = 1 << 20
+    hist[41] = 1 << 18
+    for k in range(180):
+        hist[50 + (k % 200)] += 1
+    for i in range(n):
+        ln = int(rng.integers(30, 400))
+        d = np.full(ln, 40, np.uint8)
+        rare = rng.random(ln) < 0.3
+        d[rare] = (50 + rng.integers(0, 180, int(rare.sum()))).astype(np.uint8)
+        datas.append(d)
+        rlens.append(ln)
+    scheme = make_scheme(hist)
+    assert scheme.type == 2, "test requires a truncated scheme"
+
+    chunks, starts = [], []
+    pos = 0
+    for d in datas:
+        w = bs.encode_stream(scheme, d)
+        starts.append(pos)
+        chunks.append(w.tobytes())
+        pos += len(w) * 4
+    buf = np.frombuffer(b"".join(chunks) + b"\x00" * 8, np.uint8)
+
+    rlens = np.array(rlens, np.int32)
+    lookups, lens, types = _pack_tables([scheme])
+    out, bits, last = dj.decode_plain_batch(
+        jnp.asarray(buf), jnp.asarray(np.array(starts, np.int64)),
+        jnp.asarray(rlens), jnp.zeros(n, jnp.int32),
+        jnp.asarray(lookups), jnp.asarray(lens), jnp.asarray(types),
+        max_len=int(rlens.max()))
+    out = np.asarray(out)
+    words = dj.stream_word_counts(np.asarray(bits), np.asarray(last))
+    for i, d in enumerate(datas):
+        np.testing.assert_array_equal(out[i, : rlens[i]], d)
+        assert words[i] * 4 == len(chunks[i])
