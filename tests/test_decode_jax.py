@@ -110,15 +110,11 @@ def test_decode_plain_batch_type2_escapes():
     # extreme skew forces >16-bit codes -> truncated scheme with escapes
     datas, rlens = [], []
     hist = np.zeros(256, np.int64)
-    hist[40] = 1 << 20
-    hist[41] = 1 << 18
-    for k in range(180):
-        hist[50 + (k % 200)] += 1
+    for k in range(24):                    # exponential counts -> deep codes
+        hist[40 + k] = 1 << (24 - k)
     for i in range(n):
         ln = int(rng.integers(30, 400))
-        d = np.full(ln, 40, np.uint8)
-        rare = rng.random(ln) < 0.3
-        d[rare] = (50 + rng.integers(0, 180, int(rare.sum()))).astype(np.uint8)
+        d = (40 + rng.integers(0, 24, ln)).astype(np.uint8)
         datas.append(d)
         rlens.append(ln)
     scheme = make_scheme(hist)
