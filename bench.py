@@ -186,6 +186,17 @@ def main() -> None:
     base_gbps = payload_bytes / base_dt / 1e9 if base_dt == base_dt else None
     vs = (gbps / base_gbps) if base_gbps else None
 
+    # decode throughput via the native entry-chain walker (host side)
+    from dextractor_tpu.codecs.qv_codec import (
+        encode_quiva_to_dexqv, decode_dexqv_to_quiva)
+    enc = encode_quiva_to_dexqv(data, device=False)
+    decode_dexqv_to_quiva(enc)               # warm page/arena reuse
+    t0 = time.perf_counter()
+    dec = decode_dexqv_to_quiva(enc)
+    dec_dt = time.perf_counter() - t0
+    dec_ok = dec == data
+    dec_mbps = len(data) / dec_dt / 1e6
+
     print(json.dumps({
         "metric": "dexqv_encode_throughput",
         "value": round(gbps, 4),
@@ -197,6 +208,8 @@ def main() -> None:
             "step_s": round(dt, 4),
             "c_ref_s": round(base_dt, 3) if base_dt == base_dt else None,
             "c_ref_GBps": round(base_gbps, 4) if base_gbps else None,
+            "decode_native_MBps": round(dec_mbps, 1),
+            "decode_roundtrip_ok": bool(dec_ok),
             "note": "device-resident steady-state step; host link here is a "
                     "~10-40MB/s TCP relay, not production DMA",
         },

@@ -467,36 +467,51 @@ def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
     buf = np.frombuffer(data, np.uint8)
     size = len(buf)
     cap_entries = max(size // 13 + 2, 16)
-    cap_total = max(8 * size, 1 << 16)
-    for _ in range(6):
-        wells = np.zeros(cap_entries, np.int32)
-        begs = np.zeros(cap_entries, np.int32)
-        ends_ = np.zeros(cap_entries, np.int32)
-        qvs = np.zeros(cap_entries, np.int32)
-        eoffs = np.zeros(cap_entries, np.int64)
-        elens = np.zeros(cap_entries, np.int64)
-        out = np.empty(5 * cap_total, np.uint8)
+    wells = np.zeros(cap_entries, np.int32)
+    begs = np.zeros(cap_entries, np.int32)
+    ends_ = np.zeros(cap_entries, np.int32)
+    qvs = np.zeros(cap_entries, np.int32)
+    eoffs = np.zeros(cap_entries, np.int64)
+    elens = np.zeros(cap_entries, np.int64)
 
-        def ptr(a):
-            return a.ctypes.data_as(ctypes.c_void_p)
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
 
-        ne = lib.dxt_qv_walk(
-            ptr(buf), size, off, ptr(lookups), ptr(lens), ptr(types),
-            ptr(sid), coding.del_char, coding.sub_char, int(newv),
-            cap_entries, cap_total,
-            ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
-            ptr(elens), ptr(out), 1)
-        if ne == -3:
-            cap_total *= 4
-            continue
-        if ne < 0:
-            raise FormatError(f"corrupt .dexqv stream (native walker: {ne})")
-        ne = int(ne)
-        total = int(elens[:ne].sum())
-        streams = out.reshape(5, cap_total)[:, :total]
-        return (wells[:ne], begs[:ne], ends_[:ne], qvs[:ne],
-                elens[:ne], np.ascontiguousarray(streams))
-    raise FormatError("could not size .dexqv decode buffers")
+    # pass 1: lens-only walk (exact entry count + total chars); fresh
+    # large allocations fault pages very slowly on this class of host, so
+    # exact sizing + a reused grow-only buffer beats over-allocation
+    ne = lib.dxt_qv_walk(
+        ptr(buf), size, off, ptr(lookups), ptr(lens), ptr(types),
+        ptr(sid), coding.del_char, coding.sub_char, int(newv),
+        cap_entries, 1 << 62,
+        ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
+        ptr(elens), None, 0)
+    if ne < 0:
+        raise FormatError(f"corrupt .dexqv stream (native walker: {ne})")
+    ne = int(ne)
+    total = int(elens[:ne].sum())
+
+    global _WALK_BUF
+    if _WALK_BUF is None or _WALK_BUF.size < 5 * total:
+        _WALK_BUF = np.empty(max(5 * total, 1 << 20), np.uint8)
+    out = _WALK_BUF
+
+    ne2 = lib.dxt_qv_walk(
+        ptr(buf), size, off, ptr(lookups), ptr(lens), ptr(types),
+        ptr(sid), coding.del_char, coding.sub_char, int(newv),
+        ne, total,
+        ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
+        ptr(elens), ptr(out), 1)
+    if ne2 != ne:
+        raise FormatError(f"corrupt .dexqv stream (native walker: {ne2})")
+    # NB: a view into the shared grow-only buffer — valid until the next
+    # native walk; decode_dexqv_to_quiva consumes it immediately
+    streams = out[: 5 * total].reshape(5, total)
+    return (wells[:ne], begs[:ne], ends_[:ne], qvs[:ne],
+            elens[:ne], streams)
+
+
+_WALK_BUF = None
 
 
 def decode_dexqv_to_quiva(data: bytes, upper: bool = False,
