@@ -103,7 +103,10 @@ def _cell_from_bax(core, full, expr, want_qv, want_arrow) -> CellData:
     seq_parts, lengths = [], []
     qv_parts = [[] for _ in range(5)]
     pulse_parts, snrs = [], []
+    # the comparison value is case-shifted like the tag (dex2DB.c:529-534)
     d = b.del_limit
+    if 65 <= d <= 90:
+        d += 32
     for s in b.subreads():
         fields = {"zm": [s.well], "ln": [s.lpulse - s.fpulse],
                   "rq": [s.qv], "qs": [s.fpulse]}

@@ -113,11 +113,13 @@ def _extract_bax(path: str, expr, want_fas, want_arr, want_qvs):
             import numpy as np
             delqv = b.del_qv[roff:roff + length]
             deltag = b.del_tag[roff:roff + length].tobytes().lower()
+            # the comparison value is case-shifted like the tag
+            # (dextract.c:95-101)
             d = b.del_limit
             if 65 <= d <= 90:
                 d += ex.LOWER_OFFSET
             deltag = np.frombuffer(deltag, np.uint8).copy()
-            deltag[delqv == b.del_limit] = ord("n")
+            deltag[delqv == d] = ord("n")
             qvs.append(ex.quiva_entry(
                 b.movie_name, s.well, s.fpulse, s.lpulse, s.qv,
                 [ex.phred33(delqv).tobytes(), deltag.tobytes(),
