@@ -141,3 +141,48 @@ def test_decode_plain_batch_type2_escapes():
     for i, d in enumerate(datas):
         np.testing.assert_array_equal(out[i, : rlens[i]], d)
         assert words[i] * 4 == len(chunks[i])
+
+
+def test_decode_run_batch_long_runs():
+    """Runs >= 255 take the 255 escape + 16-bit length literal in the
+    batched lane decoder."""
+    rng = np.random.default_rng(11)
+    rchar = 70
+    n = 5
+    datas, rlens = [], []
+    for i in range(n):
+        ln = 1200
+        d = np.full(ln, rchar, np.uint8)
+        d[0] = 33
+        d[600] = 34          # one 599-run and one 599-run tail
+        datas.append(d)
+        rlens.append(ln)
+    flat = np.concatenate(datas)
+    nhist = np.bincount(flat[flat != rchar], minlength=256).astype(np.int64)
+    rhist = np.ones(256, np.int64)
+    for d in datas:
+        runlens, _, _ = bs.tokenize_runs(d, rchar)
+        rhist += np.bincount(np.minimum(runlens, 255), minlength=256)
+    neme, reme = make_scheme(nhist), make_scheme(rhist)
+
+    chunks, starts = [], []
+    pos = 0
+    for d in datas:
+        w = bs.encode_run_stream(neme, reme, d, rchar)
+        starts.append(pos)
+        chunks.append(w.tobytes())
+        pos += len(w) * 4
+    buf = np.frombuffer(b"".join(chunks) + b"\x00" * 8, np.uint8)
+
+    rlens = np.array(rlens, np.int32)
+    lookups, lens, types = _pack_tables([neme, reme])
+    runs, lits, emitted, bits, last = dj.decode_run_batch(
+        jnp.asarray(buf), jnp.asarray(np.array(starts, np.int64)),
+        jnp.asarray(rlens), jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32),
+        jnp.asarray(lookups), jnp.asarray(lens), jnp.asarray(types),
+        max_tokens=16)
+    out = dj.expand_runs_np(np.asarray(runs), np.asarray(lits), rlens, rchar)
+    words = dj.stream_word_counts(np.asarray(bits), np.asarray(last))
+    for i, d in enumerate(datas):
+        np.testing.assert_array_equal(out[i, : rlens[i]], d)
+        assert words[i] * 4 == len(chunks[i])
