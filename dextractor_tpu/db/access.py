@@ -20,7 +20,7 @@ from ..ops import twobit as tb
 from ..formats.ragged import flat_gather_lens
 from ..formats import dexqv as dq
 from . import model, stub as stub_mod
-from .build import PATHSEP
+from .build import binary_base
 
 
 @dataclass
@@ -419,9 +419,7 @@ def open_db(path: str) -> DazzDB:
     # absolutize so later lazy file access survives cwd changes
     stub_path = os.path.abspath(stub_path)
     pwd = os.path.dirname(stub_path)
-    hidden = catenate(pwd, "/.", root, "")
-    plain = catenate(pwd, PATHSEP, root, "")
-    base = hidden if os.path.exists(hidden + ".idx") else plain
+    base = binary_base(pwd, root)
 
     with open(base + ".idx", "rb") as f:
         header = np.frombuffer(f.read(model.DB_DTYPE.itemsize),

@@ -28,7 +28,22 @@ from ..codecs import qv_codec as qc
 from ..formats import dexqv as dq
 from . import model, stub as stub_mod
 
-PATHSEP = "/"                      # reference default build: HIDE_FILES unset
+# The reference's default build defines HIDE_FILES (DB.h:22), so every binary
+# DB file is written hidden: .NAME.idx/.bps/.qvs/.arw (DB.c:26, dex2DB.c:38).
+PATHSEP = "/."
+
+
+def binary_base(pwd: str, root: str) -> str:
+    """Resolve the binary-file prefix of an existing DB: hidden ``/.root``
+    (the reference default) wins, with a fallback to plain ``/root`` for DBs
+    built by a non-HIDE_FILES reference build.  New DBs are always hidden."""
+    from ..utils.paths import catenate
+
+    hidden = catenate(pwd, "/.", root, "")
+    plain = catenate(pwd, "/", root, "")
+    if not os.path.exists(hidden + ".idx") and os.path.exists(plain + ".idx"):
+        return plain
+    return hidden
 
 
 @dataclass
@@ -59,7 +74,7 @@ def split_db(path: str, bsize: int, cutoff: int = 0, keep_all: bool = True) -> i
     root = rootof(path, ".db")
     stub_path = catenate(pwd, "/", root, ".db")
     stub = stub_mod.read_stub(stub_path)
-    idx_path = catenate(pwd, PATHSEP, root, ".idx")
+    idx_path = binary_base(pwd, root) + ".idx"
     with open(idx_path, "rb") as f:
         raw = f.read()
     header = np.frombuffer(raw[: model.DB_DTYPE.itemsize], model.DB_DTYPE).copy()
@@ -111,7 +126,8 @@ class DBBuilder:
         self.dbname = catenate(self.pwd, "/", self.root, ".db")
         self.lossy = lossy
         self.verbose = verbose
-        self._p = lambda suf: catenate(self.pwd, PATHSEP, self.root, suf)
+        base = binary_base(self.pwd, self.root)
+        self._p = lambda suf: base + suf
 
         self.exists = os.path.exists(self.dbname)
         self.created = []           # files created by this run (unlink on error)

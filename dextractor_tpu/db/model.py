@@ -8,9 +8,9 @@ that layout exactly; pointers and padding are written as zeros and ignored
 on read.
 
 Flags word: low 10 bits = read quality (DB_QV), plus DB_CCS / DB_BEST
-(DB.h:276-278).  The stub's PATHSEP is "/" in the reference's default build
-(HIDE_FILES unset, DB.h:21-24); hidden-file DBs ("/." prefix) are accepted
-on read.
+(DB.h:276-278).  The reference's default build defines HIDE_FILES (DB.h:22)
+so PATHSEP is "/." and all binary DB files are hidden dot-files
+(DB.c:25-29); plain-named DBs (a non-HIDE_FILES build) are accepted on read.
 """
 
 from __future__ import annotations

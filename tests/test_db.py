@@ -42,9 +42,13 @@ def test_struct_layouts():
 def test_build_and_open_seq_db(tmp_path):
     rc, recs = _build_db(tmp_path, n_reads=10)
     assert rc == 0
+    # the reference's default build defines HIDE_FILES (DB.h:22), so the
+    # stub is plain but every binary file is a hidden dot-file (DB.c:26)
     assert (tmp_path / "TEST.db").exists()
-    assert (tmp_path / "TEST.idx").exists()
-    assert (tmp_path / "TEST.bps").exists()
+    assert (tmp_path / ".TEST.idx").exists()
+    assert (tmp_path / ".TEST.bps").exists()
+    assert not (tmp_path / "TEST.idx").exists()
+    assert not (tmp_path / "TEST.bps").exists()
 
     db = open_db(str(tmp_path / "TEST.db"))
     assert db.nreads == 10
@@ -147,6 +151,35 @@ def test_append_and_type_enforcement(tmp_path):
         assert open_db("TEST.db").nreads == 9
     finally:
         os.chdir(cwd)
+
+
+def test_legacy_plain_file_db_read_and_append(tmp_path):
+    """A DB whose binaries are plain-named (non-HIDE_FILES reference build)
+    must still open, and appends must keep writing the plain family rather
+    than splitting it across two naming schemes."""
+    rc, recs = _build_db(tmp_path, n_reads=5, seed=11)
+    assert rc == 0
+    for fn in os.listdir(tmp_path):
+        if fn.startswith(".TEST."):
+            os.rename(tmp_path / fn, tmp_path / fn[1:])
+    db = open_db(str(tmp_path / "TEST.db"))
+    assert db.nreads == 5
+    assert db.load_read(0, ascii_mode=2) == recs[0]["seq"]
+
+    rng = np.random.default_rng(12)
+    bam2, recs2 = make_bam(rng, n_reads=3, min_len=300, max_len=900,
+                           movie=b"m2_movie")
+    (tmp_path / "n.subreads.bam").write_bytes(bam2)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = dex2db_main(["-eln>=0", "TEST", "n.subreads.bam"])
+    finally:
+        os.chdir(cwd)
+    assert rc == 0
+    assert not (tmp_path / ".TEST.idx").exists()
+    db = open_db(str(tmp_path / "TEST.db"))
+    assert db.nreads == 8
 
 
 def test_block_looper():
