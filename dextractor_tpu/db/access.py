@@ -254,14 +254,16 @@ class DazzDB:
         """
         import jax.numpy as jnp
         from ..ops import decode_jax as dj
-        from ..formats.ragged import rows_to_flat
+        from ..formats.ragged import rows_to_flat, next_pow2
 
         qv = self._qv
         if qv is None:
             raise DextractorError("QV's have not been opened (load_all_qventries)")
         n = self.nreads
         rlens = self.reads["rlen"].astype(np.int32)
-        max_len = max(int(rlens.max(initial=0)), 1)
+        # bucket the static loop bound to a power of two: each distinct
+        # max_len is a separate 5-25min remote compile on this runtime
+        max_len = next_pow2(max(int(rlens.max(initial=0)), 512))
         buf = np.concatenate([qv.data, np.zeros(8, np.uint8)])
         bufd = jnp.asarray(buf)
 

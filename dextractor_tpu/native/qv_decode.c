@@ -17,6 +17,7 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 typedef struct
@@ -201,10 +202,21 @@ long long dxt_qv_walk(
 
       /* delQV — note: even with materialize=0 the del content is needed
          for the packed-tag length, so it is always decoded */
-      { static uint8_t scratch[1 << 20];
+      { /* lens-only walks still need the del content for the packed-tag
+           length; grow the scratch to the longest read seen (reads can
+           exceed 1 Mbp, so no fixed cap) */
+        static uint8_t *scratch = NULL;
+        static int64_t  scratch_cap = 0;
         uint8_t *dd = odel;
         if (dd == NULL)
-          { if (rlen > (int64_t) sizeof(scratch)) return -4;
+          { if (rlen > scratch_cap)
+              { int64_t  nc = (rlen < (1 << 20)) ? (1 << 20)
+                                                 : rlen + (rlen >> 2);
+                uint8_t *ns = (uint8_t *) realloc(scratch, (size_t) nc);
+                if (ns == NULL) return -4;
+                scratch = ns;
+                scratch_cap = nc;
+              }
             dd = scratch;
           }
         br.buf = buf; br.size = size; br.base = off; br.pos = 0;

@@ -278,6 +278,14 @@ def sharded_scan_to_stats(mesh, streams, lengths):
 
     n = int(lengths.shape[0])
     nsh = mesh.devices.size
+    # shard_map needs n % nsh == 0; pad with zero-length entries (all stats
+    # are length-masked, so they contribute nothing) and keep real entries
+    # in file order so the delChar election stays exact
+    pad = (-n) % nsh
+    if pad:
+        streams = jnp.pad(streams, ((0, 0), (0, pad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad))
+        n += pad
     per_shard = n // nsh
 
     hists, tot, winner, gentry, dchar = sharded_qv_scan(mesh)(streams, lengths)

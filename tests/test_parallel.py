@@ -152,6 +152,28 @@ def test_sharded_scan_to_stats_exact():
     assert qvcoding_bytes(a) == qvcoding_bytes(b)
 
 
+def test_sharded_scan_to_stats_nondivisible():
+    """n=17 reads on 8 shards: the scan must pad internally and still locate
+    the delChar discovery entry exactly (a mislocated entry changes the run
+    histogram and hence the stream format)."""
+    from dextractor_tpu.parallel.pipeline import sharded_scan_to_stats
+
+    rng = np.random.default_rng(9)
+    quiva = make_quiva(rng, n_reads=17, min_len=200, max_len=600)
+    q, streams, lengths = _prep(quiva)
+    host_stats = scan_quiva(q)
+
+    mesh = make_mesh(8)
+    stats = sharded_scan_to_stats(mesh, jnp.asarray(streams),
+                                  jnp.asarray(lengths.astype(np.int32)))
+    np.testing.assert_array_equal(stats.del_run, host_stats.del_run)
+    np.testing.assert_array_equal(stats.sub_run, host_stats.sub_run)
+    np.testing.assert_array_equal(stats.del_hist, host_stats.del_hist)
+    assert stats.del_char == host_stats.del_char
+    assert stats.sub_char == host_stats.sub_char
+    assert stats.tot_char == host_stats.tot_char
+
+
 def test_sharded_encode_produces_identical_container(ref_tools, tmp_path):
     """Distributed phase A + phase B + host assembly == the C encoder's file."""
     from conftest import run_ref

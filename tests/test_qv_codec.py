@@ -156,6 +156,16 @@ def test_native_and_python_decode_agree(ref_tools, tmp_path):
     assert au == bu
 
 
+def test_native_walker_read_over_1mb():
+    """PacBio reads exceed 1 Mbp; the native walker's lens-only pass must
+    not cap the delQV scratch at a fixed size."""
+    rng = np.random.default_rng(31)
+    quiva = make_quiva(rng, n_reads=1, min_len=(1 << 20) + 4097,
+                       max_len=(1 << 20) + 4097)
+    enc = encode_quiva_to_dexqv(quiva)
+    assert decode_dexqv_to_quiva(enc, native=True) == quiva
+
+
 def test_dexqv_golden_large_type2_runscheme(ref_tools, tmp_path):
     """Large file: the delRun histogram grows >16-bit codes, forcing a
     type-2 RUN scheme whose merged buckets must escape exactly like the
