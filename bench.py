@@ -44,15 +44,27 @@ def build_ref_tools() -> Path | None:
     build.mkdir(exist_ok=True)
     for src in ref.glob("*.[ch]"):
         (build / src.name).write_bytes(src.read_bytes())
-    exe = build / "dexqv"
-    if not exe.exists():
-        r = subprocess.run(
-            ["gcc", "-O3", "-fno-strict-aliasing", "-o", str(exe),
-             "dexqv.c", "DB.c", "QV.c", "-lm"],
-            cwd=build, capture_output=True)
-        if r.returncode != 0:
-            return None
+    for tool in ("dexqv", "undexqv", "dexta", "undexta"):
+        exe = build / tool
+        if not exe.exists():
+            r = subprocess.run(
+                ["gcc", "-O3", "-fno-strict-aliasing", "-o", str(exe),
+                 f"{tool}.c", "DB.c", "QV.c", "-lm"],
+                cwd=build, capture_output=True)
+            if r.returncode != 0:
+                return None
     return build
+
+
+def time_tool(build: Path, tool: str, args: list[str]) -> float | None:
+    """min-of-3 wall time of a reference tool run, or None."""
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = subprocess.run([str(build / tool)] + args, capture_output=True)
+        if r.returncode == 0:
+            times.append(time.perf_counter() - t0)
+    return min(times) if times else None
 
 
 def main() -> None:
@@ -123,15 +135,44 @@ def main() -> None:
     # one jitted fori_loop (each iteration data-depends on the last via a
     # carried checksum) and time the difference between two K values so the
     # fixed dispatch/fetch overhead cancels.
-    print("[bench] uploading + compiling ...", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
+    def measure_chained(chained, dargs, label):
+        def run_k(k):
+            t = time.perf_counter()
+            v = chained(*dargs, jnp.int32(k))
+            _ = int(v)                   # force full execution via fetch
+            return time.perf_counter() - t
+
+        t0 = time.perf_counter()
+        run_k(1)                         # compile + warm
+        print(f"[bench] {label}: compile+warm {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr, flush=True)
+        # steps are milliseconds while a result fetch costs ~0.2s through
+        # the relay: widen K until the difference clears the noise floor,
+        # but keep total device time bounded (very long chained programs
+        # can trip the worker watchdog)
+        k_lo = 2
+        t_lo = min(run_k(k_lo) for _ in range(3))
+        dt = None
+        for k_hi in (12, 52, 202):
+            t_hi = min(run_k(k_hi) for _ in range(2))
+            print(f"[bench] {label}: k={k_hi}: {t_hi:.3f}s "
+                  f"(k={k_lo}: {t_lo:.3f}s)", file=sys.stderr, flush=True)
+            if t_hi - t_lo > 0.4 or t_hi > 30:
+                dt = (t_hi - t_lo) / (k_hi - k_lo)
+                break
+        if dt is None:
+            dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
+        return dt
+
+    print("[bench] uploading + compiling encode ...", file=sys.stderr,
+          flush=True)
     dargs = (jnp.asarray(streams), jnp.asarray(lengths.astype(np.int32)),
              jnp.asarray(sym), jnp.asarray(run), jnp.asarray(rchars),
              jnp.asarray(NUMBER_BASE_LUT))
     jax.block_until_ready(dargs)
 
     @jax.jit
-    def chained(streams_, lengths_, sym_, run_, rchars_, nlut_, k):
+    def enc_chained(streams_, lengths_, sym_, run_, rchars_, nlut_, k):
         # every iteration XORs the carried checksum into the symbol data so
         # the loop body cannot be hoisted as loop-invariant; the encode cost
         # profile is identical for arbitrary u8 symbols
@@ -141,61 +182,136 @@ def main() -> None:
             return acc + out[2].sum().astype(jnp.int32)
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    def run_k(k):
-        t = time.perf_counter()
-        v = chained(*dargs, jnp.int32(k))
-        _ = int(v)                       # force full execution via fetch
-        return time.perf_counter() - t
-
-    run_k(1)                             # compile + warm
-    print(f"[bench] upload+compile {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr, flush=True)
-    # steps are milliseconds while a result fetch costs ~0.2s through the
-    # relay: widen K until the difference clears the noise floor, but keep
-    # total device time bounded (very long chained programs can trip the
-    # worker watchdog)
-    k_lo = 2
-    t_lo = min(run_k(k_lo) for _ in range(3))
-    dt = None
-    for k_hi in (12, 52, 202):
-        t_hi = min(run_k(k_hi) for _ in range(2))
-        print(f"[bench] k={k_hi}: {t_hi:.3f}s (k={k_lo}: {t_lo:.3f}s)",
-              file=sys.stderr, flush=True)
-        if t_hi - t_lo > 0.4 or t_hi > 30:
-            dt = (t_hi - t_lo) / (k_hi - k_lo)
-            break
-    if dt is None:
-        dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
-
+    dt = measure_chained(enc_chained, dargs, "qv-encode")
     payload_bytes = int(q.lengths.sum()) * 5        # the five QV streams
     gbps = payload_bytes / dt / 1e9
 
-    # ---- C baseline ----------------------------------------------------
+    # ---- device dexqv decode (fused five-channel entry step) -----------
+    from dextractor_tpu.codecs.qv_codec import (
+        encode_quiva_to_dexqv, decode_dexqv_to_quiva, _index_native)
+    from dextractor_tpu.codecs.qv_batch import decode_tables
+    from dextractor_tpu.formats import dexqv as dqf
+    from dextractor_tpu.formats.ragged import next_pow2
+    from dextractor_tpu.ops import decode_jax as dj
+
+    enc = encode_quiva_to_dexqv(data, device=False)
+    (workdir / "g.dexqv").write_bytes(enc)
+    coding, coff = dqf.parse_qvcoding(memoryview(enc), 2)
+    _, _, _, _, _, _, eoffs, elens = _index_native(enc, coding, coff, True)
+    n_dec = len(eoffs)
+    n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
+    eoffs = np.pad(eoffs, (0, n_decp - n_dec))
+    drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
+    dec_max_len = next_pow2(max(int(drlens.max(initial=0)), 512))
+    sids, lookups_t, lens_t, types_t, del_mode, sub_mode = \
+        decode_tables(coding)
+    dbuf = np.concatenate([np.frombuffer(enc, np.uint8),
+                           np.zeros(8, np.uint8)])
+    dec_args = (jnp.asarray(dbuf), jnp.asarray(eoffs), jnp.asarray(drlens),
+                jnp.asarray(sids), jnp.asarray(lookups_t),
+                jnp.asarray(lens_t), jnp.asarray(types_t),
+                jnp.int32(coding.del_char & 0xFF),
+                jnp.int32(coding.sub_char & 0xFF))
+    jax.block_until_ready(dec_args)
+
+    @jax.jit
+    def dec_chained(buf_, starts_, rlens_, sids_, lk_, ln_, ty_, dc_, sc_, k):
+        # decode cost is shape-determined (fixed fori chains), so XORing
+        # the container bytes keeps cost identical while defeating hoisting
+        def body(_, acc):
+            b = buf_ ^ (acc & 0xFF).astype(jnp.uint8)
+            rows = dj.decode_entry_batch(
+                b, starts_, rlens_, sids_, lk_, ln_, ty_, dc_, sc_,
+                max_len=dec_max_len, del_mode=del_mode, sub_mode=sub_mode)
+            return acc + rows.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    ddt = measure_chained(dec_chained, dec_args, "qv-decode")
+    dec_gbps = payload_bytes / ddt / 1e9
+
+    # ---- device dexta encode/decode (2-bit codec) ----------------------
+    from conftest import make_fasta
+    from dextractor_tpu.codecs.twobit_codec import (
+        encode_fasta_to_dexta, _encode_rows, _decode_rows)
+    from dextractor_tpu.formats.dexta import read_dexta
+    from dextractor_tpu.formats.ragged import pad_rows as _padr
+    from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT as NLUT, LOWER_LUT
+
+    fasta = make_fasta(rng, n_reads=n_reads, min_len=read_len - 50,
+                       max_len=read_len + 50, width=80)
+    fsrc = workdir / "g.fasta"
+    fsrc.write_bytes(fasta)
+    denc = encode_fasta_to_dexta(fasta, device=False)
+    (workdir / "g.dexta").write_bytes(denc)
+    df = read_dexta(denc)
+    frlens = (df.ends - df.begs).astype(np.int64)
+    fclens = df.payload.lengths
+    prow = _padr(df.payload.flat, fclens, align=128, bucket=True)
+    npad = max(8, 1 << max(len(frlens) - 1, 0).bit_length())
+    prow = np.concatenate(
+        [prow, np.zeros((npad - prow.shape[0], prow.shape[1]), np.uint8)])
+    total_bases = int(frlens.sum())
+
+    # decode: payload rows -> ascii rows
+    dx_args = (jnp.asarray(prow), jnp.asarray(LOWER_LUT))
+    jax.block_until_ready(dx_args)
+
+    @jax.jit
+    def dexta_dec_chained(rows_, lut_, k):
+        def body(_, acc):
+            r = rows_ ^ (acc & 0xFF).astype(jnp.uint8)
+            sym = _decode_rows(r, lut_)
+            return acc + sym.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    xddt = measure_chained(dexta_dec_chained, dx_args, "dexta-decode")
+    dexta_dec_gbps = total_bases / xddt / 1e9
+
+    # encode: ascii rows -> packed payload
+    seq_rows = np.asarray(_decode_rows(jnp.asarray(prow),
+                                       jnp.asarray(LOWER_LUT)))
+    flens = np.pad(frlens, (0, npad - len(frlens))).astype(np.int32)
+    ex_args = (jnp.asarray(seq_rows), jnp.asarray(flens), jnp.asarray(NLUT))
+    jax.block_until_ready(ex_args)
+
+    @jax.jit
+    def dexta_enc_chained(rows_, lens_, lut_, k):
+        def body(_, acc):
+            # flip case bit only: stays in the LUT's alphabet, defeats hoist
+            r = rows_ ^ ((acc & 0x1) << 5).astype(jnp.uint8)
+            packed = _encode_rows(r, lens_, lut_)
+            return acc + packed.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    xedt = measure_chained(dexta_enc_chained, ex_args, "dexta-encode")
+    dexta_enc_gbps = total_bases / xedt / 1e9
+
+    # ---- C baselines ---------------------------------------------------
     build = build_ref_tools()
-    base_dt = float("nan")
+    base_dt = c_undexqv = c_dexta = c_undexta = None
     if build is not None:
-        times = []
-        for _ in range(3):                       # min-of-3: host timing noise
-            t0 = time.perf_counter()
-            r = subprocess.run([str(build / "dexqv"), "-k", str(src)],
-                               capture_output=True)
-            if r.returncode == 0:
-                times.append(time.perf_counter() - t0)
-        if times:
-            base_dt = min(times)
-    base_gbps = payload_bytes / base_dt / 1e9 if base_dt == base_dt else None
+        base_dt = time_tool(build, "dexqv", ["-k", str(src)])
+        c_undexqv = time_tool(build, "undexqv",
+                              ["-k", str(workdir / "g.dexqv")])
+        c_dexta = time_tool(build, "dexta", ["-k", str(fsrc)])
+        c_undexta = time_tool(build, "undexta",
+                              ["-k", str(workdir / "g.dexta")])
+    base_gbps = payload_bytes / base_dt / 1e9 if base_dt else None
     vs = (gbps / base_gbps) if base_gbps else None
+    c_undexqv_gbps = payload_bytes / c_undexqv / 1e9 if c_undexqv else None
+    c_dexta_gbps = total_bases / c_dexta / 1e9 if c_dexta else None
+    c_undexta_gbps = total_bases / c_undexta / 1e9 if c_undexta else None
 
     # decode throughput via the native entry-chain walker (host side)
-    from dextractor_tpu.codecs.qv_codec import (
-        encode_quiva_to_dexqv, decode_dexqv_to_quiva)
-    enc = encode_quiva_to_dexqv(data, device=False)
     decode_dexqv_to_quiva(enc)               # warm page/arena reuse
     t0 = time.perf_counter()
     dec = decode_dexqv_to_quiva(enc)
     dec_dt = time.perf_counter() - t0
     dec_ok = dec == data
     dec_mbps = len(data) / dec_dt / 1e6
+
+    def rnd(x, p=4):
+        return round(x, p) if x is not None else None
 
     print(json.dumps({
         "metric": "dexqv_encode_throughput",
@@ -206,12 +322,27 @@ def main() -> None:
             "platform": platform,
             "payload_MB": round(payload_bytes / 1e6, 1),
             "step_s": round(dt, 4),
-            "c_ref_s": round(base_dt, 3) if base_dt == base_dt else None,
-            "c_ref_GBps": round(base_gbps, 4) if base_gbps else None,
+            "c_ref_s": rnd(base_dt, 3),
+            "c_ref_GBps": rnd(base_gbps),
+            "dexqv_decode_throughput": {
+                "value": rnd(dec_gbps), "unit": "GB/s",
+                "vs_baseline": rnd(dec_gbps / c_undexqv_gbps, 3)
+                if c_undexqv_gbps else None,
+                "c_undexqv_GBps": rnd(c_undexqv_gbps)},
+            "dexta_decode_throughput": {
+                "value": rnd(dexta_dec_gbps), "unit": "GB/s",
+                "vs_baseline": rnd(dexta_dec_gbps / c_undexta_gbps, 3)
+                if c_undexta_gbps else None,
+                "c_undexta_GBps": rnd(c_undexta_gbps)},
+            "dexta_encode_throughput": {
+                "value": rnd(dexta_enc_gbps), "unit": "GB/s",
+                "vs_baseline": rnd(dexta_enc_gbps / c_dexta_gbps, 3)
+                if c_dexta_gbps else None,
+                "c_dexta_GBps": rnd(c_dexta_gbps)},
             "decode_native_MBps": round(dec_mbps, 1),
             "decode_roundtrip_ok": bool(dec_ok),
-            "note": "device-resident steady-state step; host link here is a "
-                    "~10-40MB/s TCP relay, not production DMA",
+            "note": "device-resident steady-state steps; host link here is "
+                    "a ~10-40MB/s TCP relay, not production DMA",
         },
     }))
 

@@ -17,7 +17,8 @@ HELP = (
 def main(argv=None) -> int:
     return codec_tool(
         "undexqv", USAGE, HELP, ".dexqv", ".quiva",
-        lambda data, flags, opts: decode_dexqv_to_quiva(data, upper=flags["U"]),
+        lambda data, flags, opts: decode_dexqv_to_quiva(
+            data, upper=flags["U"], device=None),
         flags_str="vkU",
         argv=argv, pipe_ok=False)
 

@@ -1,0 +1,241 @@
+"""Batched (TPU-first) QV entry decode shared by the DB reader and the raw
+`.dexqv` container path.
+
+A .dexqv entry is five butted Huffman streams (QV.c:1381-1426); decoding a
+*batch* of entries is N independent bit-chains once each entry's first
+stream offset is known (the Dazzler DB stores them as ``coff``; for raw
+containers the native walker's lens-only pass recovers them).  Within an
+entry the later streams' offsets follow arithmetically from the earlier
+ones via the encoder's word-count formula, so the device chains
+del -> tag -> ins -> mrg -> sub itself, one fori_loop symbol step per
+iteration across all lanes (ops/decode_jax.py).
+
+Run expansion, tag unpacking and the inter-phase offset arithmetic are
+vectorized host-side NumPy — tiny compared to the Huffman chains.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..formats.ragged import flat_gather_lens, next_pow2
+from ..ops import twobit as tb
+
+
+def decode_tables(coding):
+    """Stack one coding's schemes into device decode tables.
+
+    Returns (sids (6,) i32, lookups (S,65536) i32, lens (S,256) i32,
+    types (S,) i32, del_mode, sub_mode)."""
+    schemes = []
+
+    def sidx(s):
+        if s is None:
+            return 0          # never dereferenced for absent run schemes
+        s.with_lookup()
+        schemes.append(s)
+        return len(schemes) - 1
+
+    sids = np.array([
+        sidx(coding.del_scheme), sidx(coding.drun_scheme),
+        sidx(coding.ins_scheme), sidx(coding.mrg_scheme),
+        sidx(coding.sub_scheme), sidx(coding.srun_scheme)], np.int32)
+    lookups = np.stack([s.lookup for s in schemes]).astype(np.int32)
+    lens = np.stack([s.codelens for s in schemes]).astype(np.int32)
+    types = np.array([s.type for s in schemes], np.int32)
+    del_mode = "run" if coding.del_char >= 0 else "plain"
+    sub_mode = "run" if coding.sub_char >= 0 else "plain"
+    return sids, lookups, lens, types, del_mode, sub_mode
+
+
+def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
+                         rlens: np.ndarray, coding, mesh=None):
+    """Single-coding batch decode through the fused device step
+    (ops/decode_jax.decode_entry_batch): all five channels, run expansion
+    and tag interleave on device.  Returns (5, N, max_len) u8 rows."""
+    import jax.numpy as jnp
+    from ..ops import decode_jax as dj
+
+    rlens = np.asarray(rlens, np.int32)
+    max_len = next_pow2(max(int(rlens.max(initial=0)), 512))
+    buf = np.concatenate([np.asarray(buf, np.uint8), np.zeros(8, np.uint8)])
+    sids, lookups, lens, types, del_mode, sub_mode = decode_tables(coding)
+    args_rep = (jnp.asarray(sids), jnp.asarray(lookups), jnp.asarray(lens),
+                jnp.asarray(types), jnp.int32(coding.del_char & 0xFF),
+                jnp.int32(coding.sub_char & 0xFF))
+    if mesh is None:
+        return dj.decode_entry_batch(
+            jnp.asarray(buf), jnp.asarray(np.asarray(starts, np.int64)),
+            jnp.asarray(rlens), *args_rep, max_len=max_len,
+            del_mode=del_mode, sub_mode=sub_mode)
+    from ..parallel.pipeline import sharded_decode_entry
+    fn = sharded_decode_entry(mesh, max_len=max_len, del_mode=del_mode,
+                              sub_mode=sub_mode)
+    n = len(starts)
+    pad = (-n) % mesh.devices.size
+    rows = fn(jnp.asarray(buf),
+              jnp.asarray(np.pad(np.asarray(starts, np.int64), (0, pad))),
+              jnp.asarray(np.pad(rlens, (0, pad))), *args_rep)
+    return rows[:, :n]
+
+
+def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
+                         rlens: np.ndarray, codings, table: np.ndarray,
+                         ascii_mode: int = 1, mesh=None):
+    """Decode all five QV streams of N entries in parallel.
+
+    buf:     (B,) u8 container image (will be padded with 8 zero bytes)
+    starts:  (N,) i64 byte offset of each entry's delQV stream
+    rlens:   (N,) i32 symbols per entry
+    codings: list of QVCoding; table: (N,) index of each entry's coding
+    mesh:    optional jax Mesh — shard the Huffman chains over its data axis
+
+    Returns (rows (5, N, max_len) u8, rlens (N,) i64).
+    """
+    import jax.numpy as jnp
+    from ..ops import decode_jax as dj
+
+    n = len(starts)
+    rlens = np.asarray(rlens, np.int32)
+    max_len = next_pow2(max(int(rlens.max(initial=0)), 512))
+    buf = np.concatenate([np.asarray(buf, np.uint8), np.zeros(8, np.uint8)])
+    bufd = jnp.asarray(buf)
+
+    schemes, sids = [], {k: [] for k in
+                         ("del", "drun", "ins", "mrg", "sub", "srun")}
+    del_chars, sub_chars = [], []
+
+    def sidx(s):
+        if s is None:
+            return -1
+        s.with_lookup()
+        schemes.append(s)
+        return len(schemes) - 1
+
+    for c in codings:
+        sids["del"].append(sidx(c.del_scheme))
+        sids["drun"].append(sidx(c.drun_scheme))
+        sids["ins"].append(sidx(c.ins_scheme))
+        sids["mrg"].append(sidx(c.mrg_scheme))
+        sids["sub"].append(sidx(c.sub_scheme))
+        sids["srun"].append(sidx(c.srun_scheme))
+        del_chars.append(c.del_char)
+        sub_chars.append(c.sub_char)
+    lookups = jnp.asarray(np.stack([s.lookup for s in schemes]).astype(np.int32))
+    lens_t = jnp.asarray(np.stack([s.codelens for s in schemes]).astype(np.int32))
+    types = jnp.asarray(np.array([s.type for s in schemes], np.int32))
+    tbl = np.asarray(table, np.int64)
+    r_delc = np.array(del_chars, np.int32)[tbl]
+    r_subc = np.array(sub_chars, np.int32)[tbl]
+
+    if mesh is not None:
+        from ..parallel.pipeline import (
+            sharded_decode_plain, sharded_decode_run)
+        plain_fn = sharded_decode_plain(mesh, max_len=max_len)
+        run_fn = sharded_decode_run(mesh, max_tokens=max_len)
+        nsh = mesh.devices.size
+    else:
+        plain_fn = run_fn = None
+
+    starts = np.asarray(starts, np.int64)
+    out = np.empty((5, n, max_len), np.uint8)
+
+    def _pad(a):
+        return jnp.asarray(np.pad(a, (0, (-len(a)) % nsh)))
+
+    def _plain(starts_b, rl, sym_ids):
+        if mesh is None:
+            return dj.decode_plain_batch(
+                bufd, jnp.asarray(starts_b), jnp.asarray(rl),
+                jnp.asarray(sym_ids), lookups, lens_t, types,
+                max_len=max_len)
+        o, b, lg = plain_fn(bufd, _pad(starts_b), _pad(rl), _pad(sym_ids),
+                            lookups, lens_t, types)
+        m = len(starts_b)
+        return o[:m], b[:m], lg[:m]
+
+    def _run(starts_b, rl, sym_ids, run_ids):
+        if mesh is None:
+            return dj.decode_run_batch(
+                bufd, jnp.asarray(starts_b), jnp.asarray(rl),
+                jnp.asarray(sym_ids), jnp.asarray(run_ids), lookups,
+                lens_t, types, max_tokens=max_len)
+        runs, lits, em, b, lg = run_fn(
+            bufd, _pad(starts_b), _pad(rl), _pad(sym_ids), _pad(run_ids),
+            lookups, lens_t, types)
+        m = len(starts_b)
+        return runs[:m], lits[:m], em[:m], b[:m], lg[:m]
+
+    def channel(starts_b, key, run_key, rchars):
+        """Decode one channel for all reads; returns (rows, words)."""
+        sym_ids = np.array(sids[key], np.int32)[tbl]
+        plain = rchars < 0
+        rows = np.zeros((n, max_len), np.uint8)
+        bits = np.zeros(n, np.int64)
+        last = np.zeros(n, np.int64)
+        for mask, runmode in ((plain, False), (~plain, True)):
+            idx = np.flatnonzero(mask)
+            if not len(idx):
+                continue
+            if not runmode:
+                o, b, lg = _plain(starts_b[idx], rlens[idx], sym_ids[idx])
+                rows[idx] = np.asarray(o)
+            else:
+                run_ids = np.array(sids[run_key], np.int32)[tbl]
+                runs, lits, _, b, lg = _run(starts_b[idx], rlens[idx],
+                                            sym_ids[idx], run_ids[idx])
+                runs = np.asarray(runs)
+                lits = np.asarray(lits)
+                for rc in np.unique(rchars[idx]):
+                    sel = idx[rchars[idx] == rc]
+                    isel = np.flatnonzero(rchars[idx] == rc)
+                    ex = dj.expand_runs_np(runs[isel], lits[isel],
+                                           rlens[sel], int(rc))
+                    rows[sel, : ex.shape[1]] = ex
+            bits[idx] = np.asarray(b)
+            last[idx] = np.asarray(lg)
+        return rows, dj.stream_word_counts(bits, last)
+
+    # phase A: delQV; its content determines the packed-tag length
+    out[0], del_w = channel(starts, "del", "drun", r_delc)
+    col = np.arange(max_len)[None, :]
+    valid = col < rlens[:, None]
+    clens = np.where(
+        r_delc < 0, rlens.astype(np.int64),
+        (valid & (out[0] != r_delc[:, None])).sum(1)).astype(np.int64)
+    tlens = (clens + 3) >> 2
+
+    # packed delTag: gather + unpack + Unpack_Tag (vectorized)
+    tag_starts = starts + 4 * del_w
+    packed = flat_gather_lens(buf, tag_starts, tlens)
+    prow = np.zeros((n, (max_len + 3) >> 2), np.uint8)
+    if tlens.sum():
+        st = np.zeros(n, np.int64)
+        np.cumsum(tlens[:-1], out=st[1:])
+        rr = np.repeat(np.arange(n), tlens)
+        cc = np.arange(int(tlens.sum())) - np.repeat(st, tlens)
+        prow[rr, cc] = packed
+    codes = tb.unpack_2bit_np(prow)[:, :max_len]
+    kept = tb.LOWER_LUT[codes]
+    tag = np.full((n, max_len), ord("n"), np.uint8)
+    keepmask = valid & ((out[0] != r_delc[:, None]) | (r_delc < 0)[:, None])
+    kidx = np.cumsum(keepmask, 1) - 1
+    tag[keepmask] = kept[np.repeat(np.arange(n), keepmask.sum(1)),
+                         kidx[keepmask]]
+    out[1] = tag
+
+    # phases B-D: ins, mrg, sub chained by arithmetic offsets
+    ins_starts = tag_starts + tlens
+    out[2], ins_w = channel(ins_starts, "ins", None,
+                            np.full(n, -1, np.int32))
+    mrg_starts = ins_starts + 4 * ins_w
+    out[3], mrg_w = channel(mrg_starts, "mrg", None,
+                            np.full(n, -1, np.int32))
+    sub_starts = mrg_starts + 4 * mrg_w
+    out[4], _ = channel(sub_starts, "sub", "srun", r_subc)
+
+    if ascii_mode == 2:
+        out[1] = out[1] - 32
+    elif ascii_mode == 0:
+        out[1] = tb.NUMBER_BASE_LUT[out[1]]
+    return out, rlens.astype(np.int64)

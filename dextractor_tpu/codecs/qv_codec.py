@@ -433,10 +433,14 @@ def decode_entry(coding: dq.QVCoding, buf: np.ndarray, byte_off: int, rlen: int)
     return out, pos - byte_off
 
 
-def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
-    """Decode all entries with the native sequential walker (the entry
-    chain is bit-serial; see native/qv_decode.c).  Returns the same tuple
-    shape as the Python walker or None when unavailable."""
+def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
+    """Lens-only native walk: resolve the bit-serial entry chain and return
+    (lib, schemes-ctx, wells, begs, ends, qvs, eoffs, elens) or None.
+
+    The chain resolution is the only inherently sequential part of raw
+    container decode (QV.c:1381-1426: every stream's byte length is known
+    only after decoding it); entry payloads themselves are then N
+    independent chains for the batch decoder."""
     from ..native import qv_decode_shim
 
     try:
@@ -489,7 +493,28 @@ def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
     if ne < 0:
         raise FormatError(f"corrupt .dexqv stream (native walker: {ne})")
     ne = int(ne)
-    total = int(elens[:ne].sum())
+    ctx = (lookups, lens, types, sid)
+    return (lib, ctx, wells[:ne], begs[:ne], ends_[:ne], qvs[:ne],
+            eoffs[:ne], elens[:ne])
+
+
+def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
+    """Decode all entries with the native sequential walker (the entry
+    chain is bit-serial; see native/qv_decode.c).  Returns the same tuple
+    shape as the Python walker or None when unavailable."""
+    import ctypes
+
+    res = _index_native(data, coding, off, newv)
+    if res is None:
+        return None
+    lib, (lookups, lens, types, sid), wells, begs, ends_, qvs, eoffs, elens = res
+    buf = np.frombuffer(data, np.uint8)
+    size = len(buf)
+    ne = len(wells)
+    total = int(elens.sum())
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
 
     global _WALK_BUF
     if _WALK_BUF is None or _WALK_BUF.size < 5 * total:
@@ -507,15 +532,44 @@ def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
     # NB: a view into the shared grow-only buffer — valid until the next
     # native walk; decode_dexqv_to_quiva consumes it immediately
     streams = out[: 5 * total].reshape(5, total)
-    return (wells[:ne], begs[:ne], ends_[:ne], qvs[:ne],
-            elens[:ne], streams)
+    return (wells, begs, ends_, qvs, elens, streams)
 
 
 _WALK_BUF = None
 
 
+def _decode_entries_device(data: bytes, coding: dq.QVCoding, off: int,
+                           newv: bool, mesh=None):
+    """Raw-container batch decode: the native lens-only walk resolves the
+    sequential entry chain (offsets only), then every entry's five streams
+    decode as independent parallel chains on the device
+    (matches undexqv.c:101-208 output)."""
+    from .qv_batch import fused_decode_entries
+    from ..formats.ragged import rows_to_flat
+
+    res = _index_native(data, coding, off, newv)
+    if res is None:
+        return None
+    _, _, wells, begs, ends_, qvs, eoffs, elens = res
+    buf = np.frombuffer(data, np.uint8)
+    rlens = elens.astype(np.int64)
+    rows = fused_decode_entries(buf, eoffs, elens.astype(np.int32),
+                                coding, mesh=mesh)
+    streams = np.stack([rows_to_flat(np.asarray(rows[s]), rlens)
+                        for s in range(5)])
+    return wells, begs, ends_, qvs, rlens, streams
+
+
 def decode_dexqv_to_quiva(data: bytes, upper: bool = False,
-                          native: bool = True) -> bytes:
+                          native: bool = True,
+                          device: bool | None = False, mesh=None) -> bytes:
+    """Decode a .dexqv image to .quiva text (undexqv.c:101-208).
+
+    device=True -> entry boundaries via the native lens-only walk, stream
+    content via the batched TPU decoder (optionally shard_map'd over
+    ``mesh``); device=False/None -> fully native sequential walk; flip or
+    missing native shim falls back to the Python walker.
+    """
     import struct as _struct
 
     if len(data) < 2:
@@ -525,6 +579,19 @@ def decode_dexqv_to_quiva(data: bytes, upper: bool = False,
     off = 2 if key in (dq.CONTAINER_KEY, 0xAA55) else 0   # legacy: no container key
     coding, off = dq.parse_qvcoding(mv, off)
     newv = key in (dq.CONTAINER_KEY, 0xAA55)
+
+    if device is None:
+        import jax
+        device = jax.default_backend() != "cpu"
+    if device and not coding.flip:
+        res = _decode_entries_device(data, coding, off, newv, mesh=mesh)
+        if res is not None:
+            wells, begs, ends_, qvs, lengths, streams = res
+            if upper:
+                streams = streams.copy()
+                streams[TAG] = streams[TAG] - 32
+            return qv.write_quiva(coding.prefix, wells, begs, ends_, qvs,
+                                  lengths, streams)
 
     if native and not coding.flip:
         res = _walk_native(data, coding, off, newv)

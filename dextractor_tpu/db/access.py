@@ -245,141 +245,28 @@ class DazzDB:
         qv.data = np.frombuffer(qdata, np.uint8)
         self._qv = qv
 
-    def load_all_qventries(self, ascii_mode: int = 1):
+    def load_all_qventries(self, ascii_mode: int = 1, mesh=None):
         """Batch-decode every read's five QV streams with the TPU batch
         decoder (one Huffman chain per read, reads in parallel — the DB
         stores per-read stream offsets, so no sequential walk is needed).
+        Pass a jax Mesh to shard the chains over its data axis.
 
         Returns (streams (5, total) u8, lengths (N,)).
         """
-        import jax.numpy as jnp
-        from ..ops import decode_jax as dj
-        from ..formats.ragged import rows_to_flat, next_pow2
+        from ..formats.ragged import rows_to_flat
+        from ..codecs.qv_batch import batch_decode_entries
 
         qv = self._qv
         if qv is None:
             raise DextractorError("QV's have not been opened (load_all_qventries)")
-        n = self.nreads
         rlens = self.reads["rlen"].astype(np.int32)
-        # bucket the static loop bound to a power of two: each distinct
-        # max_len is a separate 5-25min remote compile on this runtime
-        max_len = next_pow2(max(int(rlens.max(initial=0)), 512))
-        buf = np.concatenate([qv.data, np.zeros(8, np.uint8)])
-        bufd = jnp.asarray(buf)
-
-        # flatten all codings' schemes into one table stack
-        schemes, del_sid, drun_sid, ins_sid, mrg_sid, sub_sid, srun_sid = \
-            [], [], [], [], [], [], []
-        del_chars, sub_chars = [], []
-
-        def sidx(s):
-            if s is None:
-                return -1
-            s.with_lookup()
-            schemes.append(s)
-            return len(schemes) - 1
-
-        for c in qv.codings:
-            del_sid.append(sidx(c.del_scheme))
-            drun_sid.append(sidx(c.drun_scheme))
-            ins_sid.append(sidx(c.ins_scheme))
-            mrg_sid.append(sidx(c.mrg_scheme))
-            sub_sid.append(sidx(c.sub_scheme))
-            srun_sid.append(sidx(c.srun_scheme))
-            del_chars.append(c.del_char)
-            sub_chars.append(c.sub_char)
-        lookups = jnp.asarray(np.stack([s.lookup for s in schemes]).astype(np.int32))
-        lens_t = jnp.asarray(np.stack([s.codelens for s in schemes]).astype(np.int32))
-        types = jnp.asarray(np.array([s.type for s in schemes], np.int32))
-        tbl = qv.table.astype(np.int64)
-        r_delc = np.array(del_chars, np.int32)[tbl]
-        r_subc = np.array(sub_chars, np.int32)[tbl]
-
-        out = np.empty((5, n, max_len), np.uint8)
         starts = self.reads["coff"].astype(np.int64)
-
-        def channel(starts_b, sym_sid, run_sid, rchars):
-            """Decode one channel for all reads; returns (rows, words)."""
-            sym_ids = np.array(sym_sid, np.int32)[tbl]
-            plain = rchars < 0
-            rows = np.zeros((n, max_len), np.uint8)
-            bits = np.zeros(n, np.int64)
-            last = np.zeros(n, np.int64)
-            for mask, runmode in ((plain, False), (~plain, True)):
-                idx = np.flatnonzero(mask)
-                if not len(idx):
-                    continue
-                if not runmode:
-                    o, b, lg = dj.decode_plain_batch(
-                        bufd, jnp.asarray(starts_b[idx]),
-                        jnp.asarray(rlens[idx]), jnp.asarray(sym_ids[idx]),
-                        lookups, lens_t, types, max_len=max_len)
-                    rows[idx] = np.asarray(o)
-                else:
-                    run_ids = np.array(run_sid, np.int32)[tbl]
-                    runs, lits, _, b, lg = dj.decode_run_batch(
-                        bufd, jnp.asarray(starts_b[idx]),
-                        jnp.asarray(rlens[idx]), jnp.asarray(sym_ids[idx]),
-                        jnp.asarray(run_ids[idx]), lookups, lens_t, types,
-                        max_tokens=max_len)
-                    # per-lane run chars differ across cells: expand per value
-                    runs = np.asarray(runs)
-                    lits = np.asarray(lits)
-                    for rc in np.unique(rchars[idx]):
-                        sel = idx[rchars[idx] == rc]
-                        isel = np.flatnonzero(rchars[idx] == rc)
-                        ex = dj.expand_runs_np(runs[isel], lits[isel],
-                                               rlens[sel], int(rc))
-                        rows[sel, : ex.shape[1]] = ex
-                bits[idx] = np.asarray(b)
-                last[idx] = np.asarray(lg)
-            return rows, dj.stream_word_counts(bits, last)
-
-        # phase A: delQV; its content determines the packed-tag length
-        out[0], del_w = channel(starts, del_sid, drun_sid, r_delc)
-        col = np.arange(max_len)[None, :]
-        valid = col < rlens[:, None]
-        clens = np.where(
-            r_delc < 0, rlens.astype(np.int64),
-            (valid & (out[0] != r_delc[:, None])).sum(1)).astype(np.int64)
-        tlens = (clens + 3) >> 2
-
-        # packed delTag: gather + unpack + Unpack_Tag (vectorized)
-        tag_starts = starts + 4 * del_w
-        packed = flat_gather_lens(buf, tag_starts, tlens)
-        prow = np.zeros((n, (max_len + 3) >> 2), np.uint8)
-        if tlens.sum():
-            st = np.zeros(n, np.int64)
-            np.cumsum(tlens[:-1], out=st[1:])
-            rr = np.repeat(np.arange(n), tlens)
-            cc = np.arange(int(tlens.sum())) - np.repeat(st, tlens)
-            prow[rr, cc] = packed
-        codes = tb.unpack_2bit_np(prow)[:, :max_len]
-        kept = tb.LOWER_LUT[codes]
-        tag = np.full((n, max_len), ord("n"), np.uint8)
-        keepmask = valid & ((out[0] != r_delc[:, None]) | (r_delc < 0)[:, None])
-        kidx = np.cumsum(keepmask, 1) - 1
-        tag[keepmask] = kept[np.repeat(np.arange(n), keepmask.sum(1)),
-                             kidx[keepmask]]
-        out[1] = tag
-
-        # phases B-D: ins, mrg, sub chained by arithmetic offsets
-        ins_starts = tag_starts + tlens
-        out[2], ins_w = channel(ins_starts, ins_sid, None,
-                                np.full(n, -1, np.int32))
-        mrg_starts = ins_starts + 4 * ins_w
-        out[3], mrg_w = channel(mrg_starts, mrg_sid, None,
-                                np.full(n, -1, np.int32))
-        sub_starts = mrg_starts + 4 * mrg_w
-        out[4], _ = channel(sub_starts, sub_sid, srun_sid, r_subc)
-
-        if ascii_mode == 2:
-            out[1] = out[1] - 32
-        elif ascii_mode == 0:
-            out[1] = tb.NUMBER_BASE_LUT[out[1]]
-        streams = np.stack([rows_to_flat(out[s], rlens.astype(np.int64))
+        out, rlens64 = batch_decode_entries(
+            qv.data, starts, rlens, qv.codings, qv.table,
+            ascii_mode=ascii_mode, mesh=mesh)
+        streams = np.stack([rows_to_flat(out[s], rlens64)
                             for s in range(5)])
-        return streams, rlens.astype(np.int64)
+        return streams, rlens64
 
     def load_qventry(self, i: int, ascii_mode: int = 1) -> np.ndarray:
         """Load_QVentry (DB.c:2575-2621) -> (5, rlen) u8 streams.

@@ -321,6 +321,61 @@ def sharded_scan_to_stats(mesh, streams, lengths):
                    del_char, sub_char, total)
 
 
+def sharded_decode_plain(mesh, *, max_len: int):
+    """shard_map'd batch Huffman decode: container image + tables
+    replicated, the per-read bit-chains sharded over the data axis (reads
+    are independent chains — the decode analog of DB-block parallelism,
+    DB.c:2575-2621)."""
+    from ..ops import decode_jax as dj
+
+    def step(buf, starts, rlens, sym_ids, lookups, lens_t, types):
+        return dj.decode_plain_batch(buf, starts, rlens, sym_ids, lookups,
+                                     lens_t, types, max_len=max_len)
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(), P(), P()),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)))
+
+
+def sharded_decode_run(mesh, *, max_tokens: int):
+    """shard_map'd RLE-stream decode (see sharded_decode_plain)."""
+    from ..ops import decode_jax as dj
+
+    def step(buf, starts, rlens, sym_ids, run_ids, lookups, lens_t, types):
+        return dj.decode_run_batch(buf, starts, rlens, sym_ids, run_ids,
+                                   lookups, lens_t, types,
+                                   max_tokens=max_tokens)
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(), P(), P()),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS),
+                   P(DATA_AXIS), P(DATA_AXIS)))
+
+
+def sharded_decode_entry(mesh, *, max_len: int, del_mode: str,
+                         sub_mode: str):
+    """shard_map'd fused five-channel entry decode (single coding):
+    container + tables replicated, entries sharded."""
+    from ..ops import decode_jax as dj
+
+    def step(buf, starts, rlens, sids, lookups, lens_tbl, types,
+             del_char, sub_char):
+        return dj.decode_entry_batch(
+            buf, starts, rlens, sids, lookups, lens_tbl, types,
+            del_char, sub_char, max_len=max_len, del_mode=del_mode,
+            sub_mode=sub_mode)
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(),
+                  P(), P()),
+        out_specs=P(None, DATA_AXIS, None))
+
+
 def sharded_qv_encode(mesh):
     """shard_map'd phase B: replicated tables, sharded entries."""
     def step(streams, lengths, sym_luts, run_luts, rchars, number_lut):

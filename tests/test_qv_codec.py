@@ -156,6 +156,46 @@ def test_native_and_python_decode_agree(ref_tools, tmp_path):
     assert au == bu
 
 
+def test_raw_container_device_decode():
+    """Raw .dexqv through the TPU batch decoder (native lens-only walk for
+    boundaries + parallel stream chains) must equal the sequential walk."""
+    rng = np.random.default_rng(55)
+    quiva = make_quiva(rng, n_reads=24, min_len=0, max_len=500)
+    enc = encode_quiva_to_dexqv(quiva)
+    assert decode_dexqv_to_quiva(enc, device=True) == quiva
+    assert decode_dexqv_to_quiva(enc, device=True, upper=True) == \
+        decode_dexqv_to_quiva(enc, native=True, upper=True)
+
+
+def test_raw_container_device_decode_sharded():
+    """The shard_map'd decode over an 8-device mesh must be identical —
+    reads are independent chains (n=21 exercises the pad path)."""
+    from dextractor_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(56)
+    quiva = make_quiva(rng, n_reads=21, min_len=1, max_len=400,
+                       sub_heavy=True)
+    enc = encode_quiva_to_dexqv(quiva)
+    mesh = make_mesh(8)
+    assert decode_dexqv_to_quiva(enc, device=True, mesh=mesh) == quiva
+
+
+def test_raw_container_device_decode_edge_cases():
+    """Fused device decode across the hard stream shapes: plain del
+    channel, heavy runs (>=255 escapes), type-2 escape schemes from a
+    large skewed file."""
+    cases = [
+        dict(n_reads=10, min_len=0, max_len=300, del_run=False),
+        dict(n_reads=6, min_len=600, max_len=900, spread=2),
+        dict(n_reads=120, min_len=900, max_len=1100, sub_heavy=True),
+    ]
+    for i, kw in enumerate(cases):
+        rng = np.random.default_rng(60 + i)
+        quiva = make_quiva(rng, **kw)
+        enc = encode_quiva_to_dexqv(quiva)
+        assert decode_dexqv_to_quiva(enc, device=True) == quiva, kw
+
+
 def test_native_walker_read_over_1mb():
     """PacBio reads exceed 1 Mbp; the native walker's lens-only pass must
     not cap the delQV scratch at a fixed size."""
