@@ -151,12 +151,19 @@ def assemble_dexqv(coding: QVCoding, wells, begs, ends, qvs,
 
 
 def write_dexqv(coding: QVCoding, wells, begs, ends, qvs,
-                entry_blobs: list[bytes]) -> bytes:
-    """Assemble the .dexqv image (container key + coding + framed entries)."""
+                entry_blobs: list[bytes], *, prev_well: int = 0,
+                include_header: bool = True) -> bytes:
+    """Assemble the .dexqv image (container key + coding + framed entries).
+
+    ``include_header=False`` with ``prev_well`` frames a *part* of a file:
+    a host encoding a contiguous read block emits exactly the bytes the
+    serial encoder would, so ordered concatenation of parts reproduces the
+    whole container (the multi-host phase-B write path)."""
     out = bytearray()
-    out += struct.pack("<H", CONTAINER_KEY)
-    out += qvcoding_bytes(coding)
-    lwell = 0
+    if include_header:
+        out += struct.pack("<H", CONTAINER_KEY)
+        out += qvcoding_bytes(coding)
+    lwell = prev_well
     for w, b, e, q, blob in zip(np.asarray(wells).tolist(), np.asarray(begs).tolist(),
                                 np.asarray(ends).tolist(), np.asarray(qvs).tolist(),
                                 entry_blobs):

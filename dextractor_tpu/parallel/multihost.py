@@ -29,6 +29,32 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
             os.environ.get("DXT_PROCESS_ID", "0")))
 
 
+def mesh_put(mesh):
+    """An uploader closure for ``mesh``: host numpy -> device array with a
+    given PartitionSpec.
+
+    Single-process meshes take the plain jnp path; a mesh spanning
+    processes builds a global distributed array from each process's host
+    copy (every process must hold the full host array — true for the
+    control-plane metadata this is used on; bulk data is fed per-host).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    multi = any(d.process_index != jax.process_index()
+                for d in mesh.devices.flat)
+
+    def put(arr, spec):
+        if not multi:
+            return jnp.asarray(arr)
+        arr = np.asarray(arr)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(arr.shape, sh,
+                                            lambda idx: arr[idx])
+    return put
+
+
 def ordered_gather(parts: list[tuple[np.ndarray, np.ndarray]]):
     """Gather variable-length per-read results back into original read
     order.

@@ -275,32 +275,41 @@ def sharded_scan_to_stats(mesh, streams, lengths):
     discovery entries onward.  Returns a codecs.qv_codec.QVStats.
     """
     from ..codecs.qv_codec import QVStats
+    from .multihost import mesh_put
 
-    n = int(lengths.shape[0])
+    streams = np.asarray(streams)
+    lengths_np = np.asarray(lengths).astype(np.int64)
+    n = int(lengths_np.shape[0])
     nsh = mesh.devices.size
     # shard_map needs n % nsh == 0; pad with zero-length entries (all stats
     # are length-masked, so they contribute nothing) and keep real entries
     # in file order so the delChar election stays exact
     pad = (-n) % nsh
     if pad:
-        streams = jnp.pad(streams, ((0, 0), (0, pad), (0, 0)))
-        lengths = jnp.pad(lengths, (0, pad))
+        streams = np.pad(streams, ((0, 0), (0, pad), (0, 0)))
+        lengths_np = np.pad(lengths_np, (0, pad))
         n += pad
     per_shard = n // nsh
 
-    hists, tot, winner, gentry, dchar = sharded_qv_scan(mesh)(streams, lengths)
+    put = mesh_put(mesh)
+    streams_d = put(streams, P(None, DATA_AXIS, None))
+    del_d = put(streams[0], P(DATA_AXIS, None))
+    sub_d = put(streams[4], P(DATA_AXIS, None))
+
+    hists, tot, winner, gentry, dchar = sharded_qv_scan(mesh)(
+        streams_d, put(lengths_np.astype(np.int32), P(DATA_AXIS)))
     hists = np.asarray(hists).astype(np.int64)
     del_char = int(dchar)
-    lengths_np = np.asarray(lengths).astype(np.int64)
     entry_idx = np.arange(n)
 
     del_run = np.ones(256, np.int64)
     if del_char >= 0:
         r0 = int(winner) * per_shard + int(gentry)
-        masked = jnp.asarray(np.where(entry_idx >= r0, lengths_np, 0)
-                             .astype(np.int32))
+        masked = put(np.where(entry_idx >= r0, lengths_np, 0)
+                     .astype(np.int32), P(DATA_AXIS))
         del_run += np.asarray(sharded_run_hist(mesh)(
-            streams[0], masked, jnp.int32(del_char))).astype(np.int64)
+            del_d, masked,
+            put(np.int32(del_char), P()))).astype(np.int64)
 
     sub_run = np.ones(256, np.int64)
     sub_char = -1
@@ -308,14 +317,15 @@ def sharded_scan_to_stats(mesh, streams, lengths):
     cum = np.cumsum(lengths_np)
     if total >= 100000:
         r1 = int(np.searchsorted(cum, 100000, "left"))
-        masked = jnp.asarray(np.where(entry_idx <= r1, lengths_np, 0)
-                             .astype(np.int32))
-        part = np.asarray(sharded_hist_masked(mesh)(streams[4], masked))
+        masked = put(np.where(entry_idx <= r1, lengths_np, 0)
+                     .astype(np.int32), P(DATA_AXIS))
+        part = np.asarray(sharded_hist_masked(mesh)(sub_d, masked))
         sub_char = int(np.argmax(part))
-        masked2 = jnp.asarray(np.where(entry_idx >= r1, lengths_np, 0)
-                              .astype(np.int32))
+        masked2 = put(np.where(entry_idx >= r1, lengths_np, 0)
+                      .astype(np.int32), P(DATA_AXIS))
         sub_run += np.asarray(sharded_run_hist(mesh)(
-            streams[4], masked2, jnp.int32(sub_char))).astype(np.int64)
+            sub_d, masked2,
+            put(np.int32(sub_char), P()))).astype(np.int64)
 
     return QVStats(hists[0], hists[1], hists[2], hists[3], del_run, sub_run,
                    del_char, sub_char, total)
