@@ -54,17 +54,20 @@ def _sniff(arg: str):
     return None
 
 
-def _extract_sam(path: str, expr, want_fas, want_arr, want_qvs):
+def _extract_sam(path: str, expr, sinks):
+    """Stream records from a BAM/SAM and write outputs as they pass the
+    filter (the reference writes per subread, dextract.c:375-424)."""
     from ..ingest.sam import SamReader, HASQV, HASPW
 
+    fas, arr, qvs = (sinks.get("fasta"), sinks.get("arrow"),
+                     sinks.get("quiva"))
     reader = SamReader(path)
     status = reader.header_status()
-    if want_arr and not (status & HASPW):
+    if arr is not None and not (status & HASPW):
         raise DextractorError(f"{path} does not have Arrow information")
-    if want_qvs and not (status & HASQV):
+    if qvs is not None and not (status & HASQV):
         raise DextractorError(f"{path} does not have Quiver information")
 
-    fas, arr, qvs = [], [], []
     for rec in reader:
         fields = {
             "zm": [rec.well], "ln": [rec.len],
@@ -75,20 +78,24 @@ def _extract_sam(path: str, expr, want_fas, want_arr, want_qvs):
         if not expr.evaluate(fields)[0]:
             continue
         qv1000 = int(rec.qual * 1000.0)
-        if want_fas:
-            fas.append(ex.fasta_entry(rec.header, rec.well, rec.beg, rec.end,
-                                      qv1000, rec.seq))
-        if want_arr:
-            arr.append(ex.arrow_entry(rec.header, rec.snr, rec.arr))
-        if want_qvs:
-            qvs.append(ex.quiva_entry(rec.header, rec.well, rec.beg, rec.end,
-                                      qv1000, rec.qv))
-    return b"".join(fas), b"".join(arr), b"".join(qvs)
+        if fas is not None:
+            fas.write(ex.fasta_entry(rec.header, rec.well, rec.beg, rec.end,
+                                     qv1000, rec.seq))
+        if arr is not None:
+            arr.write(ex.arrow_entry(rec.header, rec.snr, rec.arr))
+        if qvs is not None:
+            qvs.write(ex.quiva_entry(rec.header, rec.well, rec.beg, rec.end,
+                                     qv1000, rec.qv))
 
 
-def _extract_bax(path: str, expr, want_fas, want_arr, want_qvs):
+def _extract_bax(path: str, expr, sinks):
     from ..ingest.bax import read_bax
 
+    fas_s, arr_s, qvs_s = (sinks.get("fasta"), sinks.get("arrow"),
+                           sinks.get("quiva"))
+    want_fas = fas_s is not None
+    want_arr = arr_s is not None
+    want_qvs = qvs_s is not None
     b = read_bax(path, want_qvs, want_arr)
     fas, arr, qvs = [], [], []
     for s in b.subreads():
@@ -126,7 +133,14 @@ def _extract_bax(path: str, expr, want_fas, want_arr, want_qvs):
                  ex.phred33(b.ins_qv[roff:roff + length]).tobytes(),
                  ex.phred33(b.merge_qv[roff:roff + length]).tobytes(),
                  ex.phred33(b.sub_qv[roff:roff + length]).tobytes()]))
-    return b"".join(fas), b"".join(arr), b"".join(qvs)
+    # bax is a bulk HDF5 load (matching getBaxData, bax.c:139-274), so its
+    # outputs are written in one pass per dataset
+    if want_fas:
+        fas_s.write(b"".join(fas))
+    if want_arr:
+        arr_s.write(b"".join(arr))
+    if want_qvs:
+        qvs_s.write(b"".join(qvs))
 
 
 def main(argv=None) -> int:
@@ -151,50 +165,78 @@ def main(argv=None) -> int:
         sys.stderr.write("dextract: Cannot send more than one stream to standard output\n")
         return 1
 
-    # -o<name>: one set of outputs across all inputs
-    agg = {"fasta": [], "arrow": [], "quiva": []}
+    wanted = [(want_fas, "fasta", ".fasta"), (want_arr, "arrow", ".arrow"),
+              (want_qvs, "quiva", ".quiva")]
+
+    # -o<name>: one set of output files shared across all inputs
+    agg_sinks = {}
+    created = []                 # partial outputs to unlink on error
+    if output:
+        opath = path_to(output)
+        oroot = root(output, "")
+        for want, key, suf in wanted:
+            if want:
+                p = catenate(opath, "/", oroot, suf)
+                agg_sinks[key] = open(p, "wb")
+                created.append(p)
+
+    def fail(msg):
+        # unlink partial outputs (dextract.c:464-493)
+        sys.stderr.write(f"dextract: {msg}\n")
+        for s in agg_sinks.values():
+            s.close()
+        for p in created:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        return 1
 
     for arg in files:
         sn = _sniff(arg)
         if sn is None:
-            return 1
+            return fail(f"cannot resolve {arg}")
         pwd, core, full, kind = sn
         if flags["v"]:
             sys.stderr.write(f"Processing file : {core} ...\n")
+
+        per_file = []
+        if output is None:
+            sinks = {}
+            for want, key, suf in wanted:
+                if want:
+                    p = catenate(pwd, "/", core, suf)
+                    sinks[key] = open(p, "wb")
+                    per_file.append(p)
+            created.extend(per_file)
+        elif output == "":
+            key = "fasta" if want_fas else "arrow" if want_arr else "quiva"
+            sinks = {key: sys.stdout.buffer}
+        else:
+            sinks = agg_sinks
+
         try:
             if kind in ("bam", "sam"):
-                fas, arr, qvs = _extract_sam(full, expr, want_fas, want_arr, want_qvs)
+                _extract_sam(full, expr, sinks)
             else:
-                fas, arr, qvs = _extract_bax(full, expr, want_fas, want_arr, want_qvs)
+                _extract_bax(full, expr, sinks)
         except DextractorError as e:
-            sys.stderr.write(f"dextract: {e}\n")
-            return 1
+            if output is None:
+                for s in sinks.values():
+                    s.close()
+            return fail(str(e))
 
         if output is None:
-            for want, text, suf in ((want_fas, fas, ".fasta"),
-                                    (want_arr, arr, ".arrow"),
-                                    (want_qvs, qvs, ".quiva")):
-                if want:
-                    with open(catenate(pwd, "/", core, suf), "wb") as f:
-                        f.write(text)
-        elif output == "":
-            sys.stdout.buffer.write(fas if want_fas else arr if want_arr else qvs)
-        else:
-            agg["fasta"].append(fas)
-            agg["arrow"].append(arr)
-            agg["quiva"].append(qvs)
+            for s in sinks.values():
+                s.close()
+            # this input completed: its outputs are no longer partial
+            for p in per_file:
+                created.remove(p)
         if flags["v"]:
             sys.stderr.write("Done\n")
 
-    if output:
-        opath = path_to(output)
-        oroot = root(output, "")
-        for want, key, suf in ((want_fas, "fasta", ".fasta"),
-                               (want_arr, "arrow", ".arrow"),
-                               (want_qvs, "quiva", ".quiva")):
-            if want:
-                with open(catenate(opath, "/", oroot, suf), "wb") as f:
-                    f.write(b"".join(agg[key]))
+    for s in agg_sinks.values():
+        s.close()
     return 0
 
 

@@ -11,18 +11,19 @@ spec:
   FASTQ-encoded), bc[2], bqual, nump.
 
 BAM is BGZF-compressed (zlib); both the binary BAM record layout and SAM
-text are handled.  ``sam_header_process`` returns the HASQV/HASPW bits by
+text are handled.  ``header_status`` returns the HASQV/HASPW bits by
 probing the first record's aux tags (the snapshot's version promised to
 parse README DS tags but was unfinished, sam.c:318-355).
 
-Reading is batched: ``read_all`` inflates and parses the whole file with
-NumPy-assisted columnar extraction, returning arrays ready for the filter
-DSL and the TPU codec pipeline.
+Reading STREAMS record-by-record like the reference (sam.c:107-188 reads
+through a zlib gzFile): a chunked multi-member BGZF inflater feeds a
+rolling buffer from which records are parsed incrementally, so a
+multi-GB .subreads.bam never needs to fit in RAM.  Each iterator opens
+its own file handle, so header probing does not disturb iteration.
 """
 
 from __future__ import annotations
 
-import gzip
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -33,6 +34,8 @@ from ..utils.errors import FormatError
 
 HASQV = 0x1
 HASPW = 0x2
+
+_CHUNK = 1 << 20
 
 
 @dataclass
@@ -55,23 +58,96 @@ class SamRecord:
 _SEQ_CODE = b"=ACMGRSVTWYHKDBN"
 
 
-def _bgzf_decompress(data: bytes) -> bytes:
-    """Inflate a BGZF (or plain gzip / plain text) stream."""
-    if data[:2] != b"\x1f\x8b":
-        return data
-    out = []
-    pos = 0
-    n = len(data)
-    # BGZF is a series of gzip members; zlib handles member-by-member
+def _inflate_chunks(f, first: bytes = b""):
+    """Yield inflated chunks from a BGZF / multi-member gzip / plain file.
+
+    BGZF is thousands of <=64KB gzip members plus an empty EOF member;
+    the decompressobj is restarted on every member boundary via
+    ``unused_data`` so arbitrarily many members stream in O(chunk) memory
+    (the reference reads through a zlib gzFile, sam.c:107-188).
+    """
+    head = first if len(first) >= 2 else first + f.read(2 - len(first))
+    if head[:2] != b"\x1f\x8b":
+        if head:
+            yield head
+        while True:
+            c = f.read(_CHUNK)
+            if not c:
+                return
+            yield c
+        return
+
     d = zlib.decompressobj(31)
-    while pos < n:
-        out.append(d.decompress(data[pos:]))
-        while d.unused_data:
-            rest = d.unused_data
+    pending = head
+    while True:
+        if not pending:
+            pending = f.read(_CHUNK)
+            if not pending:
+                break
+        out = d.decompress(pending)
+        if out:
+            yield out
+        if d.eof:
+            pending = d.unused_data
             d = zlib.decompressobj(31)
-            out.append(d.decompress(rest))
-        break
-    return b"".join(out)
+        else:
+            pending = b""
+    tail = d.flush()
+    if tail:
+        yield tail
+
+
+class _StreamBuf:
+    """Rolling buffer over an inflated-chunk generator."""
+
+    def __init__(self, chunks):
+        self._chunks = chunks
+        self._buf = bytearray()
+        self._pos = 0
+        self.eof = False
+
+    def ensure(self, n: int) -> bool:
+        """Make >= n bytes available at the cursor; False at clean EOF."""
+        while len(self._buf) - self._pos < n:
+            # compact consumed prefix before growing
+            if self._pos > (1 << 22):
+                del self._buf[: self._pos]
+                self._pos = 0
+            try:
+                self._buf += next(self._chunks)
+            except StopIteration:
+                self.eof = True
+                return len(self._buf) - self._pos >= n
+        return True
+
+    def take(self, n: int) -> bytes:
+        if not self.ensure(n):
+            raise FormatError("truncated BAM stream")
+        v = bytes(self._buf[self._pos: self._pos + n])
+        self._pos += n
+        return v
+
+    def at_eof(self) -> bool:
+        return not self.ensure(1)
+
+    def lines(self):
+        """Iterate text lines (for SAM)."""
+        while True:
+            nl = self._buf.find(b"\n", self._pos)
+            while nl < 0:
+                if self._pos > (1 << 22):
+                    del self._buf[: self._pos]
+                    self._pos = 0
+                try:
+                    self._buf += next(self._chunks)
+                except StopIteration:
+                    if self._pos < len(self._buf):
+                        yield bytes(self._buf[self._pos:])
+                        self._pos = len(self._buf)
+                    return
+                nl = self._buf.find(b"\n", self._pos)
+            yield bytes(self._buf[self._pos: nl])
+            self._pos = nl + 1
 
 
 def _parse_aux(buf: memoryview, off: int, end: int, is_big: bool) -> dict:
@@ -154,69 +230,73 @@ def _record_from_fields(qname, seq, tags) -> SamRecord:
 
 
 class SamReader:
-    """Open a .subreads.bam / .subreads.sam and iterate records."""
+    """Open a .subreads.bam / .subreads.sam and stream records."""
 
     def __init__(self, path: str):
+        self.path = path
+        # sniff type + capture the header by streaming just its prefix
         with open(path, "rb") as f:
-            raw = f.read()
-        self.is_bam = False
-        data = _bgzf_decompress(raw)
-        if data[:4] == b"BAM\x01":
-            self.is_bam = True
-            self.data = data
-            self._init_bam()
-        else:
-            self.data = data
-            self._init_sam()
+            buf = _StreamBuf(_inflate_chunks(f))
+            self.is_bam = buf.ensure(4) and bytes(
+                buf._buf[buf._pos: buf._pos + 4]) == b"BAM\x01"
+            if self.is_bam:
+                buf.take(4)
+                (l_text,) = struct.unpack("<i", buf.take(4))
+                self.header_text = buf.take(l_text)
+                (n_ref,) = struct.unpack("<i", buf.take(4))
+                for _ in range(n_ref):
+                    (l_name,) = struct.unpack("<i", buf.take(4))
+                    buf.take(l_name + 4)
+            else:
+                self.header_lines = []
+                for line in buf.lines():
+                    if not line.startswith(b"@"):
+                        break
+                    self.header_lines.append(line)
+                self.header_text = b"\n".join(self.header_lines)
 
     # -- BAM ---------------------------------------------------------------
 
-    def _init_bam(self):
-        mv = memoryview(self.data)
-        (l_text,) = struct.unpack_from("<i", mv, 4)
-        off = 8 + l_text
-        (n_ref,) = struct.unpack_from("<i", mv, off)
-        off += 4
-        for _ in range(n_ref):
-            (l_name,) = struct.unpack_from("<i", mv, off)
-            off += 4 + l_name + 4
-        self.header_text = bytes(mv[8:8 + l_text])
-        self._off = off
-
     def _iter_bam(self):
-        mv = memoryview(self.data)
-        off = self._off
-        n = len(self.data)
-        while off + 4 <= n:
-            (block,) = struct.unpack_from("<i", mv, off)
-            off += 4
-            end = off + block
-            (_, _, l_qname, _, _, n_cigar, _, l_seq, _, _) = struct.unpack_from(
-                "<iiBBHHHiii", mv, off)
-            p = off + 32
-            qname = bytes(mv[p:p + l_qname - 1])
-            p += l_qname + 4 * n_cigar
-            nb = (l_seq + 1) // 2
-            packed = np.frombuffer(mv[p:p + nb], np.uint8)
-            codes = np.empty(2 * nb, np.uint8)
-            codes[0::2] = packed >> 4
-            codes[1::2] = packed & 0xF
-            seq = np.frombuffer(_SEQ_CODE, np.uint8)[codes[:l_seq]].tobytes()
-            p += nb + l_seq                     # skip qual
-            tags = _parse_aux(mv, p, end, False)
-            off = end
-            yield qname, seq, tags
+        with open(self.path, "rb") as f:
+            buf = _StreamBuf(_inflate_chunks(f))
+            buf.take(4)                          # magic
+            (l_text,) = struct.unpack("<i", buf.take(4))
+            buf.take(l_text)
+            (n_ref,) = struct.unpack("<i", buf.take(4))
+            for _ in range(n_ref):
+                (l_name,) = struct.unpack("<i", buf.take(4))
+                buf.take(l_name + 4)
+            while not buf.at_eof():
+                (block,) = struct.unpack("<i", buf.take(4))
+                rec = memoryview(buf.take(block))
+                (_, _, l_qname, _, _, n_cigar, _, l_seq, _, _) = \
+                    struct.unpack_from("<iiBBHHHiii", rec, 0)
+                p = 32
+                qname = bytes(rec[p:p + l_qname - 1])
+                p += l_qname + 4 * n_cigar
+                nb = (l_seq + 1) // 2
+                packed = np.frombuffer(rec[p:p + nb], np.uint8)
+                codes = np.empty(2 * nb, np.uint8)
+                codes[0::2] = packed >> 4
+                codes[1::2] = packed & 0xF
+                seq = np.frombuffer(_SEQ_CODE, np.uint8)[codes[:l_seq]].tobytes()
+                p += nb + l_seq                 # skip qual
+                tags = _parse_aux(rec, p, block, False)
+                yield qname, seq, tags
 
     # -- SAM ---------------------------------------------------------------
 
-    def _init_sam(self):
-        lines = self.data.split(b"\n")
-        self.header_lines = [l for l in lines if l.startswith(b"@")]
-        self.header_text = b"\n".join(self.header_lines)
-        self._body = [l for l in lines if l and not l.startswith(b"@")]
-
     def _iter_sam(self):
-        for line in self._body:
+        with open(self.path, "rb") as fh:
+            buf = _StreamBuf(_inflate_chunks(fh))
+            lines = buf.lines()
+            yield from self._parse_sam_lines(lines)
+
+    def _parse_sam_lines(self, lines):
+        for line in lines:
+            if not line or line.startswith(b"@"):
+                continue
             f = line.split(b"\t")
             if len(f) < 11:
                 raise FormatError("SAM record with fewer than 11 fields")

@@ -191,6 +191,29 @@ def make_bam(rng, n_reads=8, min_len=50, max_len=300, movie=b"m54238_180903_1",
     return bam, recs
 
 
+def bgzf_compress(data: bytes, block: int = 0xFF00) -> bytes:
+    """Genuine BGZF framing: <=64KB-input gzip members each carrying the
+    BC/BSIZE extra field, terminated by the canonical 28-byte EOF block
+    (the framing htslib bgzip writes)."""
+    import struct
+    import zlib
+
+    out = bytearray()
+    for i in range(0, len(data), block):
+        chunk = data[i:i + block]
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = co.compress(chunk) + co.flush()
+        bsize = len(payload) + 25
+        out += (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+                + struct.pack("<H", 6)              # XLEN
+                + b"BC" + struct.pack("<HH", 2, bsize)
+                + payload
+                + struct.pack("<II", zlib.crc32(chunk), len(chunk)))
+    out += bytes.fromhex(
+        "1f8b08040000000000ff0600424302001b0003000000000000000000")
+    return bytes(out)
+
+
 def make_quiva(rng, n_reads=12, min_len=0, max_len=400, movie=b"m130205_1210_42",
                del_run=True, sub_heavy=False, spread=30):
     """A synthetic .quiva image: header + 5 equal-length QV/tag streams.
