@@ -470,7 +470,7 @@ def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
 
     buf = np.frombuffer(data, np.uint8)
     size = len(buf)
-    cap_entries = max(size // 13 + 2, 16)
+    cap_entries = max(size // (13 if newv else 7) + 2, 16)
     wells = np.zeros(cap_entries, np.int32)
     begs = np.zeros(cap_entries, np.int32)
     ends_ = np.zeros(cap_entries, np.int32)
@@ -481,9 +481,7 @@ def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
-    # pass 1: lens-only walk (exact entry count + total chars); fresh
-    # large allocations fault pages very slowly on this class of host, so
-    # exact sizing + a reused grow-only buffer beats over-allocation
+    # lens-only walk: exact entry count + boundaries, no materialization
     ne = lib.dxt_qv_walk(
         ptr(buf), size, off, ptr(lookups), ptr(lens), ptr(types),
         ptr(sid), coding.del_char, coding.sub_char, int(newv),
@@ -501,38 +499,83 @@ def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
 def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
     """Decode all entries with the native sequential walker (the entry
     chain is bit-serial; see native/qv_decode.c).  Returns the same tuple
-    shape as the Python walker or None when unavailable."""
+    shape as the Python walker or None when unavailable.
+
+    Single materialize pass: the output capacity is estimated from the
+    ~3.4x compression factor and grown on overflow (walker rc -3), which
+    halves the chain work vs an exact-sizing pre-pass; the grow-only
+    shared buffer keeps steady-state allocations (and their first-touch
+    page faults) at zero."""
+    from ..native import qv_decode_shim
+
+    try:
+        lib = qv_decode_shim()
+    except OSError:
+        return None
     import ctypes
 
-    res = _index_native(data, coding, off, newv)
-    if res is None:
-        return None
-    lib, (lookups, lens, types, sid), wells, begs, ends_, qvs, eoffs, elens = res
+    schemes = []
+
+    def sidx(s):
+        if s is None:
+            return -1
+        s.with_lookup()
+        schemes.append(s)
+        return len(schemes) - 1
+
+    sid = np.array([
+        sidx(coding.del_scheme), sidx(coding.drun_scheme),
+        sidx(coding.ins_scheme), sidx(coding.mrg_scheme),
+        sidx(coding.sub_scheme), sidx(coding.srun_scheme)], np.int32)
+    lookups = np.ascontiguousarray(
+        np.stack([s.lookup for s in schemes]).astype(np.int32))
+    lens = np.ascontiguousarray(
+        np.stack([np.minimum(s.codelens, 255) for s in schemes]).astype(np.uint8))
+    types = np.array([s.type for s in schemes], np.uint8)
+
     buf = np.frombuffer(data, np.uint8)
     size = len(buf)
-    ne = len(wells)
-    total = int(elens.sum())
+    cap_entries = max(size // (13 if newv else 7) + 2, 16)
+    wells = np.zeros(cap_entries, np.int32)
+    begs = np.zeros(cap_entries, np.int32)
+    ends_ = np.zeros(cap_entries, np.int32)
+    qvs = np.zeros(cap_entries, np.int32)
+    eoffs = np.zeros(cap_entries, np.int64)
+    elens = np.zeros(cap_entries, np.int64)
 
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
     global _WALK_BUF
-    if _WALK_BUF is None or _WALK_BUF.size < 5 * total:
-        _WALK_BUF = np.empty(max(5 * total, 1 << 20), np.uint8)
-    out = _WALK_BUF
-
-    ne2 = lib.dxt_qv_walk(
-        ptr(buf), size, off, ptr(lookups), ptr(lens), ptr(types),
-        ptr(sid), coding.del_char, coding.sub_char, int(newv),
-        ne, total,
-        ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
-        ptr(elens), ptr(out), 1)
-    if ne2 != ne:
-        raise FormatError(f"corrupt .dexqv stream (native walker: {ne2})")
-    # NB: a view into the shared grow-only buffer — valid until the next
-    # native walk; decode_dexqv_to_quiva consumes it immediately
-    streams = out[: 5 * total].reshape(5, total)
-    return (wells, begs, ends_, qvs, elens, streams)
+    cap_total = max(size, 1 << 20)
+    if _WALK_BUF is not None:
+        cap_total = max(cap_total, _WALK_BUF.size // 5)
+    while True:
+        if _WALK_BUF is None or _WALK_BUF.size < 5 * cap_total:
+            _WALK_BUF = np.empty(5 * cap_total, np.uint8)
+        out = _WALK_BUF
+        ne = lib.dxt_qv_walk(
+            ptr(buf), size, off, ptr(lookups), ptr(lens), ptr(types),
+            ptr(sid), coding.del_char, coding.sub_char, int(newv),
+            cap_entries, cap_total,
+            ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
+            ptr(elens), ptr(out), 1)
+        if ne == -3:
+            cap_total *= 2
+            continue
+        if ne < 0:
+            raise FormatError(f"corrupt .dexqv stream (native walker: {ne})")
+        break
+    ne = int(ne)
+    total = int(elens[:ne].sum())
+    # NB: stream s lives at out[s*cap_total : s*cap_total+total] — a view
+    # into the shared grow-only buffer, valid until the next native walk;
+    # decode_dexqv_to_quiva consumes it immediately
+    streams = np.lib.stride_tricks.as_strided(
+        out, shape=(5, total), strides=(cap_total, 1)) if total else \
+        np.empty((5, 0), np.uint8)
+    return (wells[:ne], begs[:ne], ends_[:ne], qvs[:ne], elens[:ne],
+            streams)
 
 
 _WALK_BUF = None

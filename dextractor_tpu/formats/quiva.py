@@ -92,16 +92,50 @@ def parse_quiva(data: bytes) -> QuivaFile:
     return QuivaFile(prefix, wells, begs, endf, qvs, lengths, streams)
 
 
+_TEXT_BUF = None
+
+
 def write_quiva(prefix: bytes, wells, begs, ends, qvs, lengths: np.ndarray,
                 streams: np.ndarray) -> bytes:
     """Assemble a .quiva image from decoded streams (undexqv.c:182-207)."""
     n = len(wells)
-    lengths = lengths.astype(np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
     headers = [
         prefix + f"/{w}/{b}_{e} RQ=0.{q}".encode()
-        for w, b, e, q in zip(wells.tolist(), begs.tolist(), ends.tolist(), qvs.tolist())
+        for w, b, e, q in zip(np.asarray(wells).tolist(),
+                              np.asarray(begs).tolist(),
+                              np.asarray(ends).tolist(),
+                              np.asarray(qvs).tolist())
     ]
     hdr_lens = np.array([len(h) for h in headers], np.int64)
+    total_out = int(hdr_lens.sum()) + n + 5 * int(lengths.sum()) + 5 * n
+
+    # fast path: the native memcpy assembler over the walker's stream-major
+    # layout — the numpy scatter below moves 16 bytes of index per output
+    # byte and fresh 20MB+ allocations fault slowly on this host
+    if n and streams.ndim == 2 and streams.strides[1] == 1:
+        try:
+            from ..native import qv_decode_shim
+            lib = qv_decode_shim()
+        except OSError:
+            lib = None
+        if lib is not None:
+            import ctypes
+
+            global _TEXT_BUF
+            if _TEXT_BUF is None or _TEXT_BUF.size < total_out:
+                _TEXT_BUF = np.empty(max(total_out, 1 << 20), np.uint8)
+            hdrs = np.frombuffer(b"".join(headers), np.uint8)
+
+            def ptr(a):
+                return a.ctypes.data_as(ctypes.c_void_p)
+
+            nw = lib.dxt_quiva_text(
+                streams.ctypes.data_as(ctypes.c_void_p),
+                streams.strides[0], n, ptr(lengths),
+                ptr(hdrs), ptr(hdr_lens), ptr(_TEXT_BUF))
+            return _TEXT_BUF[:nw].tobytes()
+
     blk_lens = hdr_lens + 1 + 5 * (lengths + 1)
     blk_off = np.zeros(n + 1, np.int64)
     np.cumsum(blk_lens, out=blk_off[1:])

@@ -54,6 +54,12 @@ def qv_decode_shim():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int,
         ]
+        lib.dxt_quiva_text.restype = ctypes.c_longlong
+        lib.dxt_quiva_text.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
     except OSError as e:
         _qv_err = e
         raise

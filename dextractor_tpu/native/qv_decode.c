@@ -37,12 +37,31 @@ static inline uint32_t word_at(const BitRead *b, int64_t byteoff)
   return w;     /* little-endian host */
 }
 
-static inline uint32_t peek16(const BitRead *b)
-{ int64_t  bit = b->pos;
-  int64_t  at = b->base + (bit >> 5) * 4;
-  uint64_t win = ((uint64_t) word_at(b, at) << 32) | word_at(b, at + 4);
-  return (uint32_t) ((win >> (48 - (bit & 31))) & 0xffff);
+/* Register-resident decode window: the valid bits live left-aligned in
+ * ``icode`` (top ``ilen`` bits).  One branch + one 32-bit load per ~32
+ * consumed bits instead of two 8-byte reassemblies per symbol — the same
+ * structure as the reference's 64-bit GET window (QV.c:537-568), kept in
+ * locals so the compiler can hold it in registers. */
+typedef struct
+  { uint64_t icode;
+    int      ilen;
+    int64_t  wordi;   /* next u32 word index to load */
+  } Win;
+
+static inline void win_init(Win *w)
+{ w->icode = 0; w->ilen = 0; w->wordi = 0; }
+
+static inline void win_fill(Win *w, const BitRead *b)
+{ while (w->ilen <= 32)
+    { uint32_t nw = word_at(b, b->base + 4 * w->wordi);
+      w->wordi += 1;
+      w->icode |= ((uint64_t) nw) << (32 - w->ilen);
+      w->ilen += 32;
+    }
 }
+
+#define WPEEK16(w)   ((uint32_t) ((w).icode >> 48))
+#define WDROP(w, n)  ((w).icode <<= (n), (w).ilen -= (n))
 
 /* words the encoder wrote for a stream (tail-padding rule, QV.c:436-442) */
 static inline int64_t stream_words(int64_t total, int last)
@@ -63,14 +82,20 @@ static int64_t dec_plain(BitRead *b, const int32_t *look, const uint8_t *lens,
 { int     signal = (type == 2) ? 255 : 256;
   int     last = 0;
   int64_t j;
+  Win     w;
 
+  win_init(&w);
   for (j = 0; j < rlen; j++)
-    { int c = look[peek16(b)];
-      int n = lens[c];
+    { int c, n;
+      win_fill(&w, b);                /* >= 24 bits: code + escape literal */
+      c = look[WPEEK16(w)];
+      n = lens[c];
+      WDROP(w, n);
       b->pos += n;
       last = n;
       if (c == signal)
-        { c = (int) ((peek16(b) >> 8) & 0xff);
+        { c = (int) (w.icode >> 56);
+          WDROP(w, 8);
           b->pos += 8;
           last = 8;
         }
@@ -87,32 +112,41 @@ static int64_t dec_run(BitRead *b, const int32_t *nlook, const uint8_t *nlens,
 { int     nsignal = (ntype == 2) ? 255 : 256;
   int     last = 0;
   int64_t j = 0;
+  Win     w;
 
+  win_init(&w);
   while (j < rlen)
-    { int c = rlook[peek16(b)];
-      int n = rlens[c];
+    { int c, n;
+      win_fill(&w, b);                /* run code + 16-bit length literal */
+      c = rlook[WPEEK16(w)];
+      n = rlens[c];
+      WDROP(w, n);
       b->pos += n;
       last = n;
       if (c == 255)
-        { c = (int) peek16(b);
+        { c = (int) WPEEK16(w);
+          WDROP(w, 16);
           b->pos += 16;
           last = 16;
         }
-      { int64_t k, e = j + c;
+      { int64_t e = j + c;
         if (e > rlen)
           e = rlen;
         if (out != NULL)
-          for (k = j; k < e; k++)
-            out[k] = (uint8_t) rchar;
+          memset(out + j, rchar, (size_t) (e - j));
         j = e;
       }
       if (j < rlen)
-        { int s = nlook[peek16(b)];
+        { int s;
+          win_fill(&w, b);
+          s = nlook[WPEEK16(w)];
           n = nlens[s];
+          WDROP(w, n);
           b->pos += n;
           last = n;
           if (s == nsignal)
-            { s = (int) ((peek16(b) >> 8) & 0xff);
+            { s = (int) (w.icode >> 56);
+              WDROP(w, 8);
               b->pos += 8;
               last = 8;
             }
@@ -125,6 +159,32 @@ static int64_t dec_run(BitRead *b, const int32_t *nlook, const uint8_t *nlens,
 }
 
 static const char LOWER[5] = { 'a', 'c', 'g', 't', 0 };
+
+/* Assemble .quiva text (undexqv.c:182-207's fprintf loop, batched):
+ * per entry a pre-rendered header line then the five stream lines.
+ * streams is stream-major with row stride stream_stride (the walker's
+ * output layout).  Returns bytes written. */
+long long dxt_quiva_text(
+    const uint8_t *streams, long long stream_stride, long long ne,
+    const long long *elens, const uint8_t *hdrs, const long long *hdr_lens,
+    uint8_t *out)
+{ int64_t spos = 0, hpos = 0, opos = 0;
+  int64_t i, s;
+  for (i = 0; i < ne; i++)
+    { int64_t L = elens[i];
+      memcpy(out + opos, hdrs + hpos, (size_t) hdr_lens[i]);
+      opos += hdr_lens[i];
+      hpos += hdr_lens[i];
+      out[opos++] = '\n';
+      for (s = 0; s < 5; s++)
+        { memcpy(out + opos, streams + s * stream_stride + spos, (size_t) L);
+          opos += L;
+          out[opos++] = '\n';
+        }
+      spos += L;
+    }
+  return opos;
+}
 
 /* Walk every entry of a .dexqv payload.
  *
