@@ -147,21 +147,37 @@ def main() -> None:
         print(f"[bench] {label}: compile+warm {time.perf_counter()-t0:.1f}s",
               file=sys.stderr, flush=True)
         # steps are milliseconds while a result fetch costs ~0.2s through
-        # the relay: widen K until the difference clears the noise floor,
-        # but keep total device time bounded (very long chained programs
-        # can trip the worker watchdog)
+        # the relay: widen K until the difference clears the noise floor.
+        # Budget: very long chained device programs trip the TPU worker
+        # watchdog (which kills the worker for every later measurement),
+        # so estimate the per-step cost first and cap total device time.
         k_lo = 2
         t_lo = min(run_k(k_lo) for _ in range(3))
+        est = max(t_lo / k_lo, 1e-4)     # upper bound incl. fetch overhead
+        budget_s = 22.0
         dt = None
         for k_hi in (12, 52, 202):
+            if est * k_hi > budget_s:
+                break
             t_hi = min(run_k(k_hi) for _ in range(2))
             print(f"[bench] {label}: k={k_hi}: {t_hi:.3f}s "
                   f"(k={k_lo}: {t_lo:.3f}s)", file=sys.stderr, flush=True)
             if t_hi - t_lo > 0.4 or t_hi > 30:
                 dt = (t_hi - t_lo) / (k_hi - k_lo)
                 break
+            est = max(t_hi / k_hi, est)
         if dt is None:
-            dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
+            # slow step: k_lo alone is far above the noise floor, so
+            # difference two small K values instead of escalating
+            if est * 3 > budget_s:
+                t1 = min(run_k(1) for _ in range(2))
+                dt = max(t_lo - t1, 1e-9)
+            else:
+                k_hi = max(3, min(202, int(budget_s / est)))
+                t_hi = min(run_k(k_hi) for _ in range(2))
+                print(f"[bench] {label}: k={k_hi}: {t_hi:.3f}s (capped)",
+                      file=sys.stderr, flush=True)
+                dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
         return dt
 
     print("[bench] uploading + compiling encode ...", file=sys.stderr,
@@ -186,13 +202,13 @@ def main() -> None:
     payload_bytes = int(q.lengths.sum()) * 5        # the five QV streams
     gbps = payload_bytes / dt / 1e9
 
-    # ---- device dexqv decode (fused five-channel entry step) -----------
+    # ---- device dexqv decode (gather-free fused five-channel step) -----
     from dextractor_tpu.codecs.qv_codec import (
         encode_quiva_to_dexqv, decode_dexqv_to_quiva, _index_native)
-    from dextractor_tpu.codecs.qv_batch import decode_tables
+    from dextractor_tpu.codecs.qv_batch import decode_tables_v2
     from dextractor_tpu.formats import dexqv as dqf
     from dextractor_tpu.formats.ragged import next_pow2
-    from dextractor_tpu.ops import decode_jax as dj
+    from dextractor_tpu.ops import decode2 as d2
 
     enc = encode_quiva_to_dexqv(data, device=False)
     (workdir / "g.dexqv").write_bytes(enc)
@@ -200,34 +216,40 @@ def main() -> None:
     _, _, _, _, _, _, eoffs, elens = _index_native(enc, coding, coff, True)
     n_dec = len(eoffs)
     n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
-    eoffs = np.pad(eoffs, (0, n_decp - n_dec))
+    dbuf = np.frombuffer(enc, np.uint8)
+    k_words = d2.rect_k_words(eoffs, len(dbuf))
+    rect = d2.build_entry_rect(dbuf, eoffs, k_words)
+    rect = np.concatenate(
+        [rect, np.zeros((n_decp - n_dec, k_words), np.uint32)])
     drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
     dec_max_len = next_pow2(max(int(drlens.max(initial=0)), 512))
-    sids, lookups_t, lens_t, types_t, del_mode, sub_mode = \
-        decode_tables(coding)
-    dbuf = np.concatenate([np.frombuffer(enc, np.uint8),
-                           np.zeros(8, np.uint8)])
-    dec_args = (jnp.asarray(dbuf), jnp.asarray(eoffs), jnp.asarray(drlens),
-                jnp.asarray(sids), jnp.asarray(lookups_t),
-                jnp.asarray(lens_t), jnp.asarray(types_t),
+    sids, f1_t, f2_t, types_t, del_mode, sub_mode, subw, lmax = \
+        decode_tables_v2(coding)
+    dec_args = (jnp.asarray(rect), jnp.asarray(drlens), jnp.asarray(sids),
+                jnp.asarray(f1_t), jnp.asarray(f2_t), jnp.asarray(types_t),
                 jnp.int32(coding.del_char & 0xFF),
                 jnp.int32(coding.sub_char & 0xFF))
     jax.block_until_ready(dec_args)
 
     @jax.jit
-    def dec_chained(buf_, starts_, rlens_, sids_, lk_, ln_, ty_, dc_, sc_, k):
+    def dec_chained(rect_, rlens_, sids_, f1_, f2_, ty_, dc_, sc_, k):
         # decode cost is shape-determined (fixed fori chains), so XORing
-        # the container bytes keeps cost identical while defeating hoisting
+        # the rectangle words keeps cost identical while defeating hoisting
         def body(_, acc):
-            b = buf_ ^ (acc & 0xFF).astype(jnp.uint8)
-            rows = dj.decode_entry_batch(
-                b, starts_, rlens_, sids_, lk_, ln_, ty_, dc_, sc_,
-                max_len=dec_max_len, del_mode=del_mode, sub_mode=sub_mode)
+            r = rect_ ^ acc.astype(jnp.uint32)
+            rows = d2.decode_entry_batch2(
+                r, rlens_, sids_, f1_, f2_, ty_, dc_, sc_,
+                max_len=dec_max_len, del_mode=del_mode, sub_mode=sub_mode,
+                subw=subw, lmax=lmax)
             return acc + rows.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    ddt = measure_chained(dec_chained, dec_args, "qv-decode")
-    dec_gbps = payload_bytes / ddt / 1e9
+    try:
+        ddt = measure_chained(dec_chained, dec_args, "qv-decode")
+        dec_gbps = payload_bytes / ddt / 1e9
+    except Exception as e:                        # keep the JSON line coming
+        print(f"[bench] qv-decode failed: {e}", file=sys.stderr, flush=True)
+        dec_gbps = None
 
     # ---- device dexta encode/decode (2-bit codec) ----------------------
     from conftest import make_fasta
@@ -264,8 +286,12 @@ def main() -> None:
             return acc + sym.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    xddt = measure_chained(dexta_dec_chained, dx_args, "dexta-decode")
-    dexta_dec_gbps = total_bases / xddt / 1e9
+    try:
+        xddt = measure_chained(dexta_dec_chained, dx_args, "dexta-decode")
+        dexta_dec_gbps = total_bases / xddt / 1e9
+    except Exception as e:
+        print(f"[bench] dexta-decode failed: {e}", file=sys.stderr, flush=True)
+        dexta_dec_gbps = None
 
     # encode: ascii rows -> packed payload
     seq_rows = np.asarray(_decode_rows(jnp.asarray(prow),
@@ -283,8 +309,12 @@ def main() -> None:
             return acc + packed.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    xedt = measure_chained(dexta_enc_chained, ex_args, "dexta-encode")
-    dexta_enc_gbps = total_bases / xedt / 1e9
+    try:
+        xedt = measure_chained(dexta_enc_chained, ex_args, "dexta-encode")
+        dexta_enc_gbps = total_bases / xedt / 1e9
+    except Exception as e:
+        print(f"[bench] dexta-encode failed: {e}", file=sys.stderr, flush=True)
+        dexta_enc_gbps = None
 
     # ---- C baselines ---------------------------------------------------
     build = build_ref_tools()
@@ -327,17 +357,17 @@ def main() -> None:
             "dexqv_decode_throughput": {
                 "value": rnd(dec_gbps), "unit": "GB/s",
                 "vs_baseline": rnd(dec_gbps / c_undexqv_gbps, 3)
-                if c_undexqv_gbps else None,
+                if (c_undexqv_gbps and dec_gbps) else None,
                 "c_undexqv_GBps": rnd(c_undexqv_gbps)},
             "dexta_decode_throughput": {
                 "value": rnd(dexta_dec_gbps), "unit": "GB/s",
                 "vs_baseline": rnd(dexta_dec_gbps / c_undexta_gbps, 3)
-                if c_undexta_gbps else None,
+                if (c_undexta_gbps and dexta_dec_gbps) else None,
                 "c_undexta_GBps": rnd(c_undexta_gbps)},
             "dexta_encode_throughput": {
                 "value": rnd(dexta_enc_gbps), "unit": "GB/s",
                 "vs_baseline": rnd(dexta_enc_gbps / c_dexta_gbps, 3)
-                if c_dexta_gbps else None,
+                if (c_dexta_gbps and dexta_enc_gbps) else None,
                 "c_dexta_GBps": rnd(c_dexta_gbps)},
             "decode_native_MBps": round(dec_mbps, 1),
             "decode_roundtrip_ok": bool(dec_ok),

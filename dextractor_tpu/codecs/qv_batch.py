@@ -48,33 +48,64 @@ def decode_tables(coding):
     return sids, lookups, lens, types, del_mode, sub_mode
 
 
+def decode_tables_v2(coding):
+    """Coding -> gather-free two-level decode tables (ops/decode2).
+
+    Returns (sids (6,) i32, f1 (S,256) i32, f2 flat i32, types (S,) i32,
+    del_mode, sub_mode, subw, lmax)."""
+    from ..ops.decode2 import scheme_tables2
+
+    schemes = []
+
+    def sidx(s):
+        if s is None:
+            return 0          # never dereferenced for absent run schemes
+        schemes.append(s)
+        return len(schemes) - 1
+
+    sids = np.array([
+        sidx(coding.del_scheme), sidx(coding.drun_scheme),
+        sidx(coding.ins_scheme), sidx(coding.mrg_scheme),
+        sidx(coding.sub_scheme), sidx(coding.srun_scheme)], np.int32)
+    f1, f2, subw, lmax = scheme_tables2(schemes)
+    types = np.array([s.type for s in schemes], np.int32)
+    del_mode = "run" if coding.del_char >= 0 else "plain"
+    sub_mode = "run" if coding.sub_char >= 0 else "plain"
+    return sids, f1, f2, types, del_mode, sub_mode, subw, lmax
+
+
 def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
                          rlens: np.ndarray, coding, mesh=None):
-    """Single-coding batch decode through the fused device step
-    (ops/decode_jax.decode_entry_batch): all five channels, run expansion
-    and tag interleave on device.  Returns (5, N, max_len) u8 rows."""
+    """Single-coding batch decode through the fused gather-free device
+    step (ops/decode2.decode_entry_batch2): all five channels, run
+    expansion and tag interleave on device.  Each entry's bytes are laid
+    out as a dense row of little-endian u32 words host-side (memcpy
+    speed), so the chip never random-accesses the container image.
+    Returns (5, N, max_len) u8 rows."""
     import jax.numpy as jnp
-    from ..ops import decode_jax as dj
+    from ..ops import decode2 as d2
 
     rlens = np.asarray(rlens, np.int32)
     max_len = next_pow2(max(int(rlens.max(initial=0)), 512))
-    buf = np.concatenate([np.asarray(buf, np.uint8), np.zeros(8, np.uint8)])
-    sids, lookups, lens, types, del_mode, sub_mode = decode_tables(coding)
-    args_rep = (jnp.asarray(sids), jnp.asarray(lookups), jnp.asarray(lens),
+    buf = np.asarray(buf, np.uint8)
+    k_words = d2.rect_k_words(starts, len(buf))
+    rect = d2.build_entry_rect(buf, starts, k_words)
+    sids, f1, f2, types, del_mode, sub_mode, subw, lmax = \
+        decode_tables_v2(coding)
+    args_rep = (jnp.asarray(sids), jnp.asarray(f1), jnp.asarray(f2),
                 jnp.asarray(types), jnp.int32(coding.del_char & 0xFF),
                 jnp.int32(coding.sub_char & 0xFF))
     if mesh is None:
-        return dj.decode_entry_batch(
-            jnp.asarray(buf), jnp.asarray(np.asarray(starts, np.int64)),
-            jnp.asarray(rlens), *args_rep, max_len=max_len,
-            del_mode=del_mode, sub_mode=sub_mode)
+        return d2.decode_entry_batch2(
+            jnp.asarray(rect), jnp.asarray(rlens), *args_rep,
+            max_len=max_len, del_mode=del_mode, sub_mode=sub_mode,
+            subw=subw, lmax=lmax)
     from ..parallel.pipeline import sharded_decode_entry
     fn = sharded_decode_entry(mesh, max_len=max_len, del_mode=del_mode,
-                              sub_mode=sub_mode)
+                              sub_mode=sub_mode, subw=subw, lmax=lmax)
     n = len(starts)
     pad = (-n) % mesh.devices.size
-    rows = fn(jnp.asarray(buf),
-              jnp.asarray(np.pad(np.asarray(starts, np.int64), (0, pad))),
+    rows = fn(jnp.asarray(np.pad(rect, ((0, pad), (0, 0)))),
               jnp.asarray(np.pad(rlens, (0, pad))), *args_rep)
     return rows[:, :n]
 

@@ -255,6 +255,17 @@ def pack_words(v, n):
     return hi_vals + lo_vals
 
 
+def pack_words_any(v, n):
+    """pack_words via the in-VMEM Pallas kernel on TPU (HBM sees one read
+    of (v, n) and one write of words; the log-shift rounds stay in VMEM),
+    falling back to the XLA formulation on CPU."""
+    if jax.default_backend() == "cpu":
+        return pack_words(v, n)
+    from .pack_pallas import pack_words_pallas
+
+    return pack_words_pallas(v.astype(jnp.int32), n)
+
+
 def word_counts(t, last_gran):
     """(raw_words, out_words, dup, zero_ext) per row from totals.
 
@@ -308,7 +319,7 @@ def finalize_rows(words: np.ndarray, raw: np.ndarray, out: np.ndarray,
 @jax.jit
 def encode_plain_rows(data, lengths, luts):
     v, n, t, lg = plain_emissions(data, lengths, luts)
-    words = pack_words(v, n)
+    words = pack_words_any(v, n)
     raw, out, dup, zext = word_counts(t, lg)
     return words, raw, out, dup, zext
 
@@ -316,7 +327,7 @@ def encode_plain_rows(data, lengths, luts):
 @jax.jit
 def encode_run_rows(data, lengths, rchar, sym_luts, run_luts):
     v, n, t, lg = run_emissions(data, lengths, rchar, sym_luts, run_luts)
-    words = pack_words(v, n)
+    words = pack_words_any(v, n)
     raw, out, dup, zext = word_counts(t, lg)
     return words, raw, out, dup, zext
 

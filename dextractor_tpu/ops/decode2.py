@@ -1,0 +1,516 @@
+"""Gather-free batched Huffman decode on TPU (v2 of ops/decode_jax.py).
+
+The v1 decoder (decode_jax.py) peeks the container image with per-symbol
+byte gathers — on this TPU every gathered *element* costs ~16 cycles
+serialized, so a 16 MB batch took ~6.4 s/step.  v2 removes essentially all
+gathers from the per-symbol path:
+
+  * entries are decoded from a dense per-entry rectangle of little-endian
+    u32 words (N, K) — built once, host-side, at memcpy speed — so every
+    lane owns row-local state only;
+  * each fori iteration decodes a *group* (8 plain symbols / 3 run tokens)
+    out of a 12-word register window; the window is refreshed once per
+    group by a masked select+sum over the lane's own row (vector ops, zero
+    gathers), amortizing the only data-dependent access;
+  * the 64K peek table is replaced by a two-level lookup evaluated as
+    one-hot contractions: L1 over the top 8 window bits (256-wide), L2
+    over small subtables for codes longer than 8 bits — the same
+    MXU/VPU one-hot trick the encoder uses (ops/bitstream_jax._lut_gather);
+  * run expansion routes (runlen, literal) tokens to their columns through
+    a time-reversed shift-compaction network (``expand_monotone``) instead
+    of a per-element scatter, and the packed delTag bytes are aligned with
+    a per-row variable roll in log2 rounds (``roll_rows``).
+
+Semantics are identical to v1 (QV.c:510-691 decode contract, exercised by
+the golden C-oracle tests); only the execution strategy changes.  On CPU
+the one-hot contraction and masked-reduce degenerate to plain gathers
+(cheap there); set DEXTRACTOR_DECODE2_OH=1 to force the TPU-style path in
+tests.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .decode_jax import _words_of
+
+_FORCE_OH = os.environ.get("DEXTRACTOR_DECODE2_OH", "") == "1"
+
+
+def _use_gather() -> bool:
+    return (not _FORCE_OH) and jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# host-side table + rectangle preparation
+# ---------------------------------------------------------------------------
+
+def scheme_tables2(schemes, lmax_bucket: int | None = None):
+    """Two-level decode tables for a list of HSchemes.
+
+    L1 (S, 256) i32 over the top 8 window bits: terminal entries pack
+    ``len << 9 | sym``; prefixes whose code runs past 8 bits carry
+    ``1 << 20 | subid``.  L2 is one flat (n_sub * subw,) i32 of
+    ``len << 9 | sym`` rows, each ``subw = 2^(lmax-8)`` wide over window
+    bits [8, lmax).  Returns (F1, F2flat, subw, lmax).
+    """
+    lmax = 1
+    for s in schemes:
+        s.with_lookup()
+        lmax = max(lmax, int(s.codelens.max(initial=1)))
+    if lmax_bucket is not None:
+        lmax = max(lmax, lmax_bucket)
+    lmax = 8 if lmax <= 8 else (12 if lmax <= 12 else 16)
+    subw = 0 if lmax == 8 else 1 << (lmax - 8)
+
+    f1 = np.zeros((len(schemes), 256), np.int32)
+    f2_rows: list[np.ndarray] = []
+    hi = np.arange(256) << 8
+    for i, s in enumerate(schemes):
+        look = s.lookup
+        lens = s.codelens.astype(np.int32)
+        sym0 = look[hi]
+        l0 = lens[sym0]
+        term = l0 <= 8
+        f1[i] = np.where(term, (l0 << 9) | sym0, 0)
+        for h in np.flatnonzero(~term):
+            row = look[(h << 8) + (np.arange(subw) << (16 - lmax))]
+            f2_rows.append((lens[row] << 9) | row)
+            f1[i, h] = (1 << 20) | len(f2_rows) - 1
+    if f2_rows:
+        f2 = np.concatenate(f2_rows).astype(np.int32)
+    else:
+        f2 = np.zeros(max(subw, 1), np.int32)
+    return f1, f2, subw, lmax
+
+
+def build_entry_rect(buf: np.ndarray, starts: np.ndarray, k_words: int):
+    """Dense (N, K) little-endian u32 rectangle of per-entry bytes.
+
+    Row r holds bytes buf[starts[r] : starts[r] + 4K] (clamped at the
+    image end; the tail garbage is never consumed by a well-formed
+    stream).  Host-side numpy — one fancy-index at memcpy-ish speed."""
+    buf = np.asarray(buf, np.uint8)
+    idx = np.asarray(starts, np.int64)[:, None] + np.arange(4 * k_words)
+    b = buf[np.minimum(idx, max(len(buf) - 1, 0))]
+    return np.ascontiguousarray(b).view(np.uint32)
+
+
+def rect_k_words(starts: np.ndarray, buf_len: int, pad_words: int = 16) -> int:
+    """Static K bucket: pow2 ≥ the longest entry (in u32 words) + slack."""
+    starts = np.asarray(starts, np.int64)
+    if len(starts) == 0:
+        return 64
+    ends = np.concatenate([starts[1:], np.array([buf_len], np.int64)])
+    k = int(np.max((ends - starts + 3) // 4)) + pad_words
+    return 1 << max(k - 1, 63).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# gather-free device primitives
+# ---------------------------------------------------------------------------
+
+def _fetch12(rect, b0):
+    """Fetch rect words [4*b0, 4*b0+12) of each row as an (N, 12) u32 window.
+
+    TPU path: three masked select+sum passes over the row (zero gathers —
+    per-element gathers cost ~16 serialized cycles on this TPU)."""
+    n, k = rect.shape
+    rect4 = rect.reshape(n, k // 4, 4)
+    biota = jax.lax.broadcasted_iota(jnp.int32, (n, k // 4), 1)
+    blocks = []
+    for blk in range(3):
+        m = biota == (b0 + blk)[:, None]
+        blocks.append(jnp.where(m[:, :, None], rect4, jnp.uint32(0)).sum(
+            axis=1, dtype=jnp.uint32))
+    return jnp.concatenate(blocks, axis=1)               # (N, 12)
+
+
+def _sel12(regs, idx):
+    """regs[lane, idx[lane]] as one masked reduce (0 for out-of-range).
+
+    A chain of 12 selects compiles pathologically on XLA (superlinear in
+    chain depth); the single (N, 12) reduce is equivalent and cheap."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, regs.shape, 1)
+    return jnp.where(lane == idx[:, None], regs, jnp.uint32(0)).sum(
+        axis=1, dtype=jnp.uint32)
+
+
+def _align2(w_a, w_b, w_c, m8):
+    """Realign three raw row words to two stream words at misalignment m8.
+
+    m8 = 8 * (stream byte offset & 3): the stream's words sit at a fixed
+    byte misalignment within the row's word grid; little-endian loads make
+    the realignment a pair of shifts."""
+    inv = (jnp.uint32(32) - m8) & jnp.uint32(31)
+    sw_a = jnp.where(m8 == 0, w_a, (w_a >> m8) | (w_b << inv))
+    sw_b = jnp.where(m8 == 0, w_b, (w_b >> m8) | (w_c << inv))
+    return sw_a, sw_b
+
+
+def _stream_words(regs, idx, m8):
+    """Two consecutive stream u32 words at window slot ``idx``."""
+    return _align2(_sel12(regs, idx), _sel12(regs, idx + 1),
+                   _sel12(regs, idx + 2), m8)
+
+
+def _stream_words_gather(rect, widx, m8):
+    """CPU path: fetch the three row words directly (gathers are cheap on
+    CPU, and the register-window select machinery compiles slowly)."""
+    k = rect.shape[1]
+    idx = jnp.clip(jnp.stack([widx, widx + 1, widx + 2], axis=1), 0, k - 1)
+    w = jnp.take_along_axis(rect, idx, axis=1)
+    return _align2(w[:, 0], w[:, 1], w[:, 2], m8)
+
+
+def _peek16(sw_a, sw_b, p):
+    """Top 16 bits of the stream window at bit offset p (= pos & 31)."""
+    hi = jnp.where(p == 0, sw_a,
+                   (sw_a << p) | (sw_b >> ((jnp.uint32(32) - p)
+                                           & jnp.uint32(31))))
+    return (hi >> jnp.uint32(16)).astype(jnp.int32)
+
+
+def _extract(sw_a, sw_b, off, nbits: int):
+    """bits [off, off+nbits) of the 64-bit window sw_a:sw_b (off+nbits<=64)."""
+    off = off.astype(jnp.uint32)
+    lt = (sw_a << (off & 31)) | (sw_b >> ((jnp.uint32(32) - off)
+                                          & jnp.uint32(31)))
+    ge = sw_b << ((off - 32) & 31)
+    hi = jnp.where(off == 0, sw_a, jnp.where(off < 32, lt, ge))
+    return (hi >> jnp.uint32(32 - nbits)).astype(jnp.int32)
+
+
+def _oh_lookup(tbl, idx):
+    """tbl[idx] with OOB -> 0; one-hot contraction on TPU, gather on CPU."""
+    d = tbl.shape[0]
+    valid = (idx >= 0) & (idx < d)
+    if _use_gather():
+        return jnp.where(valid, tbl[jnp.clip(idx, 0, d - 1)], 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (idx.shape[0], d), 1)
+    return jnp.where(iota == idx[:, None], tbl[None, :], 0).sum(axis=1)
+
+
+def _entry_lookup(cw, f1c, f2, subw: int, lmax: int):
+    """(len << 9 | sym) for the 16-bit window cw via the two-level tables."""
+    e1 = _oh_lookup(f1c, cw >> 8)
+    if subw:
+        is2 = (e1 >> 20) & 1
+        idx2 = ((e1 & 0xFFFF) * subw
+                + ((cw >> (16 - lmax)) & (subw - 1)))
+        e2 = _oh_lookup(f2, jnp.where(is2 == 1, idx2, -1))
+        return jnp.where(is2 == 1, e2, e1)
+    return e1
+
+
+def roll_rows(x, shift):
+    """x[r, c] = x_in[r, (c + shift[r]) % width] — per-row roll, log rounds."""
+    width = x.shape[1]
+    for b in range(max(width - 1, 1).bit_length()):
+        step = 1 << b
+        x = jnp.where((((shift >> b) & 1) == 1)[:, None],
+                      jnp.roll(x, -step, axis=1), x)
+    return x
+
+
+def expand_monotone(vals: tuple, disp, width: int):
+    """Route element at column r to column r + disp[r] (time-reversed
+    shift compaction).
+
+    disp must be >= 0 and non-decreasing along each row, with
+    r + disp[r] < width.  This is ``compact_monotone`` run backwards: the
+    stage-b movers are the elements whose displacement has bit b set,
+    processed MSB -> LSB with right-rolls, which time-reverses the proven
+    LSB -> MSB left-roll compaction of the expanded layout back to ranks.
+    Returns the routed arrays plus a routed-occupancy mask (N, width) —
+    unrouted slots hold garbage.
+    """
+    n, t = disp.shape
+    width = int(width)
+    pad = width - t
+    if pad < 0:
+        raise ValueError("expand_monotone: width must be >= token count")
+    live = jnp.concatenate(
+        [jnp.ones((n, t), jnp.bool_), jnp.zeros((n, pad), jnp.bool_)],
+        axis=1)
+    arrs = [jnp.pad(v, ((0, 0), (0, pad))) for v in vals]
+    d = jnp.pad(disp, ((0, 0), (0, pad)))
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, width), 1)
+    # MSB -> LSB right-routing is collision-free for live elements: a
+    # mover landing on a live stationary slot would force the two
+    # displacements' above-b parts to differ by >= 2^(b+1) while their
+    # positions differ by exactly 2^b — impossible when disp is
+    # non-decreasing.  Liveness must be carried so the copy left behind
+    # by a roll neither re-moves nor counts as occupancy.
+    for b in reversed(range(max(width - 1, 1).bit_length())):
+        step = 1 << b
+        movers = live & (((d >> b) & 1) == 1)
+        dst = jnp.roll(movers, step, axis=1) & (col >= step)
+        arrs = [jnp.where(dst, jnp.roll(a, step, axis=1), a) for a in arrs]
+        d = jnp.where(dst, jnp.roll(d, step, axis=1) - step, d)
+        live = (live & ~movers) | dst
+    return tuple(arrs), live
+
+
+# ---------------------------------------------------------------------------
+# chain decoders
+# ---------------------------------------------------------------------------
+
+def _window_reader(rect, c_off, m8):
+    """(refresh, read) pair abstracting the stream-word fetch path.
+
+    TPU: ``refresh(pos)`` loads a 12-word register window once per group
+    (masked reduce, zero gathers) and ``read`` selects from it; CPU:
+    refresh is a no-op and ``read`` gathers the words directly."""
+    use_g = _use_gather()
+
+    def refresh(pos):
+        if use_g:
+            return None
+        b0 = ((c_off + ((pos >> 5) << 2)) >> 2) >> 2
+        return _fetch12(rect, b0), b0 << 2
+
+    def read(state, pos):
+        widx = (c_off + ((pos >> 5) << 2)) >> 2
+        if use_g:
+            return _stream_words_gather(rect, widx, m8)
+        regs, base = state
+        return _stream_words(regs, widx - base, m8)
+
+    return refresh, read
+
+
+def plain_chain(rect, c_off, rlens, f1c, f2, signal, *, max_len: int,
+                subw: int, lmax: int):
+    """Decode N plain streams at row-local byte offsets ``c_off``.
+
+    Returns (symbols (N, max_len) u8, total_bits (N,), last_gran (N,)).
+    Eight symbols per window refresh: 8 * 24 bits worst case fits the
+    12-word register window from any starting alignment."""
+    n = c_off.shape[0]
+    group_sz = 8
+    groups = (max_len + group_sz - 1) // group_sz
+    m8 = ((c_off & 3) << 3).astype(jnp.uint32)
+    refresh, read = _window_reader(rect, c_off, m8)
+
+    def group(g, carry):
+        pos, last, out = carry
+        state = refresh(pos)
+        syms = []
+        jbase = g * group_sz
+        for s in range(group_sz):
+            active = (jbase + s) < rlens
+            sw_a, sw_b = read(state, pos)
+            p = (pos & 31).astype(jnp.uint32)
+            cw = _peek16(sw_a, sw_b, p)
+            entry = _entry_lookup(cw, f1c, f2, subw, lmax)
+            sym = entry & 511
+            nbits = (entry >> 9) & 31
+            esc = active & (sym == signal)
+            lit = _extract(sw_a, sw_b, p + nbits.astype(jnp.uint32), 8)
+            sym = jnp.where(esc, lit, sym)
+            width = jnp.where(esc, 8, nbits)
+            pos = jnp.where(active, pos + jnp.where(esc, nbits + 8, nbits),
+                            pos)
+            last = jnp.where(active, width, last)
+            syms.append(jnp.where(active, sym, 0).astype(jnp.uint8))
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.stack(syms, axis=1), (0, jbase))
+        return pos, last, out
+
+    z = rlens * 0
+    out0 = jnp.broadcast_to(z.astype(jnp.uint8)[:, None],
+                            (n, groups * group_sz))
+    pos, last, out = jax.lax.fori_loop(0, groups, group, (z, z, out0))
+    return out[:, :max_len], pos, last
+
+
+def run_chain(rect, c_off, rlens, f1r, f1s, f2, nsignal, *,
+              max_tokens: int, subw: int, lmax: int):
+    """Decode N RLE streams into (runlen, literal) token pairs.
+
+    Three tokens per window refresh (3 * 56 bits worst case fits the
+    12-word window).  Same contract as decode_jax.decode_run_batch."""
+    n = c_off.shape[0]
+    group_sz = 3
+    groups = (max_tokens + group_sz - 1) // group_sz
+    t_pad = groups * group_sz
+    m8 = ((c_off & 3) << 3).astype(jnp.uint32)
+    refresh, read = _window_reader(rect, c_off, m8)
+
+    def group(g, carry):
+        pos, emitted, last, runs, lits = carry
+        state = refresh(pos)
+        rcols, lcols = [], []
+        for s in range(group_sz):
+            active = emitted < rlens
+            sw_a, sw_b = read(state, pos)
+            p = (pos & 31).astype(jnp.uint32)
+            cw = _peek16(sw_a, sw_b, p)
+            entry = _entry_lookup(cw, f1r, f2, subw, lmax)
+            c = entry & 511
+            nb = (entry >> 9) & 31
+            resc = active & (c == 255)
+            runlit = _extract(sw_a, sw_b, p + nb.astype(jnp.uint32), 16)
+            runlen = jnp.where(resc, runlit, c)
+            width = jnp.where(resc, 16, nb)
+            pos = pos + jnp.where(active, nb + jnp.where(resc, 16, 0), 0)
+            emitted1 = jnp.minimum(emitted + runlen, rlens)
+
+            need_sym = active & (emitted1 < rlens)
+            sw_a, sw_b = read(state, pos)
+            p = (pos & 31).astype(jnp.uint32)
+            cw2 = _peek16(sw_a, sw_b, p)
+            entry2 = _entry_lookup(cw2, f1s, f2, subw, lmax)
+            sym = entry2 & 511
+            snb = (entry2 >> 9) & 31
+            sesc = need_sym & (sym == nsignal)
+            slit = _extract(sw_a, sw_b, p + snb.astype(jnp.uint32), 8)
+            sym = jnp.where(sesc, slit, sym)
+            pos = pos + jnp.where(need_sym,
+                                  snb + jnp.where(sesc, 8, 0), 0)
+            width = jnp.where(need_sym, jnp.where(sesc, 8, snb), width)
+
+            rcols.append(jnp.where(active, runlen, 0))
+            lcols.append(jnp.where(need_sym, sym, -1))
+            last = jnp.where(active, width, last)
+            emitted = jnp.where(active,
+                                emitted1 + need_sym.astype(jnp.int32),
+                                emitted)
+        jbase = g * group_sz
+        runs = jax.lax.dynamic_update_slice(
+            runs, jnp.stack(rcols, axis=1), (0, jbase))
+        lits = jax.lax.dynamic_update_slice(
+            lits, jnp.stack(lcols, axis=1), (0, jbase))
+        return pos, emitted, last, runs, lits
+
+    z = rlens * 0
+    runs0 = jnp.broadcast_to(z[:, None], (n, t_pad))
+    lits0 = runs0 - 1
+    pos, emitted, last, runs, lits = jax.lax.fori_loop(
+        0, groups, group, (z, z, z, runs0, lits0))
+    return runs, lits, emitted, pos, last
+
+
+def expand_runs2(runs, lits, rchar, *, max_len: int):
+    """Expand (runlen, literal) token pairs into symbol rows, gather-free.
+
+    Literal k of lane i lands at column cumsum(runs)[i, k] + k, i.e. a
+    displacement of cumsum(runs)[i, k] from its token column — monotone,
+    so the shift-expansion network routes it; exhausted-token tails are
+    parked past max_len and sliced away."""
+    n, t = runs.shape
+    d = jnp.cumsum(runs, axis=1)
+    valid = lits >= 0
+    d = jnp.where(valid, d, max_len)
+    (routed,), occ = expand_monotone(
+        (lits,), d, max_len + t)
+    rows = jnp.where(occ, routed, jnp.asarray(rchar, jnp.int32))
+    return rows[:, :max_len].astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# fused five-channel entry decode
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("max_len", "del_mode", "sub_mode", "subw",
+                              "lmax"))
+def decode_entry_batch2(rect, rlens, sids, f1, f2, types, del_char,
+                        sub_char, *, max_len: int, del_mode: str,
+                        sub_mode: str, subw: int, lmax: int):
+    """Fully fused five-channel .dexqv entry decode, gather-free.
+
+    rect:  (N, K) u32 — little-endian words of each entry's bytes
+    rlens: (N,) i32 symbols per entry
+    sids:  (6,) i32 scheme ids (del, drun, ins, mrg, sub, srun)
+    f1:    (S, 256) i32 L1 tables; f2: flat i32 L2 table; types: (S,) i32
+
+    Semantics identical to decode_jax.decode_entry_batch (QV.c:1428-1477
+    raw-container case): returns (5, N, max_len) u8 rows."""
+    n = rect.shape[0]
+    f1c = [jnp.take(f1, sids[k], axis=0) for k in range(6)]
+    sig = [jnp.where(types[sids[k]] == 2, 255, 256) for k in range(6)]
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
+    in_read = col < rlens[:, None]
+    zoff = rlens * 0
+
+    # -- delQV ---------------------------------------------------------
+    if del_mode == "run":
+        runs, lits, _, dbits, dlast = run_chain(
+            rect, zoff, rlens, f1c[1], f1c[0], f2, sig[0],
+            max_tokens=max_len, subw=subw, lmax=lmax)
+        del_rows = expand_runs2(runs, lits, del_char, max_len=max_len)
+        keep = in_read & (del_rows != del_char.astype(jnp.uint8))
+    else:
+        del_rows, dbits, dlast = plain_chain(
+            rect, zoff, rlens, f1c[0], f2, sig[0], max_len=max_len,
+            subw=subw, lmax=lmax)
+        keep = in_read
+    del_w = _words_of(dbits, dlast)
+
+    # -- packed delTag (row-local byte roll, no gathers) ----------------
+    clens = keep.sum(axis=1)
+    tlens = (clens + 3) >> 2
+    toff = 4 * del_w
+    bytes_rect = jnp.stack(
+        [(rect & 255), (rect >> 8) & 255, (rect >> 16) & 255,
+         (rect >> 24) & 255], axis=2).reshape(n, -1).astype(jnp.uint8)
+    tmax = (max_len + 3) >> 2
+    rolled = roll_rows(bytes_rect, toff)[:, :tmax]
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (n, tmax), 1)
+    packed = jnp.where(tcol < tlens[:, None], rolled, 0)
+    shifts = jnp.array([6, 4, 2, 0], jnp.uint8)   # first symbol: bits 7-6
+    codes = ((packed[:, :, None] >> shifts[None, None, :]) & 3).reshape(
+        n, 4 * tmax)[:, :max_len]
+    kept_sym = jnp.where(
+        codes == 0, np.uint8(ord("a")),
+        jnp.where(codes == 1, np.uint8(ord("c")),
+                  jnp.where(codes == 2, np.uint8(ord("g")),
+                            np.uint8(ord("t"))))).astype(jnp.uint8)
+    from .bitstream_jax import compact_monotone
+    (kcols,) = compact_monotone((col,), keep)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
+    # route kept symbols to the keep positions: displacement of the r-th
+    # kept symbol is kcols[r] - r (monotone), so the expansion network
+    # replaces the per-element scatter of decode_jax
+    disp = jnp.where(rank < clens[:, None],
+                     jnp.maximum(kcols - rank, 0), max_len)
+    (troutes,), tocc = expand_monotone((kept_sym.astype(jnp.int32),),
+                                       disp, 2 * max_len)
+    tag_rows = jnp.where(tocc[:, :max_len],
+                         troutes[:, :max_len].astype(jnp.uint8),
+                         np.uint8(ord("n")))
+    tag_rows = jnp.where(in_read, tag_rows, 0)
+
+    # -- ins / mrg (always plain) ---------------------------------------
+    ins_off = toff + tlens
+    ins_rows, ibits, ilast = plain_chain(
+        rect, ins_off, rlens, f1c[2], f2, sig[2], max_len=max_len,
+        subw=subw, lmax=lmax)
+    mrg_off = ins_off + 4 * _words_of(ibits, ilast)
+    mrg_rows, mbits, mlast = plain_chain(
+        rect, mrg_off, rlens, f1c[3], f2, sig[3], max_len=max_len,
+        subw=subw, lmax=lmax)
+    sub_off = mrg_off + 4 * _words_of(mbits, mlast)
+
+    # -- subQV -----------------------------------------------------------
+    if sub_mode == "run":
+        sruns, slits, _, _, _ = run_chain(
+            rect, sub_off, rlens, f1c[5], f1c[4], f2, sig[4],
+            max_tokens=max_len, subw=subw, lmax=lmax)
+        sub_rows = expand_runs2(sruns, slits, sub_char, max_len=max_len)
+    else:
+        sub_rows, _, _ = plain_chain(
+            rect, sub_off, rlens, f1c[4], f2, sig[4], max_len=max_len,
+            subw=subw, lmax=lmax)
+
+    z = jnp.uint8(0)
+    mask = lambda r: jnp.where(in_read, r, z)
+    return jnp.stack([mask(del_rows), tag_rows, mask(ins_rows),
+                      mask(mrg_rows), mask(sub_rows)])

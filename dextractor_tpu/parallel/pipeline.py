@@ -69,22 +69,30 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
 
     def one_run(d, sl, rl, rc):
         v, n, t, lg = bj.run_emissions(d, lengths, rc, sl, rl)
-        words = bj.pack_words(v, n)
         raw, out, dup, zext = bj.word_counts(t, lg)
-        return words, raw, out, dup, zext
+        return v, n, raw, out, dup, zext
 
     def one_plain(d, sl):
         v, n, t, lg = bj.plain_emissions(d, lengths, sl)
-        words = bj.pack_words(v, n)
         raw, out, dup, zext = bj.word_counts(t, lg)
-        return words, raw, out, dup, zext
+        return v, n, raw, out, dup, zext
 
-    r_words, r_raw, r_out, r_dup, r_zext = jax.vmap(
+    r_v, r_n, r_raw, r_out, r_dup, r_zext = jax.vmap(
         one_run, in_axes=(0, 0, 0, 0))(
         rdata, sym_luts[jnp.array([0, 3])], run_luts[jnp.array([0, 3])],
         rchars[jnp.array([0, 3])])
-    p_words, p_raw, p_out, p_dup, p_zext = jax.vmap(
+    p_v, p_n, p_raw, p_out, p_dup, p_zext = jax.vmap(
         one_plain, in_axes=(0, 0))(pdata, sym_luts[jnp.array([1, 2])])
+
+    # pack outside the channel vmap: one kernel call per slot width, with
+    # both channels folded into the row axis (Pallas grid stays 1-D)
+    def pack2(v2, n2):
+        c, nn, m = v2.shape
+        w = bj.pack_words_any(v2.reshape(c * nn, m), n2.reshape(c * nn, m))
+        return w.reshape(c, nn, m + 1)
+
+    r_words = pack2(r_v, r_n)
+    p_words = pack2(p_v, p_n)
 
     # channel order del, ins, mrg, sub; plain word rects are narrower —
     # pad so the stacked output keeps one shape
@@ -367,21 +375,21 @@ def sharded_decode_run(mesh, *, max_tokens: int):
 
 
 def sharded_decode_entry(mesh, *, max_len: int, del_mode: str,
-                         sub_mode: str):
+                         sub_mode: str, subw: int, lmax: int):
     """shard_map'd fused five-channel entry decode (single coding):
-    container + tables replicated, entries sharded."""
-    from ..ops import decode_jax as dj
+    tables replicated, the per-entry word rectangle and the chains
+    sharded over the data axis (ops/decode2)."""
+    from ..ops import decode2 as d2
 
-    def step(buf, starts, rlens, sids, lookups, lens_tbl, types,
-             del_char, sub_char):
-        return dj.decode_entry_batch(
-            buf, starts, rlens, sids, lookups, lens_tbl, types,
-            del_char, sub_char, max_len=max_len, del_mode=del_mode,
-            sub_mode=sub_mode)
+    def step(rect, rlens, sids, f1, f2, types, del_char, sub_char):
+        return d2.decode_entry_batch2(
+            rect, rlens, sids, f1, f2, types, del_char, sub_char,
+            max_len=max_len, del_mode=del_mode, sub_mode=sub_mode,
+            subw=subw, lmax=lmax)
 
     return shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(),
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P(), P(), P(),
                   P(), P()),
         out_specs=P(None, DATA_AXIS, None))
 

@@ -53,17 +53,27 @@ def test_streaming_bam_bounded_memory(tmp_path):
             f.write(body_m)
         f.write(eof)
 
-    code = (
-        "import sys, resource\n"
-        f"sys.path.insert(0, {ROOT!r})\n"
-        "from dextractor_tpu.ingest.sam import SamReader\n"
-        f"n = sum(1 for _ in SamReader({str(p)!r}))\n"
-        "print(n, resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)\n"
-    )
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=600)
-    assert r.returncode == 0, r.stderr[-2000:]
-    n, maxrss_kb = map(int, r.stdout.split())
+    def rss_after(stmt):
+        code = (
+            "import sys, resource\n"
+            f"sys.path.insert(0, {ROOT!r})\n"
+            "from dextractor_tpu.ingest.sam import SamReader\n"
+            f"{stmt}\n"
+            "print(n, resource.getrusage(resource.RUSAGE_SELF).ru_maxrss)\n"
+        )
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        n, maxrss_kb = map(int, r.stdout.split())
+        return n, maxrss_kb
+
+    # baseline: same interpreter + reader, but only the first record —
+    # an absolute RSS bound is flaky under suite-wide memory pressure
+    _, base_kb = rss_after(
+        f"n = sum(1 for _ in iter([next(iter(SamReader({str(p)!r})))]))")
+    n, maxrss_kb = rss_after(f"n = sum(1 for _ in SamReader({str(p)!r}))")
     assert n == len(recs) * reps
-    # inflated stream is ~120MB; a whole-file inflate would exceed this
-    assert maxrss_kb < 200_000, f"peak RSS {maxrss_kb} KB — not streaming"
+    # inflated stream is ~120MB; a whole-file inflate would add >120MB
+    # over the one-record baseline, streaming adds O(chunk)
+    assert maxrss_kb - base_kb < 100_000, (
+        f"peak RSS {maxrss_kb} KB vs baseline {base_kb} KB — not streaming")
