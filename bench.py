@@ -210,37 +210,42 @@ def main() -> None:
     from dextractor_tpu.formats.ragged import next_pow2
     from dextractor_tpu.ops import decode2 as d2
 
+    from dextractor_tpu.codecs.qv_batch import channel_rects
+
     enc = encode_quiva_to_dexqv(data, device=False)
     (workdir / "g.dexqv").write_bytes(enc)
     coding, coff = dqf.parse_qvcoding(memoryview(enc), 2)
-    _, _, _, _, _, _, eoffs, elens = _index_native(enc, coding, coff, True)
+    (_, _, _, _, _, _, eoffs, elens, coffs_t,
+     ntoks_t) = _index_native(enc, coding, coff, True)
     n_dec = len(eoffs)
     n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
     dbuf = np.frombuffer(enc, np.uint8)
-    k_words = d2.rect_k_words(eoffs, len(dbuf))
-    rect = d2.build_entry_rect(dbuf, eoffs, k_words)
-    rect = np.concatenate(
-        [rect, np.zeros((n_decp - n_dec, k_words), np.uint32)])
     drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
     dec_max_len = next_pow2(max(int(drlens.max(initial=0)), 512))
+    dec_max_tokens = next_pow2(max(int(ntoks_t.max(initial=0)), 16))
+    rects = channel_rects(dbuf, eoffs, coffs_t, dec_max_len)
+    rects = tuple(
+        np.concatenate([r, np.zeros((n_decp - n_dec, r.shape[1]), r.dtype)])
+        for r in rects)
     sids, f1_t, f2_t, types_t, del_mode, sub_mode, subw, lmax = \
         decode_tables_v2(coding)
-    dec_args = (jnp.asarray(rect), jnp.asarray(drlens), jnp.asarray(sids),
-                jnp.asarray(f1_t), jnp.asarray(f2_t), jnp.asarray(types_t),
-                jnp.int32(coding.del_char & 0xFF),
+    dec_args = (*(jnp.asarray(r) for r in rects), jnp.asarray(drlens),
+                jnp.asarray(sids), jnp.asarray(f1_t), jnp.asarray(f2_t),
+                jnp.asarray(types_t), jnp.int32(coding.del_char & 0xFF),
                 jnp.int32(coding.sub_char & 0xFF))
     jax.block_until_ready(dec_args)
 
     @jax.jit
-    def dec_chained(rect_, rlens_, sids_, f1_, f2_, ty_, dc_, sc_, k):
+    def dec_chained(rd_, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_,
+                    dc_, sc_, k):
         # decode cost is shape-determined (fixed fori chains), so XORing
-        # the rectangle words keeps cost identical while defeating hoisting
+        # the del rectangle keeps cost identical while defeating hoisting
         def body(_, acc):
-            r = rect_ ^ acc.astype(jnp.uint32)
+            r = rd_ ^ acc.astype(jnp.uint32)
             rows = d2.decode_entry_batch2(
-                r, rlens_, sids_, f1_, f2_, ty_, dc_, sc_,
-                max_len=dec_max_len, del_mode=del_mode, sub_mode=sub_mode,
-                subw=subw, lmax=lmax)
+                r, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_, dc_,
+                sc_, max_len=dec_max_len, max_tokens=dec_max_tokens,
+                del_mode=del_mode, sub_mode=sub_mode, subw=subw, lmax=lmax)
             return acc + rows.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 

@@ -74,38 +74,74 @@ def decode_tables_v2(coding):
     return sids, f1, f2, types, del_mode, sub_mode, subw, lmax
 
 
+def channel_rects(buf: np.ndarray, starts: np.ndarray, coffs: np.ndarray,
+                  max_len: int):
+    """Slice the five per-channel rectangles out of a container image.
+
+    starts (N,) i64 entry stream offsets; coffs (N, 5) i32 per-entry byte
+    offsets of tag/ins/mrg/sub/end relative to the entry start (native
+    lens walk).  Returns (rect_del, tag_bytes, rect_ins, rect_mrg,
+    rect_sub) — chain rects are word-aligned u32 with pow2-bucketed widths
+    (+12 words of window slack), tag_bytes is (N, max_len//4) u8."""
+    from ..ops import decode2 as d2
+
+    buf = np.asarray(buf, np.uint8)
+    starts = np.asarray(starts, np.int64)
+    coffs = np.asarray(coffs, np.int64)
+    if len(starts) == 0:
+        coffs = np.zeros((0, 5), np.int64)
+
+    def chain_rect(beg, end):
+        blen = int((end - beg).max(initial=0))
+        k = next_pow2(((blen + 3) // 4) + 12)
+        return d2.build_entry_rect(buf, starts + beg, k)
+
+    zero = np.zeros(len(starts), np.int64)
+    rect_del = chain_rect(zero, coffs[:, 0])
+    rect_ins = chain_rect(coffs[:, 1], coffs[:, 2])
+    rect_mrg = chain_rect(coffs[:, 2], coffs[:, 3])
+    rect_sub = chain_rect(coffs[:, 3], coffs[:, 4])
+    tb = max(max_len // 4, 1)
+    idx = (starts + coffs[:, 0])[:, None] + np.arange(tb)
+    tag_bytes = buf[np.minimum(idx, max(len(buf) - 1, 0))]
+    return rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub
+
+
 def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
-                         rlens: np.ndarray, coding, mesh=None):
+                         rlens: np.ndarray, coffs: np.ndarray,
+                         ntoks: np.ndarray, coding, mesh=None):
     """Single-coding batch decode through the fused gather-free device
     step (ops/decode2.decode_entry_batch2): all five channels, run
-    expansion and tag interleave on device.  Each entry's bytes are laid
-    out as a dense row of little-endian u32 words host-side (memcpy
-    speed), so the chip never random-accesses the container image.
-    Returns (5, N, max_len) u8 rows."""
+    expansion and tag interleave on device.  Each channel's bytes are
+    laid out as a dense word-aligned rectangle host-side (memcpy speed),
+    so the chip fetches only the channel being decoded and never
+    random-accesses the container image; run chains are bounded by the
+    lens walk's exact token counts.  Returns (5, N, max_len) u8 rows."""
     import jax.numpy as jnp
     from ..ops import decode2 as d2
 
     rlens = np.asarray(rlens, np.int32)
     max_len = next_pow2(max(int(rlens.max(initial=0)), 512))
-    buf = np.asarray(buf, np.uint8)
-    k_words = d2.rect_k_words(starts, len(buf))
-    rect = d2.build_entry_rect(buf, starts, k_words)
+    max_tokens = next_pow2(
+        max(int(np.asarray(ntoks).max(initial=0)), 16))
+    rects = channel_rects(buf, starts, coffs, max_len)
     sids, f1, f2, types, del_mode, sub_mode, subw, lmax = \
         decode_tables_v2(coding)
     args_rep = (jnp.asarray(sids), jnp.asarray(f1), jnp.asarray(f2),
                 jnp.asarray(types), jnp.int32(coding.del_char & 0xFF),
                 jnp.int32(coding.sub_char & 0xFF))
+    statics = dict(max_len=max_len, max_tokens=max_tokens,
+                   del_mode=del_mode, sub_mode=sub_mode, subw=subw,
+                   lmax=lmax)
     if mesh is None:
         return d2.decode_entry_batch2(
-            jnp.asarray(rect), jnp.asarray(rlens), *args_rep,
-            max_len=max_len, del_mode=del_mode, sub_mode=sub_mode,
-            subw=subw, lmax=lmax)
+            *(jnp.asarray(r) for r in rects), jnp.asarray(rlens),
+            *args_rep, **statics)
     from ..parallel.pipeline import sharded_decode_entry
-    fn = sharded_decode_entry(mesh, max_len=max_len, del_mode=del_mode,
-                              sub_mode=sub_mode, subw=subw, lmax=lmax)
+    fn = sharded_decode_entry(mesh, **statics)
     n = len(starts)
     pad = (-n) % mesh.devices.size
-    rows = fn(jnp.asarray(np.pad(rect, ((0, pad), (0, 0)))),
+    rows = fn(*(jnp.asarray(np.pad(r, ((0, pad), (0, 0)))) for r in rects),
               jnp.asarray(np.pad(rlens, (0, pad))), *args_rep)
     return rows[:, :n]
 

@@ -477,23 +477,27 @@ def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
     qvs = np.zeros(cap_entries, np.int32)
     eoffs = np.zeros(cap_entries, np.int64)
     elens = np.zeros(cap_entries, np.int64)
+    coffs = np.zeros(5 * cap_entries, np.int32)
+    ntoks = np.zeros(2 * cap_entries, np.int32)
 
     def ptr(a):
         return a.ctypes.data_as(ctypes.c_void_p)
 
-    # lens-only walk: exact entry count + boundaries, no materialization
+    # lens-only walk: exact entry count + boundaries (incl. per-channel
+    # stream offsets and RLE token counts), no materialization
     ne = lib.dxt_qv_walk(
         ptr(buf), size, off, ptr(lookups), ptr(lens), ptr(types),
         ptr(sid), coding.del_char, coding.sub_char, int(newv),
         cap_entries, 1 << 62,
         ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
-        ptr(elens), None, 0)
+        ptr(elens), None, 0, ptr(coffs), ptr(ntoks))
     if ne < 0:
         raise FormatError(f"corrupt .dexqv stream (native walker: {ne})")
     ne = int(ne)
     ctx = (lookups, lens, types, sid)
     return (lib, ctx, wells[:ne], begs[:ne], ends_[:ne], qvs[:ne],
-            eoffs[:ne], elens[:ne])
+            eoffs[:ne], elens[:ne], coffs[: 5 * ne].reshape(ne, 5),
+            ntoks[: 2 * ne].reshape(ne, 2))
 
 
 def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
@@ -559,7 +563,7 @@ def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
             ptr(sid), coding.del_char, coding.sub_char, int(newv),
             cap_entries, cap_total,
             ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
-            ptr(elens), ptr(out), 1)
+            ptr(elens), ptr(out), 1, None, None)
         if ne == -3:
             cap_total *= 2
             continue
@@ -593,11 +597,11 @@ def _decode_entries_device(data: bytes, coding: dq.QVCoding, off: int,
     res = _index_native(data, coding, off, newv)
     if res is None:
         return None
-    _, _, wells, begs, ends_, qvs, eoffs, elens = res
+    _, _, wells, begs, ends_, qvs, eoffs, elens, coffs, ntoks = res
     buf = np.frombuffer(data, np.uint8)
     rlens = elens.astype(np.int64)
     rows = fused_decode_entries(buf, eoffs, elens.astype(np.int32),
-                                coding, mesh=mesh)
+                                coffs, ntoks, coding, mesh=mesh)
     streams = np.stack([rows_to_flat(np.asarray(rows[s]), rlens)
                         for s in range(5)])
     return wells, begs, ends_, qvs, rlens, streams

@@ -105,18 +105,21 @@ static int64_t dec_plain(BitRead *b, const int32_t *look, const uint8_t *lens,
   return stream_words(b->pos, last);
 }
 
-/* RLE stream: decode rlen expanded symbols */
+/* RLE stream: decode rlen expanded symbols; *ntok (NULL-able) counts
+ * (run, literal) token pairs — the batch decoder's chain-length unit */
 static int64_t dec_run(BitRead *b, const int32_t *nlook, const uint8_t *nlens,
                        int ntype, const int32_t *rlook, const uint8_t *rlens,
-                       uint8_t *out, int64_t rlen, int rchar)
+                       uint8_t *out, int64_t rlen, int rchar, int64_t *ntok)
 { int     nsignal = (ntype == 2) ? 255 : 256;
   int     last = 0;
   int64_t j = 0;
+  int64_t toks = 0;
   Win     w;
 
   win_init(&w);
   while (j < rlen)
     { int c, n;
+      toks += 1;
       win_fill(&w, b);                /* run code + 16-bit length literal */
       c = rlook[WPEEK16(w)];
       n = rlens[c];
@@ -155,6 +158,8 @@ static int64_t dec_run(BitRead *b, const int32_t *nlook, const uint8_t *nlens,
           j += 1;
         }
     }
+  if (ntok != NULL)
+    *ntok = toks;
   return stream_words(b->pos, last);
 }
 
@@ -196,6 +201,13 @@ long long dxt_quiva_text(
  *   elens[e]             rlen of entry e
  *   out[5*cap_total]     decoded streams, stream-major (out + s*cap_total)
  *                        entries concatenated; NULL-able via materialize=0
+ *   coffs[5*e..]         NULL-able: per-entry byte offsets, relative to
+ *                        eoffs[e], of the tag / ins / mrg / sub streams
+ *                        and the entry end (del starts at 0) — lets the
+ *                        batch decoder slice per-channel rectangles
+ *   ntoks[2*e..]         NULL-able: (run,literal) token-pair counts of the
+ *                        del and sub RLE chains (0 when plain) — a tight
+ *                        static bound for the device run chains
  */
 long long dxt_qv_walk(
     const uint8_t *buf, long long size, long long off0,
@@ -204,7 +216,7 @@ long long dxt_qv_walk(
     long long cap_entries, long long cap_total,
     int32_t *wells, int32_t *begs, int32_t *ends, int32_t *qvs,
     long long *eoffs, long long *elens,
-    uint8_t *out, int materialize)
+    uint8_t *out, int materialize, int32_t *coffs, int32_t *ntoks)
 {
 #define LOOK(i) (lookups + (int64_t) (i) * 65536)
 #define LENS(i) (lens + (int64_t) (i) * 256)
@@ -283,16 +295,23 @@ long long dxt_qv_walk(
         if (del_char < 0)
           { w = dec_plain(&br, LOOK(sid[0]), LENS(sid[0]), types[sid[0]], dd, rlen);
             clen = rlen;
+            if (ntoks != NULL)
+              ntoks[2 * ne] = 0;
           }
         else
-          { int64_t k;
+          { int64_t k, dtk = 0;
             w = dec_run(&br, LOOK(sid[0]), LENS(sid[0]), types[sid[0]],
-                        LOOK(sid[1]), LENS(sid[1]), dd, rlen, del_char);
+                        LOOK(sid[1]), LENS(sid[1]), dd, rlen, del_char,
+                        &dtk);
             clen = 0;
             for (k = 0; k < rlen; k++)
               clen += (dd[k] != (uint8_t) del_char);
+            if (ntoks != NULL)
+              ntoks[2 * ne] = (int32_t) dtk;
           }
         off += 4 * w;
+        if (coffs != NULL)
+          coffs[5 * ne] = (int32_t) (off - eoffs[ne]);
 
         /* packed delTag: 2-bit unpack + lower + Unpack_Tag (QV.c:1437-1461) */
         tlen = (clen + 3) >> 2;
@@ -320,22 +339,38 @@ long long dxt_qv_walk(
           }
         off += tlen;
       }
+      if (coffs != NULL)
+        coffs[5 * ne + 1] = (int32_t) (off - eoffs[ne]);
 
       br.buf = buf; br.size = size; br.base = off; br.pos = 0;
       w = dec_plain(&br, LOOK(sid[2]), LENS(sid[2]), types[sid[2]], oins, rlen);
       off += 4 * w;
+      if (coffs != NULL)
+        coffs[5 * ne + 2] = (int32_t) (off - eoffs[ne]);
 
       br.buf = buf; br.size = size; br.base = off; br.pos = 0;
       w = dec_plain(&br, LOOK(sid[3]), LENS(sid[3]), types[sid[3]], omrg, rlen);
       off += 4 * w;
+      if (coffs != NULL)
+        coffs[5 * ne + 3] = (int32_t) (off - eoffs[ne]);
 
       br.buf = buf; br.size = size; br.base = off; br.pos = 0;
       if (sub_char < 0)
-        w = dec_plain(&br, LOOK(sid[4]), LENS(sid[4]), types[sid[4]], osub, rlen);
+        { w = dec_plain(&br, LOOK(sid[4]), LENS(sid[4]), types[sid[4]], osub, rlen);
+          if (ntoks != NULL)
+            ntoks[2 * ne + 1] = 0;
+        }
       else
-        w = dec_run(&br, LOOK(sid[4]), LENS(sid[4]), types[sid[4]],
-                    LOOK(sid[5]), LENS(sid[5]), osub, rlen, sub_char);
+        { int64_t stk = 0;
+          w = dec_run(&br, LOOK(sid[4]), LENS(sid[4]), types[sid[4]],
+                      LOOK(sid[5]), LENS(sid[5]), osub, rlen, sub_char,
+                      &stk);
+          if (ntoks != NULL)
+            ntoks[2 * ne + 1] = (int32_t) stk;
+        }
       off += 4 * w;
+      if (coffs != NULL)
+        coffs[5 * ne + 4] = (int32_t) (off - eoffs[ne]);
 
       if (off > size)
         return -2;

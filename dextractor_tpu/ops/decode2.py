@@ -18,8 +18,12 @@ gathers from the per-symbol path:
     MXU/VPU one-hot trick the encoder uses (ops/bitstream_jax._lut_gather);
   * run expansion routes (runlen, literal) tokens to their columns through
     a time-reversed shift-compaction network (``expand_monotone``) instead
-    of a per-element scatter, and the packed delTag bytes are aligned with
-    a per-row variable roll in log2 rounds (``roll_rows``).
+    of a per-element scatter;
+  * every channel decodes from its own word-aligned rectangle — the native
+    lens walk reports per-entry channel boundaries, so the host slices the
+    del/ins/mrg/sub words and the packed delTag bytes directly, fetch
+    traffic is per-channel, and run chains are bounded by exact token
+    counts rather than rlen.
 
 Semantics are identical to v1 (QV.c:510-691 decode contract, exercised by
 the golden C-oracle tests); only the execution strategy changes.  On CPU
@@ -36,8 +40,6 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-from .decode_jax import _words_of
 
 _FORCE_OH = os.environ.get("DEXTRACTOR_DECODE2_OH", "") == "1"
 
@@ -141,31 +143,34 @@ def _sel12(regs, idx):
         axis=1, dtype=jnp.uint32)
 
 
-def _align2(w_a, w_b, w_c, m8):
-    """Realign three raw row words to two stream words at misalignment m8.
+def _window_reader(rect):
+    """(refresh, read) pair for a word-aligned per-channel rectangle.
 
-    m8 = 8 * (stream byte offset & 3): the stream's words sit at a fixed
-    byte misalignment within the row's word grid; little-endian loads make
-    the realignment a pair of shifts."""
-    inv = (jnp.uint32(32) - m8) & jnp.uint32(31)
-    sw_a = jnp.where(m8 == 0, w_a, (w_a >> m8) | (w_b << inv))
-    sw_b = jnp.where(m8 == 0, w_b, (w_b >> m8) | (w_c << inv))
-    return sw_a, sw_b
-
-
-def _stream_words(regs, idx, m8):
-    """Two consecutive stream u32 words at window slot ``idx``."""
-    return _align2(_sel12(regs, idx), _sel12(regs, idx + 1),
-                   _sel12(regs, idx + 2), m8)
-
-
-def _stream_words_gather(rect, widx, m8):
-    """CPU path: fetch the three row words directly (gathers are cheap on
-    CPU, and the register-window select machinery compiles slowly)."""
+    Every chain starts at word 0 of its own rectangle (the host slices
+    each channel's bytes via the native lens walk), so a stream-window
+    read is two plain word selects — no byte realignment.  TPU:
+    ``refresh(pos)`` loads a 12-word register window once per group
+    (masked reduce, zero gathers); CPU: ``read`` gathers directly."""
+    use_g = _use_gather()
     k = rect.shape[1]
-    idx = jnp.clip(jnp.stack([widx, widx + 1, widx + 2], axis=1), 0, k - 1)
-    w = jnp.take_along_axis(rect, idx, axis=1)
-    return _align2(w[:, 0], w[:, 1], w[:, 2], m8)
+
+    def refresh(pos):
+        if use_g:
+            return None
+        b0 = pos >> 7                       # 4-word block of word pos>>5
+        return _fetch12(rect, b0), b0 << 2
+
+    def read(state, pos):
+        widx = pos >> 5
+        if use_g:
+            idx = jnp.clip(jnp.stack([widx, widx + 1], axis=1), 0, k - 1)
+            w = jnp.take_along_axis(rect, idx, axis=1)
+            return w[:, 0], w[:, 1]
+        regs, base = state
+        idx = widx - base
+        return _sel12(regs, idx), _sel12(regs, idx + 1)
+
+    return refresh, read
 
 
 def _peek16(sw_a, sw_b, p):
@@ -261,42 +266,17 @@ def expand_monotone(vals: tuple, disp, width: int):
 # chain decoders
 # ---------------------------------------------------------------------------
 
-def _window_reader(rect, c_off, m8):
-    """(refresh, read) pair abstracting the stream-word fetch path.
-
-    TPU: ``refresh(pos)`` loads a 12-word register window once per group
-    (masked reduce, zero gathers) and ``read`` selects from it; CPU:
-    refresh is a no-op and ``read`` gathers the words directly."""
-    use_g = _use_gather()
-
-    def refresh(pos):
-        if use_g:
-            return None
-        b0 = ((c_off + ((pos >> 5) << 2)) >> 2) >> 2
-        return _fetch12(rect, b0), b0 << 2
-
-    def read(state, pos):
-        widx = (c_off + ((pos >> 5) << 2)) >> 2
-        if use_g:
-            return _stream_words_gather(rect, widx, m8)
-        regs, base = state
-        return _stream_words(regs, widx - base, m8)
-
-    return refresh, read
-
-
-def plain_chain(rect, c_off, rlens, f1c, f2, signal, *, max_len: int,
+def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
                 subw: int, lmax: int):
-    """Decode N plain streams at row-local byte offsets ``c_off``.
+    """Decode N plain streams, one per word-aligned rectangle row.
 
-    Returns (symbols (N, max_len) u8, total_bits (N,), last_gran (N,)).
-    Eight symbols per window refresh: 8 * 24 bits worst case fits the
-    12-word register window from any starting alignment."""
-    n = c_off.shape[0]
+    Returns symbols (N, max_len) u8.  Eight symbols per window refresh:
+    8 * 24 bits worst case fits the 12-word register window from any
+    starting alignment."""
+    n = rlens.shape[0]
     group_sz = 8
     groups = (max_len + group_sz - 1) // group_sz
-    m8 = ((c_off & 3) << 3).astype(jnp.uint32)
-    refresh, read = _window_reader(rect, c_off, m8)
+    refresh, read = _window_reader(rect)
 
     def group(g, carry):
         pos, last, out = carry
@@ -327,21 +307,23 @@ def plain_chain(rect, c_off, rlens, f1c, f2, signal, *, max_len: int,
     out0 = jnp.broadcast_to(z.astype(jnp.uint8)[:, None],
                             (n, groups * group_sz))
     pos, last, out = jax.lax.fori_loop(0, groups, group, (z, z, out0))
-    return out[:, :max_len], pos, last
+    return out[:, :max_len]
 
 
-def run_chain(rect, c_off, rlens, f1r, f1s, f2, nsignal, *,
+def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
               max_tokens: int, subw: int, lmax: int):
     """Decode N RLE streams into (runlen, literal) token pairs.
 
     Three tokens per window refresh (3 * 56 bits worst case fits the
-    12-word window).  Same contract as decode_jax.decode_run_batch."""
-    n = c_off.shape[0]
+    12-word window).  ``max_tokens`` comes from the native lens walk's
+    exact per-entry token counts, so the chain length is tight rather
+    than bounded by rlen.  Token semantics match
+    decode_jax.decode_run_batch."""
+    n = rlens.shape[0]
     group_sz = 3
     groups = (max_tokens + group_sz - 1) // group_sz
     t_pad = groups * group_sz
-    m8 = ((c_off & 3) << 3).astype(jnp.uint32)
-    refresh, read = _window_reader(rect, c_off, m8)
+    refresh, read = _window_reader(rect)
 
     def group(g, carry):
         pos, emitted, last, runs, lits = carry
@@ -394,7 +376,7 @@ def run_chain(rect, c_off, rlens, f1r, f1s, f2, nsignal, *,
     lits0 = runs0 - 1
     pos, emitted, last, runs, lits = jax.lax.fori_loop(
         0, groups, group, (z, z, z, runs0, lits0))
-    return runs, lits, emitted, pos, last
+    return runs, lits
 
 
 def expand_runs2(runs, lits, rchar, *, max_len: int):
@@ -419,55 +401,56 @@ def expand_runs2(runs, lits, rchar, *, max_len: int):
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("max_len", "del_mode", "sub_mode", "subw",
-                              "lmax"))
-def decode_entry_batch2(rect, rlens, sids, f1, f2, types, del_char,
-                        sub_char, *, max_len: int, del_mode: str,
+    jax.jit, static_argnames=("max_len", "max_tokens", "del_mode",
+                              "sub_mode", "subw", "lmax"))
+def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
+                        rlens, sids, f1, f2, types, del_char, sub_char, *,
+                        max_len: int, max_tokens: int, del_mode: str,
                         sub_mode: str, subw: int, lmax: int):
     """Fully fused five-channel .dexqv entry decode, gather-free.
 
-    rect:  (N, K) u32 — little-endian words of each entry's bytes
-    rlens: (N,) i32 symbols per entry
-    sids:  (6,) i32 scheme ids (del, drun, ins, mrg, sub, srun)
-    f1:    (S, 256) i32 L1 tables; f2: flat i32 L2 table; types: (S,) i32
+    Each channel decodes from its own word-aligned rectangle (the native
+    lens walk supplies per-entry channel boundaries, so the host slices
+    them at memcpy speed): every chain starts at word 0, fetch traffic is
+    proportional to the channel being decoded rather than the whole entry,
+    and the packed delTag bytes arrive pre-sliced (no on-device byte
+    realignment).
 
-    Semantics identical to decode_jax.decode_entry_batch (QV.c:1428-1477
-    raw-container case): returns (5, N, max_len) u8 rows."""
-    n = rect.shape[0]
+    rect_del/ins/mrg/sub: (N, K_c) u32 channel words; tag_bytes (N, TB) u8
+    with 4*TB >= max_len; rlens (N,) i32; sids (6,) i32 scheme ids
+    (del, drun, ins, mrg, sub, srun); f1 (S, 256) i32 L1 tables; f2 flat
+    i32 L2; types (S,) i32.
+
+    Semantics identical to the sequential decoder (QV.c:1428-1477 raw
+    container case): returns (5, N, max_len) u8 rows."""
+    n = rlens.shape[0]
     f1c = [jnp.take(f1, sids[k], axis=0) for k in range(6)]
     sig = [jnp.where(types[sids[k]] == 2, 255, 256) for k in range(6)]
     col = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
     in_read = col < rlens[:, None]
-    zoff = rlens * 0
 
     # -- delQV ---------------------------------------------------------
     if del_mode == "run":
-        runs, lits, _, dbits, dlast = run_chain(
-            rect, zoff, rlens, f1c[1], f1c[0], f2, sig[0],
-            max_tokens=max_len, subw=subw, lmax=lmax)
+        runs, lits = run_chain(
+            rect_del, rlens, f1c[1], f1c[0], f2, sig[0],
+            max_tokens=max_tokens, subw=subw, lmax=lmax)
         del_rows = expand_runs2(runs, lits, del_char, max_len=max_len)
         keep = in_read & (del_rows != del_char.astype(jnp.uint8))
     else:
-        del_rows, dbits, dlast = plain_chain(
-            rect, zoff, rlens, f1c[0], f2, sig[0], max_len=max_len,
+        del_rows = plain_chain(
+            rect_del, rlens, f1c[0], f2, sig[0], max_len=max_len,
             subw=subw, lmax=lmax)
         keep = in_read
-    del_w = _words_of(dbits, dlast)
 
-    # -- packed delTag (row-local byte roll, no gathers) ----------------
+    # -- packed delTag (host-sliced bytes; device: unpack + route) ------
     clens = keep.sum(axis=1)
     tlens = (clens + 3) >> 2
-    toff = 4 * del_w
-    bytes_rect = jnp.stack(
-        [(rect & 255), (rect >> 8) & 255, (rect >> 16) & 255,
-         (rect >> 24) & 255], axis=2).reshape(n, -1).astype(jnp.uint8)
-    tmax = (max_len + 3) >> 2
-    rolled = roll_rows(bytes_rect, toff)[:, :tmax]
-    tcol = jax.lax.broadcasted_iota(jnp.int32, (n, tmax), 1)
-    packed = jnp.where(tcol < tlens[:, None], rolled, 0)
+    tb = tag_bytes.shape[1]
+    tcol = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 1)
+    packed = jnp.where(tcol < tlens[:, None], tag_bytes, 0)
     shifts = jnp.array([6, 4, 2, 0], jnp.uint8)   # first symbol: bits 7-6
     codes = ((packed[:, :, None] >> shifts[None, None, :]) & 3).reshape(
-        n, 4 * tmax)[:, :max_len]
+        n, 4 * tb)[:, :max_len]
     kept_sym = jnp.where(
         codes == 0, np.uint8(ord("a")),
         jnp.where(codes == 1, np.uint8(ord("c")),
@@ -478,7 +461,7 @@ def decode_entry_batch2(rect, rlens, sids, f1, f2, types, del_char,
     rank = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
     # route kept symbols to the keep positions: displacement of the r-th
     # kept symbol is kcols[r] - r (monotone), so the expansion network
-    # replaces the per-element scatter of decode_jax
+    # replaces a per-element scatter
     disp = jnp.where(rank < clens[:, None],
                      jnp.maximum(kcols - rank, 0), max_len)
     (troutes,), tocc = expand_monotone((kept_sym.astype(jnp.int32),),
@@ -489,26 +472,20 @@ def decode_entry_batch2(rect, rlens, sids, f1, f2, types, del_char,
     tag_rows = jnp.where(in_read, tag_rows, 0)
 
     # -- ins / mrg (always plain) ---------------------------------------
-    ins_off = toff + tlens
-    ins_rows, ibits, ilast = plain_chain(
-        rect, ins_off, rlens, f1c[2], f2, sig[2], max_len=max_len,
-        subw=subw, lmax=lmax)
-    mrg_off = ins_off + 4 * _words_of(ibits, ilast)
-    mrg_rows, mbits, mlast = plain_chain(
-        rect, mrg_off, rlens, f1c[3], f2, sig[3], max_len=max_len,
-        subw=subw, lmax=lmax)
-    sub_off = mrg_off + 4 * _words_of(mbits, mlast)
+    ins_rows = plain_chain(rect_ins, rlens, f1c[2], f2, sig[2],
+                           max_len=max_len, subw=subw, lmax=lmax)
+    mrg_rows = plain_chain(rect_mrg, rlens, f1c[3], f2, sig[3],
+                           max_len=max_len, subw=subw, lmax=lmax)
 
     # -- subQV -----------------------------------------------------------
     if sub_mode == "run":
-        sruns, slits, _, _, _ = run_chain(
-            rect, sub_off, rlens, f1c[5], f1c[4], f2, sig[4],
-            max_tokens=max_len, subw=subw, lmax=lmax)
+        sruns, slits = run_chain(
+            rect_sub, rlens, f1c[5], f1c[4], f2, sig[4],
+            max_tokens=max_tokens, subw=subw, lmax=lmax)
         sub_rows = expand_runs2(sruns, slits, sub_char, max_len=max_len)
     else:
-        sub_rows, _, _ = plain_chain(
-            rect, sub_off, rlens, f1c[4], f2, sig[4], max_len=max_len,
-            subw=subw, lmax=lmax)
+        sub_rows = plain_chain(rect_sub, rlens, f1c[4], f2, sig[4],
+                               max_len=max_len, subw=subw, lmax=lmax)
 
     z = jnp.uint8(0)
     mask = lambda r: jnp.where(in_read, r, z)

@@ -374,22 +374,27 @@ def sharded_decode_run(mesh, *, max_tokens: int):
                    P(DATA_AXIS), P(DATA_AXIS)))
 
 
-def sharded_decode_entry(mesh, *, max_len: int, del_mode: str,
-                         sub_mode: str, subw: int, lmax: int):
+def sharded_decode_entry(mesh, *, max_len: int, max_tokens: int,
+                         del_mode: str, sub_mode: str, subw: int,
+                         lmax: int):
     """shard_map'd fused five-channel entry decode (single coding):
-    tables replicated, the per-entry word rectangle and the chains
+    tables replicated, the per-channel word rectangles and the chains
     sharded over the data axis (ops/decode2)."""
     from ..ops import decode2 as d2
 
-    def step(rect, rlens, sids, f1, f2, types, del_char, sub_char):
+    def step(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub, rlens,
+             sids, f1, f2, types, del_char, sub_char):
         return d2.decode_entry_batch2(
-            rect, rlens, sids, f1, f2, types, del_char, sub_char,
-            max_len=max_len, del_mode=del_mode, sub_mode=sub_mode,
-            subw=subw, lmax=lmax)
+            rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub, rlens,
+            sids, f1, f2, types, del_char, sub_char,
+            max_len=max_len, max_tokens=max_tokens, del_mode=del_mode,
+            sub_mode=sub_mode, subw=subw, lmax=lmax)
 
     return shard_map(
         step, mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P(), P(), P(),
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS), P(), P(), P(), P(),
                   P(), P()),
         out_specs=P(None, DATA_AXIS, None))
 
