@@ -1,0 +1,372 @@
+"""Pallas TPU kernels: fully fused Huffman emission + word packing.
+
+Round-1/2 chip ablations showed the encode step was bound by the emissions
+phase (~49 ms of a 64 ms step at 16 MB payload): every XLA sub-stage
+(LUT expansion, run scan, interleave, cumsums) round-trips (N, 2L+1) i32
+planes through HBM, a 50-100x traffic amplification over the u8 payload.
+
+These kernels run the *entire* per-channel encode — symbol/run LUTs,
+run-length recovery (in-VMEM cummax), run/literal slot interleave, bit
+cumsums and word-boundary compaction — on a (B, L) row tile inside VMEM.
+HBM sees one read of the u8 symbols and one write of the u32 word
+rectangle + a tiny per-row stats plane.  This is the speed-of-light
+formulation for this codec on TPU: traffic ~= payload + output.
+
+Semantics are identical to ops/bitstream_jax.{plain,run}_emissions +
+pack_words + word_counts inputs (golden-tested against the C encoder,
+/root/reference/QV.c:386-506); tests cover kernel-vs-XLA equality.
+
+Grid layout: (channel, row-tile) — each channel carries its own packed
+LUTs (bits<<6 | len<<1 | esc, see bitstream_jax.scheme_luts) and params
+row, so one launch encodes a whole channel group.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+B = 8                       # rows per grid step
+
+_NEG = np.int32(-(1 << 30))
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident lane primitives (shared with pack_pallas' formulation)
+# ---------------------------------------------------------------------------
+
+def _shr_fill(x, step, fill=0):
+    """x shifted right by ``step`` along axis 1 (toward higher lanes)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col >= step, pltpu.roll(x, step, axis=1), fill)
+
+
+def _shl_fill(x, step, fill=0):
+    """x shifted left by ``step`` along axis 1 (toward lower lanes)."""
+    m = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col < m - step, pltpu.roll(x, m - step, axis=1), fill)
+
+
+def _cumsum_lanes(x):
+    """Inclusive cumsum along lanes, int32 wraparound semantics."""
+    for b in range(max(x.shape[1] - 1, 1).bit_length()):
+        x = x + _shr_fill(x, 1 << b)
+    return x
+
+
+def _cummax_lanes(x):
+    """Inclusive cumulative max along lanes."""
+    for b in range(max(x.shape[1] - 1, 1).bit_length()):
+        x = jnp.maximum(x, _shr_fill(x, 1 << b, fill=int(_NEG)))
+    return x
+
+
+LUT_IMPL = "select"         # "select" (VPU reduce) | "lane" (dynamic gather)
+
+
+def _lut256_chunk_select(d, lut_row):
+    """(r, 128) chunk via select + reduce over a broadcast 256 axis; each
+    output sums exactly one non-zero f32 term (values < 2^24 exact)."""
+    r, l = d.shape
+    lut = lut_row.astype(jnp.float32)                     # (1, 256)
+    sym = jax.lax.broadcasted_iota(jnp.int32, (r, l, 256), 2)
+    sel = jnp.where(d[:, :, None] == sym, lut[0][None, None, :], 0.0)
+    return jnp.sum(sel, axis=2).astype(jnp.int32)
+
+
+def _lut256_chunk_lane(d, lut_row):
+    """(r, 128) chunk via two 128-lane dynamic gathers + a select."""
+    r = d.shape[0]
+    lob = jnp.broadcast_to(lut_row[:, 0:128], (r, 128))
+    hib = jnp.broadcast_to(lut_row[:, 128:256], (r, 128))
+    idx = d & 127
+    glo = jnp.take_along_axis(lob, idx, axis=1)
+    ghi = jnp.take_along_axis(hib, idx, axis=1)
+    return jnp.where(d < 128, glo, ghi)
+
+
+def _lut256(d, lut_row):
+    """256-entry LUT lookup for an i32 tile ``d`` (values 0..255).
+
+    lut_row: (1, 256) i32 in VMEM.  Processed in 128-lane chunks so the
+    select expansion stays ~1 MB of VMEM per chunk.
+    """
+    r, l = d.shape
+    chunk = _lut256_chunk_lane if LUT_IMPL == "lane" else _lut256_chunk_select
+    if l <= 128:
+        return chunk(d, lut_row)
+    outs = [chunk(d[:, j * 128:(j + 1) * 128], lut_row)
+            for j in range(l // 128)]
+    return jnp.concatenate(outs, axis=1)
+
+
+def _interleave(a, b):
+    """[a0, b0, a1, b1, ...]: (R, L) x2 -> (R, 2L), lanes interleaved."""
+    return jnp.stack([a, b], axis=2).reshape(a.shape[0], 2 * a.shape[1])
+
+
+def _sym_emit(d, lut_row):
+    """Symbol emission (v, n, gran) from the packed LUT (escape fused)."""
+    packed = _lut256(d, lut_row)
+    bits = packed >> 6
+    lens = (packed >> 1) & 31
+    esc = (packed & 1) == 1
+    v = jnp.where(esc, (bits << 8) | d, bits)
+    n = jnp.where(esc, lens + 8, lens)
+    gran = jnp.where(esc, 8, lens)
+    return v, n, gran
+
+
+def _run_emit(runlen, lut_row):
+    """Run-length emission (16-bit literal escape, QV.c:478-487)."""
+    x = jnp.minimum(runlen, 255)
+    packed = _lut256(x, lut_row)
+    bits = packed >> 6
+    lens = (packed >> 1) & 31
+    esc = (packed & 1) == 1
+    v = jnp.where(esc, (bits << 16) | (runlen & 0xFFFF), bits)
+    n = jnp.where(esc, lens + 16, lens)
+    gran = jnp.where(esc, 16, lens)
+    return v, n, gran
+
+
+def _pack_slots(v, n):
+    """Slot emissions (R, M) -> word rectangle (R, M) u32-as-i32.
+
+    Identical algorithm to pack_pallas._pack_kernel (cumss + boundary
+    compaction); kept here so the whole channel encode is one kernel.
+    """
+    r, m = v.shape
+    inc = _cumsum_lanes(n)
+    off = inc - n
+    w = off >> 5
+    p = off & 31
+    pn = p + n
+    fits = pn <= 32
+    vu = v.astype(jnp.uint32)
+    hi = jnp.where(fits, vu << jnp.clip(32 - pn, 0, 31).astype(jnp.uint32),
+                   vu >> jnp.clip(pn - 32, 0, 31).astype(jnp.uint32))
+    lo = jnp.where(fits, jnp.uint32(0),
+                   vu << jnp.clip(64 - pn, 0, 31).astype(jnp.uint32))
+    hi = jnp.where(n > 0, hi, jnp.uint32(0)).astype(jnp.int32)
+    lo = lo.astype(jnp.int32)
+
+    cs_hi = _cumsum_lanes(hi)
+    cs_lo = _cumsum_lanes(lo)
+
+    nxt = _shl_fill(w, 1, fill=-1)
+    last = w != nxt
+    ranks = _cumsum_lanes(last.astype(jnp.int32)) - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1)
+    d = jnp.where(last, col - ranks, 0)
+    # compact (cs_hi, cs_lo) to their ranks
+    a, b_ = cs_hi, cs_lo
+    for bb in range(max(m - 1, 1).bit_length()):
+        step = 1 << bb
+        move = _shl_fill((d >> bb) & 1, step) == 1
+        a = jnp.where(move, _shl_fill(a, step), a)
+        b_ = jnp.where(move, _shl_fill(b_, step), b_)
+        d = jnp.where(move, _shl_fill(d, step) - step, d)
+
+    key_max = jnp.max(jnp.where(n > 0, w, -1), axis=1, keepdims=True)
+    hi_vals = jnp.where(col <= key_max, a - _shr_fill(a, 1), 0)
+    lo_vals = jnp.where((col >= 1) & (col <= key_max + 1),
+                        _shr_fill(b_, 1) - _shr_fill(b_, 2), 0)
+    return hi_vals + lo_vals
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
+
+def _plain_kernel(data_ref, len_ref, lut_ref, words_ref, stats_ref):
+    d = data_ref[0].astype(jnp.int32)                    # (B, L)
+    lengths = len_ref[:, 0:1]                            # (B, 1)
+    lut = lut_ref[0]                                     # (1, 256)
+    r, l = d.shape
+    mp = words_ref.shape[2]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, l), 1)
+    valid = col < lengths
+    v, n, gran = _sym_emit(d, lut)
+    v = jnp.where(valid, v, 0)
+    n = jnp.where(valid, n, 0)
+
+    t = jnp.sum(n, axis=1, keepdims=True)                # (B, 1)
+    lg = jnp.sum(jnp.where(col == lengths - 1, gran, 0), axis=1,
+                 keepdims=True)
+
+    pad = mp - l
+    vp = jnp.pad(v, ((0, 0), (0, pad)))
+    np_ = jnp.pad(n, ((0, 0), (0, pad)))
+    words_ref[0] = _pack_slots(vp, np_)
+
+    scol = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+    stats_ref[0] = jnp.where(scol == 0, t, jnp.where(scol == 1, lg, 0))
+
+
+def _run_kernel(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
+                words_ref, stats_ref):
+    d = data_ref[0].astype(jnp.int32)                    # (B, L)
+    lengths = len_ref[:, 0:1]                            # (B, 1)
+    slut = slut_ref[0]                                   # (1, 256)
+    rlut = rlut_ref[0]
+    rchar = prm_ref[0, 0:1, 0:1]                         # (1, 1) i32
+    r, l = d.shape
+    mp = words_ref.shape[2]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, l), 1)
+    valid = col < lengths
+    is_lit = valid & (d != rchar)
+
+    lit_pos = jnp.where(is_lit, col, -1)
+    run_max = _cummax_lanes(lit_pos)
+    prev_lit = _shr_fill(run_max, 1, fill=-1)
+    runlen = col - prev_lit - 1
+
+    rv, rn, _ = _run_emit(runlen, rlut)
+    rv = jnp.where(is_lit, rv, 0)
+    rn = jnp.where(is_lit, rn, 0)
+    sv, sn, sgran = _sym_emit(d, slut)
+    sv = jnp.where(is_lit, sv, 0)
+    sn = jnp.where(is_lit, sn, 0)
+
+    # trailing run after the last literal
+    last_lit = jnp.max(lit_pos, axis=1, keepdims=True)   # (B, 1)
+    trail = jnp.maximum(lengths - last_lit - 1, 0)
+    has_trail = trail > 0
+    tv1, tn1, tg1 = _run_emit(trail, rlut)               # (B, 1)
+    tv = jnp.where(has_trail, tv1, 0)
+    tn = jnp.where(has_trail, tn1, 0)
+
+    # interleave pairs into (B, 2L) then place the trailing emission at
+    # the last padded slot (slots after the valid region have n == 0, so
+    # any later slot keeps the bit offsets exact)
+    v2 = _interleave(rv, sv)
+    n2 = _interleave(rn, sn)
+    pad = mp - 2 * l
+    vp = jnp.pad(v2, ((0, 0), (0, pad)))
+    np_ = jnp.pad(n2, ((0, 0), (0, pad)))
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (r, mp), 1)
+    vp = jnp.where(pcol == mp - 1, tv, vp)
+    np_ = jnp.where(pcol == mp - 1, tn, np_)
+
+    t = jnp.sum(np_, axis=1, keepdims=True)
+    lg_lit = jnp.sum(jnp.where(col == last_lit, sgran, 0), axis=1,
+                     keepdims=True)
+    lg = jnp.where(has_trail, tg1, jnp.where(last_lit >= 0, lg_lit, 0))
+
+    words_ref[0] = _pack_slots(vp, np_)
+    scol = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+    stats_ref[0] = jnp.where(scol == 0, t, jnp.where(scol == 1, lg, 0))
+
+
+# ---------------------------------------------------------------------------
+# host-callable wrappers
+# ---------------------------------------------------------------------------
+
+def _round_up(x, mult):
+    return (x + mult - 1) // mult * mult
+
+
+def _prep(data, lengths):
+    """Pad rows to a B multiple; lengths to an (N, 128) broadcast plane."""
+    c, n, l = data.shape
+    assert l % 128 == 0, "row width must be lane-aligned"
+    rpad = (-n) % B
+    if rpad:
+        data = jnp.pad(data, ((0, 0), (0, rpad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, rpad))
+    lens2 = jnp.broadcast_to(lengths[:, None].astype(jnp.int32),
+                             (n + rpad, 128))
+    return data, lens2, n, rpad
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_plain_pallas(data, lengths, sym_luts, interpret: bool = False):
+    """Fused plain-channel encode.
+
+    data (C, N, L) u8, lengths (N,) i32, sym_luts (C, 256) packed i32
+    -> (words (C, N, Mp) u32, t (C, N) i32, last_gran (C, N) i32).
+    """
+    c, _, l = data.shape
+    data, lens2, n, rpad = _prep(data, lengths)
+    mp = _round_up(l + 2, 128)
+    grid = (c, (n + rpad) // B)
+    words, stats = pl.pallas_call(
+        _plain_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, B, l), lambda ch, i: (ch, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda ch, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 256), lambda ch, i: (ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, mp), lambda ch, i: (ch, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 128), lambda ch, i: (ch, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, n + rpad, mp), jnp.int32),
+            jax.ShapeDtypeStruct((c, n + rpad, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data, lens2, sym_luts.reshape(c, 1, 256))
+    return (words[:, :n].astype(jnp.uint32), stats[:, :n, 0],
+            stats[:, :n, 1])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def encode_run_pallas(data, lengths, sym_luts, run_luts, rchars,
+                      interpret: bool = False):
+    """Fused RLE-channel encode.
+
+    data (C, N, L) u8, lengths (N,), sym_luts/run_luts (C, 256),
+    rchars (C,) i32 -> (words (C, N, Mp) u32, t (C, N), last_gran (C, N)).
+    """
+    c, _, l = data.shape
+    data, lens2, n, rpad = _prep(data, lengths)
+    mp = _round_up(2 * l + 2, 128)
+    prm = jnp.broadcast_to(rchars.astype(jnp.int32)[:, None, None],
+                           (c, 1, 128))
+    grid = (c, (n + rpad) // B)
+    words, stats = pl.pallas_call(
+        _run_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, B, l), lambda ch, i: (ch, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda ch, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 256), lambda ch, i: (ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 256), lambda ch, i: (ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 128), lambda ch, i: (ch, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, mp), lambda ch, i: (ch, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 128), lambda ch, i: (ch, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((c, n + rpad, mp), jnp.int32),
+            jax.ShapeDtypeStruct((c, n + rpad, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(data, lens2, sym_luts.reshape(c, 1, 256),
+      run_luts.reshape(c, 1, 256), prm)
+    return (words[:, :n].astype(jnp.uint32), stats[:, :n, 0],
+            stats[:, :n, 1])
