@@ -376,6 +376,12 @@ def _pack_tags_device(tag_rows, del_rows, lengths, del_char):
 
 
 def _pack_tags_impl(tag_rows, del_rows, lengths, del_char, number_lut):
+    import jax as _j
+
+    if _j.default_backend() != "cpu" and tag_rows.shape[1] % 512 == 0:
+        from ..ops.emit_pallas import pack_tags_pallas
+        return pack_tags_pallas(tag_rows, del_rows, lengths, del_char,
+                                number_lut)
     from ..parallel.pipeline import _pack_tags
     return _pack_tags(tag_rows, del_rows, lengths, del_char, number_lut)
 

@@ -316,8 +316,23 @@ def finalize_rows(words: np.ndarray, raw: np.ndarray, out: np.ndarray,
 # fused device programs
 # ---------------------------------------------------------------------------
 
+def _lane_pad(data):
+    l = data.shape[1]
+    lp = (l + 127) // 128 * 128
+    if lp != l:
+        data = jnp.pad(data, ((0, 0), (0, lp - l)))
+    return data
+
+
 @jax.jit
 def encode_plain_rows(data, lengths, luts):
+    if jax.default_backend() != "cpu":
+        from .emit_pallas import encode_plain_pallas
+
+        words, t, lg = encode_plain_pallas(
+            _lane_pad(data)[None], lengths.astype(jnp.int32), luts[None])
+        raw, out, dup, zext = word_counts(t[0], lg[0])
+        return words[0], raw, out, dup, zext
     v, n, t, lg = plain_emissions(data, lengths, luts)
     words = pack_words_any(v, n)
     raw, out, dup, zext = word_counts(t, lg)
@@ -326,6 +341,14 @@ def encode_plain_rows(data, lengths, luts):
 
 @jax.jit
 def encode_run_rows(data, lengths, rchar, sym_luts, run_luts):
+    if jax.default_backend() != "cpu":
+        from .emit_pallas import encode_run_pallas
+
+        words, t, lg = encode_run_pallas(
+            _lane_pad(data)[None], lengths.astype(jnp.int32),
+            sym_luts[None], run_luts[None], rchar.reshape(1))
+        raw, out, dup, zext = word_counts(t[0], lg[0])
+        return words[0], raw, out, dup, zext
     v, n, t, lg = run_emissions(data, lengths, rchar, sym_luts, run_luts)
     words = pack_words_any(v, n)
     raw, out, dup, zext = word_counts(t, lg)

@@ -267,6 +267,101 @@ def _run_kernel(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
     stats_ref[0] = jnp.where(scol == 0, t, jnp.where(scol == 1, lg, 0))
 
 
+def _compact_lanes(vals, keep):
+    """Stable left-compaction of ``keep``-flagged lanes (VMEM shift net).
+
+    Destinations are the kept lanes' ranks, so displacements are monotone
+    non-decreasing and the LSB-to-MSB shift rounds never collide (same
+    argument as bitstream_jax.compact_monotone)."""
+    r, m = keep.shape
+    ranks = _cumsum_lanes(keep.astype(jnp.int32)) - 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1)
+    d = jnp.where(keep, col - ranks, 0)
+    for bb in range(max(m - 1, 1).bit_length()):
+        step = 1 << bb
+        move = _shl_fill((d >> bb) & 1, step) == 1
+        vals = tuple(jnp.where(move, _shl_fill(v, step), v) for v in vals)
+        d = jnp.where(move, _shl_fill(d, step) - step, d)
+    return vals
+
+
+def _tag_kernel(tag_ref, del_ref, len_ref, lut_ref, prm_ref,
+                out_ref, stats_ref):
+    tag = tag_ref[:].astype(jnp.int32)                   # (B, L)
+    dl = del_ref[:].astype(jnp.int32)
+    lengths = len_ref[:, 0:1]
+    nlut = lut_ref[0:1, :]                               # (1, 256)
+    del_char = prm_ref[0:1, 0:1]                         # (1, 1)
+    r, l = tag.shape
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, l), 1)
+    valid = col < lengths
+    keep = jnp.where(del_char >= 0, valid & (dl != del_char), valid)
+
+    codes = _lut256(tag, nlut)
+    (sv,) = _compact_lanes((codes,), keep)
+    clens = jnp.sum(keep.astype(jnp.int32), axis=1, keepdims=True)
+    c = jnp.where(col < clens, sv, 0)
+
+    # 2-bit pack, first code in bits 7-6 (DB.c:334): byte j combines
+    # codes 4j..4j+3; build at every lane then keep lanes 4j
+    comb = ((c << 6) | (_shl_fill(c, 1) << 4)
+            | (_shl_fill(c, 2) << 2) | _shl_fill(c, 3))
+    (packed,) = _compact_lanes((comb,), col % 4 == 0)
+    out_ref[:] = packed[:, : l // 4]
+
+    scol = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+    stats_ref[:] = jnp.where(scol == 0, clens, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pack_tags_pallas(tag_rows, del_rows, lengths, del_char, number_lut,
+                     interpret: bool = False):
+    """Fused Pack_Tag + Number_Read + Compress_Read (QV.c:810-819).
+
+    tag_rows/del_rows (N, L) u8, lengths (N,), del_char i32 scalar,
+    number_lut (256,) -> (packed (N, L//4) u8, clens (N,) i32).
+    """
+    n, l = tag_rows.shape
+    assert l % 512 == 0, "tag rows must be 512-aligned (byte lanes x4)"
+    rpad = (-n) % B
+    if rpad:
+        tag_rows = jnp.pad(tag_rows, ((0, rpad), (0, 0)))
+        del_rows = jnp.pad(del_rows, ((0, rpad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, rpad))
+    lens2 = jnp.broadcast_to(lengths[:, None].astype(jnp.int32),
+                             (n + rpad, 128))
+    prm = jnp.broadcast_to(del_char.astype(jnp.int32).reshape(1, 1),
+                           (1, 128))
+    packed, stats = pl.pallas_call(
+        _tag_kernel,
+        grid=((n + rpad) // B,),
+        in_specs=[
+            pl.BlockSpec((B, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 256), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, l // 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n + rpad, l // 4), jnp.int32),
+            jax.ShapeDtypeStruct((n + rpad, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tag_rows, del_rows, lens2,
+      number_lut.astype(jnp.int32).reshape(1, 256), prm)
+    return packed[:n].astype(jnp.uint8), stats[:n, 0]
+
+
 # ---------------------------------------------------------------------------
 # host-callable wrappers
 # ---------------------------------------------------------------------------

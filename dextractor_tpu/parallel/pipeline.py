@@ -67,6 +67,34 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
     rdata = jnp.stack([streams[0], streams[4]])
     pdata = jnp.stack([streams[2], streams[3]])
 
+    if jax.default_backend() != "cpu":
+        # fused in-VMEM kernels: symbols -> packed words in one pass
+        from ..ops import emit_pallas as ep
+
+        ridx = jnp.array([0, 3])
+        pidx = jnp.array([1, 2])
+        r_words, r_t, r_lg = ep.encode_run_pallas(
+            rdata, lengths, sym_luts[ridx], run_luts[ridx], rchars[ridx])
+        p_words, p_t, p_lg = ep.encode_plain_pallas(
+            pdata, lengths, sym_luts[pidx])
+        r_raw, r_out, r_dup, r_zext = bj.word_counts(r_t, r_lg)
+        p_raw, p_out, p_dup, p_zext = bj.word_counts(p_t, p_lg)
+        pad = r_words.shape[2] - p_words.shape[2]
+        p_words = jnp.pad(p_words, ((0, 0), (0, 0), (0, pad)))
+        words = jnp.stack([r_words[0], p_words[0], p_words[1], r_words[1]])
+
+        def mix(a, b):
+            return jnp.stack([a[0], b[0], b[1], a[1]])
+
+        if streams.shape[2] % 512 == 0:
+            packed, clens = ep.pack_tags_pallas(
+                streams[1], streams[0], lengths, rchars[0], number_lut)
+        else:
+            packed, clens = _pack_tags(streams[1], streams[0], lengths,
+                                       rchars[0], number_lut)
+        return (words, mix(r_raw, p_raw), mix(r_out, p_out),
+                mix(r_dup, p_dup), mix(r_zext, p_zext), packed, clens)
+
     def one_run(d, sl, rl, rc):
         v, n, t, lg = bj.run_emissions(d, lengths, rc, sl, rl)
         raw, out, dup, zext = bj.word_counts(t, lg)

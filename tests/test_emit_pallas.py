@@ -153,3 +153,29 @@ def test_multi_channel_grid():
         assert (np.asarray(tp[c]) == tx).all()
         assert (np.asarray(lgp[c]) == lgx).all()
         _compare_words(np.asarray(wp[c]), wx, (tx + 31) >> 5)
+
+
+def test_pack_tags_kernel_matches_xla():
+    from dextractor_tpu.parallel.pipeline import _pack_tags
+    from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT
+
+    rng = np.random.default_rng(23)
+    n_reads, l = 16, 512
+    tag = rng.choice(np.frombuffer(b"acgtn", np.uint8), (n_reads, l))
+    dl = rng.integers(0, 4, (n_reads, l)).astype(np.uint8) + 100
+    lengths = rng.integers(0, l + 1, n_reads).astype(np.int32)
+    lengths[0] = 0
+    lengths[1] = l
+    for del_char in (-1, 102):
+        px, cx = _pack_tags(jnp.asarray(tag), jnp.asarray(dl),
+                            jnp.asarray(lengths), jnp.int32(del_char),
+                            jnp.asarray(NUMBER_BASE_LUT))
+        pp, cp = ep.pack_tags_pallas(
+            jnp.asarray(tag), jnp.asarray(dl), jnp.asarray(lengths),
+            jnp.int32(del_char), jnp.asarray(NUMBER_BASE_LUT),
+            interpret=True)
+        px, cx, pp, cp = (np.asarray(x) for x in (px, cx, pp, cp))
+        assert (cp == cx).all()
+        for i in range(n_reads):
+            nb = (int(cx[i]) + 3) >> 2
+            assert (pp[i, :nb] == px[i, :nb]).all(), (del_char, i)
