@@ -69,9 +69,9 @@ def _lut_gather(data, lut_i32):
     """
     if not USE_MXU_GATHER or jax.default_backend() == "cpu":
         return lut_i32[data.astype(jnp.int32)]
-    from .lut_pallas import lut_gather_pallas
+    from .lut_pallas import lut_gather_lane
 
-    return lut_gather_pallas(data, lut_i32)
+    return lut_gather_lane(data, lut_i32)
 
 
 def _sym_emissions(data, luts):

@@ -67,7 +67,10 @@ def _cummax_lanes(x):
     return x
 
 
-LUT_IMPL = "select"         # "select" (VPU reduce) | "lane" (dynamic gather)
+LUT_IMPL = "lane"           # "select" (VPU reduce) | "lane" (dynamic gather)
+# chip probe (v5e): lane-gather 0.10 ms vs select 3.44 ms per 4.2M-element
+# tile — the hardware dynamic gather is the only formulation that keeps
+# the LUTs off the critical path
 
 
 def _lut256_chunk_select(d, lut_row):
@@ -106,9 +109,38 @@ def _lut256(d, lut_row):
     return jnp.concatenate(outs, axis=1)
 
 
+def _spread2(x):
+    """Lane dilation: element at lane i moves to lane 2i, zero elsewhere.
+
+    (R, L) -> (R, 2L).  Mosaic rejects the shape-cast/strided interleave
+    formulations ("unsupported shape cast"), so this is a pure roll+select
+    shift network: element i's displacement is i (monotone non-decreasing),
+    and processing displacement bits MSB-first guarantees every landing
+    lane is either empty or vacated in the same round (elements to the
+    right always carry >= displacement, so they move at least as early).
+    """
+    r, m = x.shape
+    y = jnp.pad(x, ((0, 0), (0, m)))
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, 2 * m), 1)
+    d = jnp.where(col < m, col, -1)
+    for b in reversed(range(max(m - 1, 1).bit_length())):
+        step = 1 << b
+        src = (d >= 0) & (((d >> b) & 1) == 1)
+        take = _shr_fill(src.astype(jnp.int32), step) == 1
+        y = jnp.where(take, _shr_fill(y, step), y)
+        d = jnp.where(take, _shr_fill(d, step) - step, d)
+        # a vacated source keeps a stale copy: kill it so it cannot move
+        # again in a later round (unless an arrival just replaced it)
+        d = jnp.where(src & ~take, -1, d)
+    return jnp.where(d == 0, y, 0)
+
+
 def _interleave(a, b):
-    """[a0, b0, a1, b1, ...]: (R, L) x2 -> (R, 2L), lanes interleaved."""
-    return jnp.stack([a, b], axis=2).reshape(a.shape[0], 2 * a.shape[1])
+    """[a0, b0, a1, b1, ...]: (R, L) x2 -> (R, 2L), lanes interleaved.
+
+    Two spread networks; the planes are lane-disjoint so an add combines.
+    """
+    return _spread2(a) + _shr_fill(_spread2(b), 1)
 
 
 def _sym_emit(d, lut_row):
