@@ -73,38 +73,49 @@ LUT_IMPL = "lane"           # "select" (VPU reduce) | "lane" (dynamic gather)
 # the LUTs off the critical path
 
 
-def _lut256_chunk_select(d, lut_row):
-    """(r, 128) chunk via select + reduce over a broadcast 256 axis; each
-    output sums exactly one non-zero f32 term (values < 2^24 exact)."""
+def _lut256_chunk_select(d, lut2):
+    """(r, <=128) chunk via select + reduce over two broadcast 128 axes;
+    each output sums exactly one non-zero f32 term (values < 2^24 exact)."""
     r, l = d.shape
-    lut = lut_row.astype(jnp.float32)                     # (1, 256)
-    sym = jax.lax.broadcasted_iota(jnp.int32, (r, l, 256), 2)
-    sel = jnp.where(d[:, :, None] == sym, lut[0][None, None, :], 0.0)
-    return jnp.sum(sel, axis=2).astype(jnp.int32)
+    lo = lut2[0].astype(jnp.float32)                      # (128,)
+    hi = lut2[1].astype(jnp.float32)
+    sym = jax.lax.broadcasted_iota(jnp.int32, (r, l, 128), 2)
+    s_lo = jnp.where(d[:, :, None] == sym, lo[None, None, :], 0.0)
+    s_hi = jnp.where((d - 128)[:, :, None] == sym, hi[None, None, :], 0.0)
+    return (jnp.sum(s_lo, axis=2) + jnp.sum(s_hi, axis=2)).astype(jnp.int32)
 
 
-def _lut256_chunk_lane(d, lut_row):
-    """(r, 128) chunk via two 128-lane dynamic gathers + a select."""
-    r = d.shape[0]
-    lob = jnp.broadcast_to(lut_row[:, 0:128], (r, 128))
-    hib = jnp.broadcast_to(lut_row[:, 128:256], (r, 128))
+def _lut256_chunk_lane(d, lut2):
+    """(r, <=128) chunk via two 128-lane dynamic gathers + a select.
+
+    The Mosaic gather lowering requires index shape == table shape, so
+    narrow chunks are broadcast up to the 128-lane width and sliced back;
+    the table arrives pre-split as (2, 128) rows (Mosaic also rejects
+    broadcasting a lane-offset slice of a (1, 256) plane)."""
+    r, l = d.shape
+    if l < 128:
+        d = jnp.broadcast_to(d[:, 0:1], (r, 128)) if l == 1 else jnp.pad(
+            d, ((0, 0), (0, 128 - l)))
+    lob = jnp.broadcast_to(lut2[0:1, :], (r, 128))
+    hib = jnp.broadcast_to(lut2[1:2, :], (r, 128))
     idx = d & 127
     glo = jnp.take_along_axis(lob, idx, axis=1)
     ghi = jnp.take_along_axis(hib, idx, axis=1)
-    return jnp.where(d < 128, glo, ghi)
+    out = jnp.where(d < 128, glo, ghi)
+    return out[:, :l]
 
 
-def _lut256(d, lut_row):
+def _lut256(d, lut2):
     """256-entry LUT lookup for an i32 tile ``d`` (values 0..255).
 
-    lut_row: (1, 256) i32 in VMEM.  Processed in 128-lane chunks so the
-    select expansion stays ~1 MB of VMEM per chunk.
+    lut2: (2, 128) i32 in VMEM (table split into lane-aligned halves).
+    Processed in 128-lane chunks so the gather/select stays one VREG wide.
     """
     r, l = d.shape
     chunk = _lut256_chunk_lane if LUT_IMPL == "lane" else _lut256_chunk_select
     if l <= 128:
-        return chunk(d, lut_row)
-    outs = [chunk(d[:, j * 128:(j + 1) * 128], lut_row)
+        return chunk(d, lut2)
+    outs = [chunk(d[:, j * 128:(j + 1) * 128], lut2)
             for j in range(l // 128)]
     return jnp.concatenate(outs, axis=1)
 
@@ -220,7 +231,7 @@ def _pack_slots(v, n):
 def _plain_kernel(data_ref, len_ref, lut_ref, words_ref, stats_ref):
     d = data_ref[0].astype(jnp.int32)                    # (B, L)
     lengths = len_ref[:, 0:1]                            # (B, 1)
-    lut = lut_ref[0]                                     # (1, 256)
+    lut = lut_ref[0]                                     # (2, 128)
     r, l = d.shape
     mp = words_ref.shape[2]
 
@@ -247,7 +258,7 @@ def _run_kernel(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
                 words_ref, stats_ref):
     d = data_ref[0].astype(jnp.int32)                    # (B, L)
     lengths = len_ref[:, 0:1]                            # (B, 1)
-    slut = slut_ref[0]                                   # (1, 256)
+    slut = slut_ref[0]                                   # (2, 128)
     rlut = rlut_ref[0]
     rchar = prm_ref[0, 0:1, 0:1]                         # (1, 1) i32
     r, l = d.shape
@@ -322,13 +333,15 @@ def _tag_kernel(tag_ref, del_ref, len_ref, lut_ref, prm_ref,
     tag = tag_ref[:].astype(jnp.int32)                   # (B, L)
     dl = del_ref[:].astype(jnp.int32)
     lengths = len_ref[:, 0:1]
-    nlut = lut_ref[0:1, :]                               # (1, 256)
+    nlut = lut_ref[:]                                    # (2, 128)
     del_char = prm_ref[0:1, 0:1]                         # (1, 1)
     r, l = tag.shape
 
     col = jax.lax.broadcasted_iota(jnp.int32, (r, l), 1)
     valid = col < lengths
-    keep = jnp.where(del_char >= 0, valid & (dl != del_char), valid)
+    # boolean algebra, not a select over bools (Mosaic rejects i1 select_n
+    # with a broadcast scalar condition: "unsupported bitwidth truncation")
+    keep = valid & ((dl != del_char) | (del_char < 0))
 
     codes = _lut256(tag, nlut)
     (sv,) = _compact_lanes((codes,), keep)
@@ -373,7 +386,7 @@ def pack_tags_pallas(tag_rows, del_rows, lengths, del_char, number_lut,
             pl.BlockSpec((B, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 256), lambda i: (0, 0),
+            pl.BlockSpec((2, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -390,7 +403,7 @@ def pack_tags_pallas(tag_rows, del_rows, lengths, del_char, number_lut,
         ],
         interpret=interpret,
     )(tag_rows, del_rows, lens2,
-      number_lut.astype(jnp.int32).reshape(1, 256), prm)
+      number_lut.astype(jnp.int32).reshape(2, 128), prm)
     return packed[:n].astype(jnp.uint8), stats[:n, 0]
 
 
@@ -434,7 +447,7 @@ def encode_plain_pallas(data, lengths, sym_luts, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 128), lambda ch, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 256), lambda ch, i: (ch, 0, 0),
+            pl.BlockSpec((1, 2, 128), lambda ch, i: (ch, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -448,7 +461,7 @@ def encode_plain_pallas(data, lengths, sym_luts, interpret: bool = False):
             jax.ShapeDtypeStruct((c, n + rpad, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(data, lens2, sym_luts.reshape(c, 1, 256))
+    )(data, lens2, sym_luts.reshape(c, 2, 128))
     return (words[:, :n].astype(jnp.uint32), stats[:, :n, 0],
             stats[:, :n, 1])
 
@@ -475,9 +488,9 @@ def encode_run_pallas(data, lengths, sym_luts, run_luts, rchars,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 128), lambda ch, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 256), lambda ch, i: (ch, 0, 0),
+            pl.BlockSpec((1, 2, 128), lambda ch, i: (ch, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 256), lambda ch, i: (ch, 0, 0),
+            pl.BlockSpec((1, 2, 128), lambda ch, i: (ch, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 128), lambda ch, i: (ch, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -493,7 +506,7 @@ def encode_run_pallas(data, lengths, sym_luts, run_luts, rchars,
             jax.ShapeDtypeStruct((c, n + rpad, 128), jnp.int32),
         ],
         interpret=interpret,
-    )(data, lens2, sym_luts.reshape(c, 1, 256),
-      run_luts.reshape(c, 1, 256), prm)
+    )(data, lens2, sym_luts.reshape(c, 2, 128),
+      run_luts.reshape(c, 2, 128), prm)
     return (words[:, :n].astype(jnp.uint32), stats[:, :n, 0],
             stats[:, :n, 1])

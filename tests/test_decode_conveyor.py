@@ -1,0 +1,115 @@
+"""Conveyor decode kernels vs the XLA decode2 chains (interpret mode).
+
+Streams are produced by the host bitstream encoder (byte-identical to the
+C encoder by the golden tests), so chain-level equality here pins the
+kernels to the real on-disk format.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dextractor_tpu.ops import bitstream as bs
+from dextractor_tpu.ops import decode2 as d2
+from dextractor_tpu.ops import decode_conveyor as dc
+from dextractor_tpu.ops.huffman import make_scheme
+
+
+def _mk_scheme(rng, skewed=False):
+    if skewed:
+        hist = np.ones(256, np.int64)
+        hist[:6] = rng.integers(50_000, 200_000, 6)
+        hist[6:40] = rng.integers(1, 3, 34)
+    else:
+        hist = rng.integers(1, 100, 256).astype(np.int64)
+    return make_scheme(hist)
+
+
+def _rect_from_streams(streams):
+    """Pack per-row byte streams into a word-aligned (N, K) u32 rect."""
+    k = max(4, 1 << (max((len(s) + 3) // 4 for s in streams) + 12 - 1)
+            .bit_length())
+    rect = np.zeros((len(streams), 4 * k), np.uint8)
+    for i, s in enumerate(streams):
+        rect[i, : len(s)] = np.frombuffer(bytes(s), np.uint8)
+    return rect.view(np.uint32)
+
+
+@pytest.mark.parametrize("skewed", [False, True])
+def test_plain_conveyor_matches_xla(skewed):
+    rng = np.random.default_rng(31 + skewed)
+    scheme = _mk_scheme(rng, skewed)
+    n, max_len = 6, 64
+    rlens = rng.integers(0, max_len + 1, n).astype(np.int32)
+    rlens[0] = 0
+    rlens[1] = max_len
+    datas = [rng.integers(0, 256 if skewed else 48, r).astype(np.uint8)
+             for r in rlens]
+    streams = [bs.encode_stream(scheme, d).tobytes() for d in datas]
+    rect = _rect_from_streams(streams)
+
+    f1, f2, subw, lmax = d2.scheme_tables2([scheme])
+    signal = 255 if scheme.type == 2 else 256
+    xla = np.asarray(d2.plain_chain(
+        jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[0]),
+        jnp.asarray(f2), jnp.int32(signal), max_len=max_len, subw=subw,
+        lmax=lmax))
+    got = np.asarray(dc.plain_chain_conveyor(
+        jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[0]),
+        jnp.asarray(f2), jnp.int32(signal), max_len=max_len, subw=subw,
+        lmax=lmax, interpret=True))
+    for i in range(n):
+        r = int(rlens[i])
+        assert (got[i, :r] == datas[i]).all(), f"row {i} vs input"
+        assert (got[i, :r] == xla[i, :r]).all(), f"row {i} vs xla"
+
+
+@pytest.mark.parametrize("long_runs", [False, True])
+def test_run_conveyor_matches_xla(long_runs):
+    rng = np.random.default_rng(47 + long_runs)
+    scheme = _mk_scheme(rng)
+    run_hist = np.ones(256, np.int64)
+    if not long_runs:
+        run_hist[:6] = 40_000
+    run_scheme = make_scheme(run_hist)
+    rchar = 9
+    n, max_len = 6, 96
+    rlens = rng.integers(0, max_len + 1, n).astype(np.int32)
+    rlens[0] = 0
+    rlens[1] = max_len
+    datas = []
+    for r in rlens:
+        d = np.full(r, rchar, np.uint8)
+        lit = rng.random(r) < 0.2
+        d[lit] = rng.integers(0, 256, lit.sum()).astype(np.uint8)
+        datas.append(d)
+    if long_runs and rlens[1] > 0:
+        datas[1][:] = rchar
+        datas[1][0] = 3                  # literal then a >=-255 run
+    streams = [bs.encode_run_stream(scheme, run_scheme, d, rchar).tobytes()
+               for d in datas]
+    rect = _rect_from_streams(streams)
+
+    f1, f2, subw, lmax = d2.scheme_tables2([scheme, run_scheme])
+    nsignal = 255 if scheme.type == 2 else 256
+    max_tokens = max_len + 2
+    xr, xl = (np.asarray(x) for x in d2.run_chain(
+        jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[1]),
+        jnp.asarray(f1[0]), jnp.asarray(f2), jnp.int32(nsignal),
+        max_tokens=max_tokens, subw=subw, lmax=lmax))
+    gr, gl = (np.asarray(x) for x in dc.run_chain_conveyor(
+        jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[1]),
+        jnp.asarray(f1[0]), jnp.asarray(f2), jnp.int32(nsignal),
+        max_tokens=max_tokens, subw=subw, lmax=lmax, interpret=True))
+    t = min(xr.shape[1], gr.shape[1])
+    assert (gr[:, :t] == xr[:, :t]).all()
+    assert (gl[:, :t] == xl[:, :t]).all()
+    assert (gr[:, t:] == 0).all() and (xr[:, t:] == 0).all()
+    # reconstruct rows through the shared expander and compare to inputs
+    rows = np.asarray(d2.expand_runs2(
+        jnp.asarray(gr), jnp.asarray(gl), jnp.uint8(rchar),
+        max_len=max_len))
+    for i in range(n):
+        r = int(rlens[i])
+        assert (rows[i, :r] == datas[i]).all(), f"row {i} roundtrip"
