@@ -270,9 +270,17 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
                 subw: int, lmax: int):
     """Decode N plain streams, one per word-aligned rectangle row.
 
-    Returns symbols (N, max_len) u8.  Eight symbols per window refresh:
-    8 * 24 bits worst case fits the 12-word register window from any
-    starting alignment."""
+    Returns symbols (N, max_len) u8.  On accelerator backends the chains
+    run in the VMEM conveyor kernel (ops/decode_conveyor); the XLA
+    formulation below serves CPU and as the semantics reference.  Eight
+    symbols per window refresh: 8 * 24 bits worst case fits the 12-word
+    register window from any starting alignment."""
+    f2_rows = (f2.shape[0] + 127) // 128
+    if jax.default_backend() != "cpu" and (not subw or f2_rows <= 16):
+        from .decode_conveyor import plain_chain_conveyor
+
+        return plain_chain_conveyor(rect, rlens, f1c, f2, signal,
+                                    max_len=max_len, subw=subw, lmax=lmax)
     n = rlens.shape[0]
     group_sz = 8
     groups = (max_len + group_sz - 1) // group_sz
@@ -318,7 +326,15 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
     12-word window).  ``max_tokens`` comes from the native lens walk's
     exact per-entry token counts, so the chain length is tight rather
     than bounded by rlen.  Token semantics match
-    decode_jax.decode_run_batch."""
+    decode_jax.decode_run_batch.  On accelerator backends the chains run
+    in the VMEM conveyor kernel (ops/decode_conveyor)."""
+    f2_rows = (f2.shape[0] + 127) // 128
+    if jax.default_backend() != "cpu" and (not subw or f2_rows <= 16):
+        from .decode_conveyor import run_chain_conveyor
+
+        return run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal,
+                                  max_tokens=max_tokens, subw=subw,
+                                  lmax=lmax)
     n = rlens.shape[0]
     group_sz = 3
     groups = (max_tokens + group_sz - 1) // group_sz

@@ -41,15 +41,20 @@ from jax.experimental.pallas import tpu as pltpu
 # 8-bit escape literal), so G_PLAIN * 24 bits bound the per-group conveyor
 # advance; run tokens consume <= 56 bits (32-bit run + 24-bit literal)
 G_PLAIN = 16
-W_PLAIN = 14                # window rows: ceil(16*24/32) + 2
+W_PLAIN = 16                # window rows: ceil(16*24/32) + 2, 8-aligned
 G_RUN = 8                   # sublane stores need 8-row alignment
-W_RUN = 17                  # ceil(8*56/32) + 3
+W_RUN = 24                  # ceil(8*56/32) + 3, 8-aligned
 
 
 def _gather128(row, idx):
-    """row (1, 128) table; idx (r, 128) in [0, 128) -> gathered (r, 128)."""
-    r = idx.shape[0]
-    tbl = jnp.broadcast_to(row, (r, 128))
+    """row (1, 128) ref-loaded table; idx (8, 128) -> gathered (8, 128).
+
+    Mosaic's dynamic-gather lowering wants full 8-sublane tiles, and only
+    ref-loaded values may be sublane-broadcast (computed (1,128) planes
+    hit "invalid relayout"), so all chain state in these kernels is kept
+    (8, 128) sublane-replicated from birth — a VREG is (8, 128) anyway,
+    so the replication is free."""
+    tbl = jnp.broadcast_to(row, (8, 128))
     return jnp.take_along_axis(tbl, idx, axis=1)
 
 
@@ -61,7 +66,7 @@ def _lut2_gather(lut2, idx):
 
 
 def _f2_lookup(f2_ref, idx, f2r: int):
-    """f2[idx] for idx (1, 128) in [0, f2r*128); static row mux."""
+    """f2[idx] for idx (8, 128) in [0, f2r*128); static row mux."""
     lane = idx & 127
     row = idx >> 7
     out = jnp.zeros_like(idx)
@@ -98,37 +103,75 @@ def _extract(sw_a, sw_b, off, nbits: int):
     return (hi >> jnp.uint32(32 - nbits)).astype(jnp.int32)
 
 
+def _where_rows(cond8, a, b):
+    """where(cond8, a, b) with cond8 (8,128) replicated, a/b (K,128).
+
+    (8,128) does not broadcast against (K,128); chunk over sublane tiles
+    (each chunked where is exactly one VREG select anyway)."""
+    k = a.shape[0]
+    outs = [jnp.where(cond8, a[c * 8:(c + 1) * 8], b[c * 8:(c + 1) * 8])
+            for c in range(k // 8)]
+    return jnp.concatenate(outs, axis=0)
+
+
 def _advance(conv, delta, max_bits: int):
-    """Roll each lane's conveyor up by delta[lane] words (sublane rolls)."""
+    """Roll each lane's conveyor up by delta[lane] words (sublane rolls).
+
+    delta is (8, 128) sublane-replicated."""
     k = conv.shape[0]
     for b in range(max_bits):
         step = 1 << b
-        cond = ((delta >> b) & 1) == 1              # (1, 128) -> bcast
+        cond = ((delta >> b) & 1) == 1
         rolled = pltpu.roll(conv, k - step, axis=0)
-        conv = jnp.where(cond, rolled, conv)
+        conv = _where_rows(cond, rolled, conv)
     return conv
 
 
+def _collapse8(x):
+    """Sum the 8 sublanes of x (8,128) into every sublane (replicated).
+
+    A rotate-add tree: the output is replicated by construction, avoiding
+    the illegal computed-value sublane broadcast."""
+    for b in (1, 2, 4):
+        x = x + pltpu.roll(x, b, axis=0)
+    return x
+
+
 def _window(conv, wpos, w_rows: int):
-    """64-bit window (a, b) at word offset wpos[lane] of the conveyor."""
-    rows = conv[:w_rows].astype(jnp.uint32)
-    krow = jax.lax.broadcasted_iota(jnp.int32, (w_rows, 128), 0)
-    a = jnp.sum(jnp.where(krow == wpos, rows, jnp.uint32(0)), axis=0,
-                keepdims=True, dtype=jnp.uint32)
-    b = jnp.sum(jnp.where(krow == wpos + 1, rows, jnp.uint32(0)), axis=0,
-                keepdims=True, dtype=jnp.uint32)
-    return a, b
+    """64-bit window (a, b) at word offset wpos[lane] of the conveyor.
+
+    wpos (8,128) replicated; returns (8,128)-replicated u32 words.
+    Exactly one (chunk, sublane) contributes per lane, so i32 sums are
+    exact (Mosaic cannot reduce u32)."""
+    w_rows = min(w_rows, conv.shape[0])
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    acc_a = jnp.zeros((8, 128), jnp.int32)
+    acc_b = jnp.zeros((8, 128), jnp.int32)
+    for c in range(w_rows // 8):
+        rows_c = conv[c * 8:(c + 1) * 8]
+        acc_a = acc_a + jnp.where(iota8 + 8 * c == wpos, rows_c, 0)
+        acc_b = acc_b + jnp.where(iota8 + 8 * c == wpos + 1, rows_c, 0)
+    return (_collapse8(acc_a).astype(jnp.uint32),
+            _collapse8(acc_b).astype(jnp.uint32))
 
 
 def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                           f2r: int):
-    def kernel(rectT_ref, rlen_ref, f1_ref, f2_ref, prm_ref, out_ref):
+    def kernel(rectT_ref, rlen_ref, f1_ref, f2_ref, prm_ref, out_ref,
+               pos_ref, base_ref):
         f1 = f1_ref[:]
-        rlen = rlen_ref[0:1, :]
-        signal = prm_ref[0:1, 0:1]
+        rlen = rlen_ref[:]                           # (8,128) replicated
+        signal = prm_ref[:]
+        # chain state lives in VMEM scratch, not loop carries: a zeros()
+        # carry is born sublane-replicated while the body produces
+        # concrete layouts, and Mosaic rejects the relayout; loads from a
+        # ref always carry concrete layouts
+        pos_ref[:] = rlen * 0
+        base_ref[:] = rlen * 0
 
-        def group(g, carry):
-            conv, base, pos = carry
+        def group(g, conv):
+            pos = pos_ref[:]
+            base = base_ref[:]
             delta = (pos >> 5) - base
             conv = _advance(conv, delta, max_bits=4)
             base = base + delta
@@ -147,14 +190,15 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 sym = jnp.where(esc, lit, sym)
                 pos = pos + jnp.where(active,
                                       jnp.where(esc, nbits + 8, nbits), 0)
-                syms.append(jnp.where(active, sym, 0))
+                syms.append(jnp.where(active, sym, 0)[0:1, :])
             out_ref[pl.ds(g * G_PLAIN, G_PLAIN), :] = jnp.concatenate(
                 syms, axis=0)
-            return conv, base, pos
+            pos_ref[:] = pos
+            base_ref[:] = base
+            return conv
 
-        z = jnp.zeros((1, 128), jnp.int32)
         conv0 = rectT_ref[:].astype(jnp.int32)
-        jax.lax.fori_loop(0, n_groups, group, (conv0, z, z))
+        jax.lax.fori_loop(0, n_groups, group, conv0)
 
     return kernel
 
@@ -162,14 +206,19 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
 def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                         f2r: int):
     def kernel(rectT_ref, rlen_ref, f1r_ref, f1s_ref, f2_ref, prm_ref,
-               runs_ref, lits_ref):
+               runs_ref, lits_ref, pos_ref, base_ref, em_ref):
         f1r = f1r_ref[:]
         f1s = f1s_ref[:]
-        rlen = rlen_ref[0:1, :]
-        nsignal = prm_ref[0:1, 0:1]
+        rlen = rlen_ref[:]                           # (8,128) replicated
+        nsignal = prm_ref[:]
+        pos_ref[:] = rlen * 0
+        base_ref[:] = rlen * 0
+        em_ref[:] = rlen * 0
 
-        def group(g, carry):
-            conv, base, pos, emitted = carry
+        def group(g, conv):
+            pos = pos_ref[:]
+            base = base_ref[:]
+            emitted = em_ref[:]
             delta = (pos >> 5) - base
             conv = _advance(conv, delta, max_bits=4)
             base = base + delta
@@ -204,8 +253,8 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 pos = pos + jnp.where(need_sym,
                                       snb + jnp.where(sesc, 8, 0), 0)
 
-                rcols.append(jnp.where(active, runlen, 0))
-                lcols.append(jnp.where(need_sym, sym, -1))
+                rcols.append(jnp.where(active, runlen, 0)[0:1, :])
+                lcols.append(jnp.where(need_sym, sym, -1)[0:1, :])
                 emitted = jnp.where(active,
                                     emitted1 + need_sym.astype(jnp.int32),
                                     emitted)
@@ -213,11 +262,13 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 rcols, axis=0)
             lits_ref[pl.ds(g * G_RUN, G_RUN), :] = jnp.concatenate(
                 lcols, axis=0)
-            return conv, base, pos, emitted
+            pos_ref[:] = pos
+            base_ref[:] = base
+            em_ref[:] = emitted
+            return conv
 
-        z = jnp.zeros((1, 128), jnp.int32)
         conv0 = rectT_ref[:].astype(jnp.int32)
-        jax.lax.fori_loop(0, n_groups, group, (conv0, z, z, z))
+        jax.lax.fori_loop(0, n_groups, group, conv0)
 
     return kernel
 
@@ -274,6 +325,7 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
         out_specs=pl.BlockSpec((lp, 128), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((lp, npad), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)] * 2,
         interpret=interpret,
     )(rectT, rlen8, f1t, f2p, prm)
     return outT.T[:n, :max_len].astype(jnp.uint8)
@@ -329,6 +381,7 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
             jax.ShapeDtypeStruct((tp, npad), jnp.int32),
             jax.ShapeDtypeStruct((tp, npad), jnp.int32),
         ],
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)] * 3,
         interpret=interpret,
     )(rectT, rlen8, f1rt, f1st, f2p, prm)
     return runsT.T[:n], litsT.T[:n]
