@@ -190,7 +190,8 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
         sub_chars.append(c.sub_char)
     lookups = jnp.asarray(np.stack([s.lookup for s in schemes]).astype(np.int32))
     lens_t = jnp.asarray(np.stack([s.codelens for s in schemes]).astype(np.int32))
-    types = jnp.asarray(np.array([s.type for s in schemes], np.int32))
+    types_np = np.array([s.type for s in schemes], np.int32)
+    types = jnp.asarray(types_np)
     tbl = np.asarray(table, np.int64)
     r_delc = np.array(del_chars, np.int32)[tbl]
     r_subc = np.array(sub_chars, np.int32)[tbl]
@@ -207,10 +208,79 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
     starts = np.asarray(starts, np.int64)
     out = np.empty((5, n, max_len), np.uint8)
 
+    # accelerator single-device path: per-scheme conveyor chains over
+    # dense channel rectangles (the per-read scheme ids of a multi-cell
+    # DB group naturally — one kernel launch per live scheme)
+    import jax as _jax
+    use_conveyor = mesh is None and _jax.default_backend() != "cpu"
+    if use_conveyor:
+        from ..ops.decode2 import scheme_tables2, build_entry_rect
+        from ..ops import decode_conveyor as dcv
+
+        f1_t, f2_t, subw_t, lmax_t = scheme_tables2(schemes)
+        f2_rows = (len(f2_t) + 127) // 128
+        if subw_t and f2_rows > 16:
+            use_conveyor = False         # pathological tables: XLA path
+        # per-entry byte span bounds any channel's stream length
+        entry_ends = np.concatenate([starts[1:], np.array([len(buf)])])
+        f2_j = jnp.asarray(f2_t) if use_conveyor else None
+
+    def _rect_k(spans):
+        k = int(np.max(spans, initial=0) // 4) + 16
+        return 1 << max(k - 1, 63).bit_length()
+
+    def _conv_plain(starts_b, rl, sym_ids):
+        o = np.zeros((len(starts_b), max_len), np.uint8)
+        bits = np.zeros(len(starts_b), np.int64)
+        lg = np.zeros(len(starts_b), np.int64)
+        for sid in np.unique(sym_ids):
+            sel = np.flatnonzero(sym_ids == sid)
+            # the channel start lies inside its entry; the entry end
+            # bounds the channel's stream length
+            eidx = np.searchsorted(starts, starts_b[sel], "right") - 1
+            spans = entry_ends[eidx] - starts_b[sel]
+            rect = build_entry_rect(buf, starts_b[sel], _rect_k(spans))
+            sig = 255 if types_np[sid] == 2 else 256
+            rows, b, g = dcv.plain_chain_conveyor(
+                jnp.asarray(rect), jnp.asarray(rl[sel]),
+                jnp.asarray(f1_t[sid]), f2_j, jnp.int32(sig),
+                max_len=max_len, subw=subw_t, lmax=lmax_t)
+            o[sel] = np.asarray(rows)
+            bits[sel] = np.asarray(b)
+            lg[sel] = np.asarray(g)
+        return o, bits, lg
+
+    def _conv_run(starts_b, rl, sym_ids, run_ids):
+        runs = np.zeros((len(starts_b), max_len), np.int32)
+        lits = np.full((len(starts_b), max_len), -1, np.int32)
+        bits = np.zeros(len(starts_b), np.int64)
+        lg = np.zeros(len(starts_b), np.int64)
+        keys = sym_ids.astype(np.int64) * 1000 + run_ids
+        for key in np.unique(keys):
+            sel = np.flatnonzero(keys == key)
+            sid, rid = int(sym_ids[sel[0]]), int(run_ids[sel[0]])
+            eidx = np.searchsorted(starts, starts_b[sel], "right") - 1
+            spans = entry_ends[eidx] - starts_b[sel]
+            rect = build_entry_rect(buf, starts_b[sel], _rect_k(spans))
+            sig = 255 if types_np[sid] == 2 else 256
+            r_, l_, b, g = dcv.run_chain_conveyor(
+                jnp.asarray(rect), jnp.asarray(rl[sel]),
+                jnp.asarray(f1_t[rid]), jnp.asarray(f1_t[sid]), f2_j,
+                jnp.int32(sig), max_tokens=max_len, subw=subw_t,
+                lmax=lmax_t)
+            t = min(max_len, r_.shape[1])
+            runs[sel, :t] = np.asarray(r_)[:, :t]
+            lits[sel, :t] = np.asarray(l_)[:, :t]
+            bits[sel] = np.asarray(b)
+            lg[sel] = np.asarray(g)
+        return runs, lits, None, bits, lg
+
     def _pad(a):
         return jnp.asarray(np.pad(a, (0, (-len(a)) % nsh)))
 
     def _plain(starts_b, rl, sym_ids):
+        if use_conveyor:
+            return _conv_plain(starts_b, rl, sym_ids)
         if mesh is None:
             return dj.decode_plain_batch(
                 bufd, jnp.asarray(starts_b), jnp.asarray(rl),
@@ -222,6 +292,8 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
         return o[:m], b[:m], lg[:m]
 
     def _run(starts_b, rl, sym_ids, run_ids):
+        if use_conveyor:
+            return _conv_run(starts_b, rl, sym_ids, run_ids)
         if mesh is None:
             return dj.decode_run_batch(
                 bufd, jnp.asarray(starts_b), jnp.asarray(rl),

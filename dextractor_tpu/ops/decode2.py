@@ -280,7 +280,8 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
         from .decode_conveyor import plain_chain_conveyor
 
         return plain_chain_conveyor(rect, rlens, f1c, f2, signal,
-                                    max_len=max_len, subw=subw, lmax=lmax)
+                                    max_len=max_len, subw=subw,
+                                    lmax=lmax)[0]
     n = rlens.shape[0]
     group_sz = 8
     groups = (max_len + group_sz - 1) // group_sz
@@ -334,7 +335,7 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
 
         return run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal,
                                   max_tokens=max_tokens, subw=subw,
-                                  lmax=lmax)
+                                  lmax=lmax)[:2]
     n = rlens.shape[0]
     group_sz = 3
     groups = (max_tokens + group_sz - 1) // group_sz

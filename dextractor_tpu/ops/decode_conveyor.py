@@ -158,7 +158,7 @@ def _window(conv, wpos, w_rows: int):
 def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                           f2r: int):
     def kernel(rectT_ref, rlen_ref, f1_ref, f2_ref, prm_ref, out_ref,
-               pos_ref, base_ref):
+               stats_ref, pos_ref, base_ref, last_ref):
         f1 = f1_ref[:]
         rlen = rlen_ref[:]                           # (8,128) replicated
         signal = prm_ref[:]
@@ -168,10 +168,12 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         # ref always carry concrete layouts
         pos_ref[:] = rlen * 0
         base_ref[:] = rlen * 0
+        last_ref[:] = rlen * 0
 
         def group(g, conv):
             pos = pos_ref[:]
             base = base_ref[:]
+            last = last_ref[:]
             delta = (pos >> 5) - base
             conv = _advance(conv, delta, max_bits=4)
             base = base + delta
@@ -190,15 +192,19 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 sym = jnp.where(esc, lit, sym)
                 pos = pos + jnp.where(active,
                                       jnp.where(esc, nbits + 8, nbits), 0)
+                last = jnp.where(active, jnp.where(esc, 8, nbits), last)
                 syms.append(jnp.where(active, sym, 0)[0:1, :])
             out_ref[pl.ds(g * G_PLAIN, G_PLAIN), :] = jnp.concatenate(
                 syms, axis=0)
             pos_ref[:] = pos
             base_ref[:] = base
+            last_ref[:] = last
             return conv
 
         conv0 = rectT_ref[:].astype(jnp.int32)
         jax.lax.fori_loop(0, n_groups, group, conv0)
+        stats_ref[0:1, :] = pos_ref[0:1, :]
+        stats_ref[1:2, :] = last_ref[0:1, :]
 
     return kernel
 
@@ -206,7 +212,8 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
 def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                         f2r: int):
     def kernel(rectT_ref, rlen_ref, f1r_ref, f1s_ref, f2_ref, prm_ref,
-               runs_ref, lits_ref, pos_ref, base_ref, em_ref):
+               runs_ref, lits_ref, stats_ref, pos_ref, base_ref, em_ref,
+               last_ref):
         f1r = f1r_ref[:]
         f1s = f1s_ref[:]
         rlen = rlen_ref[:]                           # (8,128) replicated
@@ -214,11 +221,13 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         pos_ref[:] = rlen * 0
         base_ref[:] = rlen * 0
         em_ref[:] = rlen * 0
+        last_ref[:] = rlen * 0
 
         def group(g, conv):
             pos = pos_ref[:]
             base = base_ref[:]
             emitted = em_ref[:]
+            last = last_ref[:]
             delta = (pos >> 5) - base
             conv = _advance(conv, delta, max_bits=4)
             base = base + delta
@@ -237,6 +246,7 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 runlen = jnp.where(resc, runlit, c)
                 pos = pos + jnp.where(active,
                                       nb + jnp.where(resc, 16, 0), 0)
+                last = jnp.where(active, jnp.where(resc, 16, nb), last)
                 emitted1 = jnp.minimum(emitted + runlen, rlen)
 
                 need_sym = active & (emitted1 < rlen)
@@ -252,6 +262,7 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 sym = jnp.where(sesc, slit, sym)
                 pos = pos + jnp.where(need_sym,
                                       snb + jnp.where(sesc, 8, 0), 0)
+                last = jnp.where(need_sym, jnp.where(sesc, 8, snb), last)
 
                 rcols.append(jnp.where(active, runlen, 0)[0:1, :])
                 lcols.append(jnp.where(need_sym, sym, -1)[0:1, :])
@@ -265,10 +276,13 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             pos_ref[:] = pos
             base_ref[:] = base
             em_ref[:] = emitted
+            last_ref[:] = last
             return conv
 
         conv0 = rectT_ref[:].astype(jnp.int32)
         jax.lax.fori_loop(0, n_groups, group, conv0)
+        stats_ref[0:1, :] = pos_ref[0:1, :]
+        stats_ref[1:2, :] = last_ref[0:1, :]
 
     return kernel
 
@@ -307,7 +321,7 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
     groups = (max_len + G_PLAIN - 1) // G_PLAIN
     lp = groups * G_PLAIN
     kern = _plain_kernel_factory(k, groups, subw, lmax, f2r_used)
-    outT = pl.pallas_call(
+    outT, stats = pl.pallas_call(
         kern,
         grid=(npad // 128,),
         in_specs=[
@@ -322,13 +336,21 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
             pl.BlockSpec((8, 128), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((lp, 128), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((lp, npad), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)] * 2,
+        out_specs=[
+            pl.BlockSpec((lp, 128), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lp, npad), jnp.int32),
+            jax.ShapeDtypeStruct((8, npad), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)] * 3,
         interpret=interpret,
     )(rectT, rlen8, f1t, f2p, prm)
-    return outT.T[:n, :max_len].astype(jnp.uint8)
+    return (outT.T[:n, :max_len].astype(jnp.uint8), stats[0, :n],
+            stats[1, :n])
 
 
 @functools.partial(jax.jit, static_argnames=("max_tokens", "subw", "lmax",
@@ -354,7 +376,7 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
     groups = (max_tokens + G_RUN - 1) // G_RUN
     tp = groups * G_RUN
     kern = _run_kernel_factory(k, groups, subw, lmax, f2r_used)
-    runsT, litsT = pl.pallas_call(
+    runsT, litsT, stats = pl.pallas_call(
         kern,
         grid=(npad // 128,),
         in_specs=[
@@ -376,12 +398,15 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tp, 128), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((tp, npad), jnp.int32),
             jax.ShapeDtypeStruct((tp, npad), jnp.int32),
+            jax.ShapeDtypeStruct((8, npad), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)] * 3,
+        scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)] * 4,
         interpret=interpret,
     )(rectT, rlen8, f1rt, f1st, f2p, prm)
-    return runsT.T[:n], litsT.T[:n]
+    return runsT.T[:n], litsT.T[:n], stats[0, :n], stats[1, :n]

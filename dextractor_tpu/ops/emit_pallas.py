@@ -359,6 +359,55 @@ def _tag_kernel(tag_ref, del_ref, len_ref, lut_ref, prm_ref,
     stats_ref[:] = jnp.where(scol == 0, clens, 0)
 
 
+def _pack2bit_kernel(data_ref, len_ref, lut_ref, out_ref):
+    """Number_Read + Compress_Read fused (the dexta/dexar hot loop,
+    DB.c:319-338): LUT the ASCII symbols, zero the tail, 2-bit pack."""
+    d = data_ref[:].astype(jnp.int32)
+    lengths = len_ref[:, 0:1]
+    nlut = lut_ref[:]                                    # (2, 128)
+    r, l = d.shape
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, l), 1)
+    c = jnp.where(col < lengths, _lut256(d, nlut), 0)
+    comb = ((c << 6) | (_shl_fill(c, 1) << 4)
+            | (_shl_fill(c, 2) << 2) | _shl_fill(c, 3))
+    (packed,) = _compact_lanes((comb,), col % 4 == 0)
+    out_ref[:] = packed[:, : l // 4]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pack2bit_pallas(rows, lengths, number_lut, interpret: bool = False):
+    """Fused alphabet translation + 2-bit pack.
+
+    rows (N, L) u8 ASCII, lengths (N,), number_lut (256,) ->
+    packed (N, L//4) u8 (tail bytes zero-padded, DB.c:329-337 semantics).
+    """
+    n, l = rows.shape
+    assert l % 512 == 0, "rows must be 512-aligned (byte lanes x4)"
+    rpad = (-n) % B
+    if rpad:
+        rows = jnp.pad(rows, ((0, rpad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, rpad))
+    lens2 = jnp.broadcast_to(lengths[:, None].astype(jnp.int32),
+                             (n + rpad, 128))
+    packed = pl.pallas_call(
+        _pack2bit_kernel,
+        grid=((n + rpad) // B,),
+        in_specs=[
+            pl.BlockSpec((B, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, l // 4), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + rpad, l // 4), jnp.int32),
+        interpret=interpret,
+    )(rows, lens2, number_lut.astype(jnp.int32).reshape(2, 128))
+    return packed[:n].astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pack_tags_pallas(tag_rows, del_rows, lengths, del_char, number_lut,
                      interpret: bool = False):

@@ -57,14 +57,21 @@ def test_plain_conveyor_matches_xla(skewed):
         jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[0]),
         jnp.asarray(f2), jnp.int32(signal), max_len=max_len, subw=subw,
         lmax=lmax))
-    got = np.asarray(dc.plain_chain_conveyor(
+    got, bits, lastg = dc.plain_chain_conveyor(
         jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[0]),
         jnp.asarray(f2), jnp.int32(signal), max_len=max_len, subw=subw,
-        lmax=lmax, interpret=True))
+        lmax=lmax, interpret=True)
+    got = np.asarray(got)
     for i in range(n):
         r = int(rlens[i])
         assert (got[i, :r] == datas[i]).all(), f"row {i} vs input"
         assert (got[i, :r] == xla[i, :r]).all(), f"row {i} vs xla"
+    # consumed-bits stats must reproduce the on-disk stream word counts
+    from dextractor_tpu.ops.decode_jax import stream_word_counts
+    words = stream_word_counts(np.asarray(bits).astype(np.int64),
+                               np.asarray(lastg).astype(np.int64))
+    for i in range(n):
+        assert 4 * int(words[i]) == len(streams[i]), f"row {i} stats"
 
 
 @pytest.mark.parametrize("long_runs", [False, True])
@@ -101,7 +108,7 @@ def test_run_conveyor_matches_xla(long_runs):
         jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[1]),
         jnp.asarray(f1[0]), jnp.asarray(f2), jnp.int32(nsignal),
         max_tokens=max_tokens, subw=subw, lmax=lmax))
-    gr, gl = (np.asarray(x) for x in dc.run_chain_conveyor(
+    gr, gl, gbits, glast = (np.asarray(x) for x in dc.run_chain_conveyor(
         jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[1]),
         jnp.asarray(f1[0]), jnp.asarray(f2), jnp.int32(nsignal),
         max_tokens=max_tokens, subw=subw, lmax=lmax, interpret=True))

@@ -179,3 +179,23 @@ def test_pack_tags_kernel_matches_xla():
         for i in range(n_reads):
             nb = (int(cx[i]) + 3) >> 2
             assert (pp[i, :nb] == px[i, :nb]).all(), (del_char, i)
+
+
+def test_pack2bit_kernel_matches_xla():
+    from dextractor_tpu.ops import twobit as tb
+    from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT
+
+    rng = np.random.default_rng(29)
+    n_reads, l = 16, 512
+    rows = rng.choice(np.frombuffer(b"acgtACGT", np.uint8), (n_reads, l))
+    lengths = rng.integers(0, l + 1, n_reads).astype(np.int32)
+    lengths[0] = 0
+    lengths[1] = l
+    lengths[2] = 5                      # odd tail
+    want = np.asarray(tb.pack_2bit(
+        jnp.asarray(NUMBER_BASE_LUT)[jnp.asarray(rows)],
+        jnp.asarray(lengths)))
+    got = np.asarray(ep.pack2bit_pallas(
+        jnp.asarray(rows), jnp.asarray(lengths),
+        jnp.asarray(NUMBER_BASE_LUT), interpret=True))
+    assert (got == want).all()
