@@ -229,6 +229,8 @@ def main() -> None:
         for r in rects)
     sids, f1_t, f2_t, types_t, del_mode, sub_mode, subw, lmax = \
         decode_tables_v2(coding)
+    chan_l2 = tuple(bool(((f1_t[sids[k]] >> 20) & 1).any())
+                    for k in range(6))
     dec_args = (*(jnp.asarray(r) for r in rects), jnp.asarray(drlens),
                 jnp.asarray(sids), jnp.asarray(f1_t), jnp.asarray(f2_t),
                 jnp.asarray(types_t), jnp.int32(coding.del_char & 0xFF),
@@ -245,7 +247,8 @@ def main() -> None:
             rows = d2.decode_entry_batch2(
                 r, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_, dc_,
                 sc_, max_len=dec_max_len, max_tokens=dec_max_tokens,
-                del_mode=del_mode, sub_mode=sub_mode, subw=subw, lmax=lmax)
+                del_mode=del_mode, sub_mode=sub_mode, subw=subw, lmax=lmax,
+                chan_l2=chan_l2)
             return acc + rows.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 

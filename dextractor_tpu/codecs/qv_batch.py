@@ -127,12 +127,14 @@ def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
     rects = channel_rects(buf, starts, coffs, max_len)
     sids, f1, f2, types, del_mode, sub_mode, subw, lmax = \
         decode_tables_v2(coding)
+    chan_l2 = tuple(bool(((f1[sids[k]] >> 20) & 1).any())
+                    for k in range(6))
     args_rep = (jnp.asarray(sids), jnp.asarray(f1), jnp.asarray(f2),
                 jnp.asarray(types), jnp.int32(coding.del_char & 0xFF),
                 jnp.int32(coding.sub_char & 0xFF))
     statics = dict(max_len=max_len, max_tokens=max_tokens,
                    del_mode=del_mode, sub_mode=sub_mode, subw=subw,
-                   lmax=lmax)
+                   lmax=lmax, chan_l2=chan_l2)
     if mesh is None:
         return d2.decode_entry_batch2(
             *(jnp.asarray(r) for r in rects), jnp.asarray(rlens),

@@ -16,9 +16,9 @@ typedef struct
   { uint8_t  *out;
     int64_t   cap;
     int64_t   len;
-    uint32_t  ocode;
-    int       olen;
-    int       llen;
+    uint32_t  accum;      /* bits not yet written, MSB-justified */
+    int       fill;       /* occupied bits of accum */
+    int       prev_fill;  /* fill before the last emit (tail rule) */
   } Emit;
 
 static inline int put_word(Emit *e, uint32_t w)
@@ -29,37 +29,37 @@ static inline int put_word(Emit *e, uint32_t w)
   return 0;
 }
 
-static inline int ocode(Emit *e, uint32_t code, int len)
-{ int t = e->olen + len;
-  e->llen = e->olen;
+static inline int emit_bits(Emit *e, uint32_t code, int len)
+{ int t = e->fill + len;
+  e->prev_fill = e->fill;
   if (t >= 32)
-    { e->olen = t - 32;
-      e->ocode |= (e->olen ? (code >> e->olen) : code);
-      if (put_word(e, e->ocode) < 0)
+    { e->fill = t - 32;
+      e->accum |= (e->fill ? (code >> e->fill) : code);
+      if (put_word(e, e->accum) < 0)
         return -1;
-      e->ocode = e->olen ? (code << (32 - e->olen)) : 0;
+      e->accum = e->fill ? (code << (32 - e->fill)) : 0;
     }
   else
-    { e->olen = t;
-      e->ocode |= code << (32 - t);
+    { e->fill = t;
+      e->accum |= code << (32 - t);
     }
   return 0;
 }
 
-static inline int flush(Emit *e)
-{ if (e->olen > 0)
-    { if (put_word(e, e->ocode) < 0)
+static inline int flush_tail(Emit *e)
+{ if (e->fill > 0)
+    { if (put_word(e, e->accum) < 0)
         return -1;
-      if (e->llen > 16 && e->olen > e->llen)
-        if (put_word(e, e->ocode) < 0)
+      if (e->prev_fill > 16 && e->fill > e->prev_fill)
+        if (put_word(e, e->accum) < 0)
           return -1;
     }
-  else if (e->llen > 16)
-    if (put_word(e, e->ocode) < 0)
+  else if (e->prev_fill > 16)
+    if (put_word(e, e->accum) < 0)
       return -1;
-  e->ocode = 0;
-  e->olen = 0;
-  e->llen = 0;
+  e->accum = 0;
+  e->fill = 0;
+  e->prev_fill = 0;
   return 0;
 }
 
@@ -70,8 +70,8 @@ long long dxt_encode_plain(
     const uint32_t *bits, const int32_t *lens, int type,
     uint8_t *out, long long cap, int64_t *out_lens)
 { Emit     e = { out, cap, 0, 0, 0, 0 };
-  uint32_t nspec = type == 2 ? bits[255] : 0xffffffffu;
-  int      nslen = type == 2 ? lens[255] : -1;
+  uint32_t esc_code = type == 2 ? bits[255] : 0xffffffffu;
+  int      esc_len = type == 2 ? lens[255] : -1;
   int64_t  i, k, before;
 
   for (i = 0; i < n_entries; i++)
@@ -80,13 +80,13 @@ long long dxt_encode_plain(
         { uint8_t  x = data[k];
           uint32_t c = bits[x];
           int      n = lens[x];
-          if (ocode(&e, c, n) < 0)
+          if (emit_bits(&e, c, n) < 0)
             return -1;
-          if (c == nspec && n == nslen)
-            if (ocode(&e, x, 8) < 0)
+          if (c == esc_code && n == esc_len)
+            if (emit_bits(&e, x, 8) < 0)
               return -1;
         }
-      if (flush(&e) < 0)
+      if (flush_tail(&e) < 0)
         return -1;
       out_lens[i] = e.len - before;
     }
@@ -99,10 +99,10 @@ long long dxt_encode_run(
     const uint32_t *rbits, const int32_t *rlens, int rchar,
     uint8_t *out, long long cap, int64_t *out_lens)
 { Emit     e = { out, cap, 0, 0, 0, 0 };
-  uint32_t nspec = ntype == 2 ? nbits[255] : 0xffffffffu;
-  int      nslen = ntype == 2 ? nlens[255] : -1;
-  uint32_t rspec = rbits[255];
-  int      rslen = rlens[255];
+  uint32_t esc_code = ntype == 2 ? nbits[255] : 0xffffffffu;
+  int      esc_len = ntype == 2 ? nlens[255] : -1;
+  uint32_t run_esc_code = rbits[255];
+  int      run_esc_len = rlens[255];
   int64_t  i, before;
 
   for (i = 0; i < n_entries; i++)
@@ -117,24 +117,24 @@ long long dxt_encode_run(
           x = (k - h >= 255) ? 255 : (int) (k - h);
           c = rbits[x];
           n = rlens[x];
-          if (ocode(&e, c, n) < 0)
+          if (emit_bits(&e, c, n) < 0)
             return -1;
-          if (c == rspec && n == rslen)
-            if (ocode(&e, (uint32_t) ((k - h) & 0xffff), 16) < 0)
+          if (c == run_esc_code && n == run_esc_len)
+            if (emit_bits(&e, (uint32_t) ((k - h) & 0xffff), 16) < 0)
               return -1;
           if (k < end)
             { uint8_t s = data[k];
               c = nbits[s];
               n = nlens[s];
-              if (ocode(&e, c, n) < 0)
+              if (emit_bits(&e, c, n) < 0)
                 return -1;
-              if (c == nspec && n == nslen)
-                if (ocode(&e, s, 8) < 0)
+              if (c == esc_code && n == esc_len)
+                if (emit_bits(&e, s, 8) < 0)
                   return -1;
               k += 1;
             }
         }
-      if (flush(&e) < 0)
+      if (flush_tail(&e) < 0)
         return -1;
       out_lens[i] = e.len - before;
     }

@@ -419,11 +419,12 @@ def expand_runs2(runs, lits, rchar, *, max_len: int):
 
 @functools.partial(
     jax.jit, static_argnames=("max_len", "max_tokens", "del_mode",
-                              "sub_mode", "subw", "lmax"))
+                              "sub_mode", "subw", "lmax", "chan_l2"))
 def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
                         rlens, sids, f1, f2, types, del_char, sub_char, *,
                         max_len: int, max_tokens: int, del_mode: str,
-                        sub_mode: str, subw: int, lmax: int):
+                        sub_mode: str, subw: int, lmax: int,
+                        chan_l2: tuple | None = None):
     """Fully fused five-channel .dexqv entry decode, gather-free.
 
     Each channel decodes from its own word-aligned rectangle (the native
@@ -443,6 +444,9 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
     n = rlens.shape[0]
     f1c = [jnp.take(f1, sids[k], axis=0) for k in range(6)]
     sig = [jnp.where(types[sids[k]] == 2, 255, 256) for k in range(6)]
+    # per-channel L2 need (host-computed static): channels whose scheme is
+    # fully L1-terminal skip the escape-table mux entirely
+    sw = [subw if (chan_l2 is None or chan_l2[k]) else 0 for k in range(6)]
     col = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
     in_read = col < rlens[:, None]
 
@@ -450,13 +454,13 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
     if del_mode == "run":
         runs, lits = run_chain(
             rect_del, rlens, f1c[1], f1c[0], f2, sig[0],
-            max_tokens=max_tokens, subw=subw, lmax=lmax)
+            max_tokens=max_tokens, subw=max(sw[0], sw[1]), lmax=lmax)
         del_rows = expand_runs2(runs, lits, del_char, max_len=max_len)
         keep = in_read & (del_rows != del_char.astype(jnp.uint8))
     else:
         del_rows = plain_chain(
             rect_del, rlens, f1c[0], f2, sig[0], max_len=max_len,
-            subw=subw, lmax=lmax)
+            subw=sw[0], lmax=lmax)
         keep = in_read
 
     # -- packed delTag (host-sliced bytes; device: unpack + route) ------
@@ -490,19 +494,19 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
 
     # -- ins / mrg (always plain) ---------------------------------------
     ins_rows = plain_chain(rect_ins, rlens, f1c[2], f2, sig[2],
-                           max_len=max_len, subw=subw, lmax=lmax)
+                           max_len=max_len, subw=sw[2], lmax=lmax)
     mrg_rows = plain_chain(rect_mrg, rlens, f1c[3], f2, sig[3],
-                           max_len=max_len, subw=subw, lmax=lmax)
+                           max_len=max_len, subw=sw[3], lmax=lmax)
 
     # -- subQV -----------------------------------------------------------
     if sub_mode == "run":
         sruns, slits = run_chain(
             rect_sub, rlens, f1c[5], f1c[4], f2, sig[4],
-            max_tokens=max_tokens, subw=subw, lmax=lmax)
+            max_tokens=max_tokens, subw=max(sw[4], sw[5]), lmax=lmax)
         sub_rows = expand_runs2(sruns, slits, sub_char, max_len=max_len)
     else:
         sub_rows = plain_chain(rect_sub, rlens, f1c[4], f2, sig[4],
-                               max_len=max_len, subw=subw, lmax=lmax)
+                               max_len=max_len, subw=sw[4], lmax=lmax)
 
     z = jnp.uint8(0)
     mask = lambda r: jnp.where(in_read, r, z)
