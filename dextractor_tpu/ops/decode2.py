@@ -223,43 +223,90 @@ def roll_rows(x, shift):
     return x
 
 
-def expand_monotone(vals: tuple, disp, width: int):
+_EXP_LIVE = jnp.int32(1 << 29)     # packed-state live bit (below the sign)
+
+
+def expand_monotone(vals: tuple, disp, width: int, live0=None):
     """Route element at column r to column r + disp[r] (time-reversed
     shift compaction).
 
-    disp must be >= 0 and non-decreasing along each row, with
-    r + disp[r] < width.  This is ``compact_monotone`` run backwards: the
-    stage-b movers are the elements whose displacement has bit b set,
-    processed MSB -> LSB with right-rolls, which time-reverses the proven
-    LSB -> MSB left-roll compaction of the expanded layout back to ranks.
+    Among live elements disp must be >= 0 and non-decreasing along each
+    row, with r + disp[r] < width.  ``live0`` (N, t) masks which source
+    elements participate (default all); dead elements never move and
+    never count as occupancy, so callers can park exhausted-token tails
+    by deadening them instead of routing them past the payload (which
+    would double the required width).
+
+    This is ``compact_monotone`` run backwards: the stage-b movers are
+    the elements whose displacement has bit b set, processed MSB -> LSB
+    with right-rolls, which time-reverses the proven LSB -> MSB
+    left-roll compaction of the expanded layout back to ranks.  MSB ->
+    LSB right-routing is collision-free for live elements: a mover
+    landing on a live stationary slot would force the two displacements'
+    above-b parts to differ by >= 2^(b+1) while their positions differ
+    by exactly 2^b — impossible when disp is non-decreasing.
+
     Returns the routed arrays plus a routed-occupancy mask (N, width) —
     unrouted slots hold garbage.
+
+    Execution notes: value (8 bits), displacement (21 bits) and
+    liveness (1 bit) are packed into ONE i32 plane so each round is a
+    single roll + selects, and every round ends in an
+    ``optimization_barrier`` — XLA:TPU miscompiles the fused multi-round
+    network at large widths (observed: width 8192, ~8% of rows wrong
+    while CPU and the round-snapshotted program are exact), and pinning
+    round boundaries restores correctness.
     """
     n, t = disp.shape
     width = int(width)
     pad = width - t
     if pad < 0:
         raise ValueError("expand_monotone: width must be >= token count")
-    live = jnp.concatenate(
-        [jnp.ones((n, t), jnp.bool_), jnp.zeros((n, pad), jnp.bool_)],
-        axis=1)
-    arrs = [jnp.pad(v, ((0, 0), (0, pad))) for v in vals]
-    d = jnp.pad(disp, ((0, 0), (0, pad)))
+    if width > (1 << 21):
+        raise ValueError("expand_monotone: width exceeds the 21-bit "
+                         "packed displacement field")
+    multi = len(vals) > 1
+    if live0 is None:
+        live = jnp.ones((n, t), jnp.bool_)
+    else:
+        live = live0
+    lv = jnp.pad(live, ((0, 0), (0, pad)))
+    d = jnp.pad(jnp.where(live, disp, 0), ((0, 0), (0, pad)))
+    if multi:
+        # multi-value fallback: separate planes per value (unused by the
+        # current decode paths, kept for API generality)
+        arrs = [jnp.pad(v, ((0, 0), (0, pad))) for v in vals]
+        state = [lv, d] + arrs
+    else:
+        v8 = jnp.pad(vals[0] & 0xFF, ((0, 0), (0, pad)))
+        s = v8 | (d << 8) | jnp.where(lv, _EXP_LIVE, 0)
+        state = [s]
     col = jax.lax.broadcasted_iota(jnp.int32, (n, width), 1)
-    # MSB -> LSB right-routing is collision-free for live elements: a
-    # mover landing on a live stationary slot would force the two
-    # displacements' above-b parts to differ by >= 2^(b+1) while their
-    # positions differ by exactly 2^b — impossible when disp is
-    # non-decreasing.  Liveness must be carried so the copy left behind
-    # by a roll neither re-moves nor counts as occupancy.
     for b in reversed(range(max(width - 1, 1).bit_length())):
         step = 1 << b
-        movers = live & (((d >> b) & 1) == 1)
-        dst = jnp.roll(movers, step, axis=1) & (col >= step)
-        arrs = [jnp.where(dst, jnp.roll(a, step, axis=1), a) for a in arrs]
-        d = jnp.where(dst, jnp.roll(d, step, axis=1) - step, d)
-        live = (live & ~movers) | dst
-    return tuple(arrs), live
+        if multi:
+            lv, d = state[0], state[1]
+            movers = lv & (((d >> b) & 1) == 1)
+            dst = jnp.roll(movers, step, axis=1) & (col >= step)
+            state[2:] = [jnp.where(dst, jnp.roll(a, step, axis=1), a)
+                         for a in state[2:]]
+            state[1] = jnp.where(dst, jnp.roll(d, step, axis=1) - step, d)
+            state[0] = (lv & ~movers) | dst
+        else:
+            s = state[0]
+            movers = (((s >> 29) & (s >> (8 + b))) & 1) == 1
+            # live bit (29) AND displacement bit b (8+b)
+            rolled = jnp.roll(s, step, axis=1)
+            dst = ((((rolled >> 29) & (rolled >> (8 + b))) & 1) == 1) \
+                & (col >= step)
+            s = jnp.where(dst, rolled - (step << 8),
+                          jnp.where(movers, s & ~_EXP_LIVE, s))
+            state[0] = s
+        state = list(jax.lax.optimization_barrier(tuple(state)))
+    if multi:
+        return tuple(state[2:]), state[0]
+    s = state[0]
+    return (s & 0xFF,), ((s >> 29) & 1) == 1
 
 
 # ---------------------------------------------------------------------------
@@ -406,9 +453,8 @@ def expand_runs2(runs, lits, rchar, *, max_len: int):
     n, t = runs.shape
     d = jnp.cumsum(runs, axis=1)
     valid = lits >= 0
-    d = jnp.where(valid, d, max_len)
     (routed,), occ = expand_monotone(
-        (lits,), d, max_len + t)
+        (lits,), d, max(max_len, t), live0=valid)
     rows = jnp.where(occ, routed, jnp.asarray(rchar, jnp.int32))
     return rows[:, :max_len].astype(jnp.uint8)
 
@@ -472,24 +518,25 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
     shifts = jnp.array([6, 4, 2, 0], jnp.uint8)   # first symbol: bits 7-6
     codes = ((packed[:, :, None] >> shifts[None, None, :]) & 3).reshape(
         n, 4 * tb)[:, :max_len]
-    kept_sym = jnp.where(
-        codes == 0, np.uint8(ord("a")),
-        jnp.where(codes == 1, np.uint8(ord("c")),
-                  jnp.where(codes == 2, np.uint8(ord("g")),
-                            np.uint8(ord("t"))))).astype(jnp.uint8)
+    if codes.shape[1] < max_len:                 # narrow tag rectangle
+        codes = jnp.pad(codes, ((0, 0), (0, max_len - codes.shape[1])))
     from .bitstream_jax import compact_monotone
     (kcols,) = compact_monotone((col,), keep)
     rank = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
-    # route kept symbols to the keep positions: displacement of the r-th
-    # kept symbol is kcols[r] - r (monotone), so the expansion network
-    # replaces a per-element scatter
-    disp = jnp.where(rank < clens[:, None],
-                     jnp.maximum(kcols - rank, 0), max_len)
-    (troutes,), tocc = expand_monotone((kept_sym.astype(jnp.int32),),
-                                       disp, 2 * max_len)
-    tag_rows = jnp.where(tocc[:, :max_len],
-                         troutes[:, :max_len].astype(jnp.uint8),
-                         np.uint8(ord("n")))
+    # route the raw 2-bit codes to the keep positions (ascii mapping
+    # happens after routing — 2-bit payloads keep the packed expansion
+    # state small): displacement of the r-th kept symbol is kcols[r] - r
+    # (monotone), so the expansion network replaces a per-element scatter
+    has_sym = rank < clens[:, None]
+    disp = jnp.where(has_sym, jnp.maximum(kcols - rank, 0), 0)
+    (troutes,), tocc = expand_monotone((codes.astype(jnp.int32),),
+                                       disp, max_len, live0=has_sym)
+    routed_sym = jnp.where(
+        troutes == 0, np.uint8(ord("a")),
+        jnp.where(troutes == 1, np.uint8(ord("c")),
+                  jnp.where(troutes == 2, np.uint8(ord("g")),
+                            np.uint8(ord("t"))))).astype(jnp.uint8)
+    tag_rows = jnp.where(tocc, routed_sym, np.uint8(ord("n")))
     tag_rows = jnp.where(in_read, tag_rows, 0)
 
     # -- ins / mrg (always plain) ---------------------------------------

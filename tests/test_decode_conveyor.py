@@ -74,6 +74,35 @@ def test_plain_conveyor_matches_xla(skewed):
         assert 4 * int(words[i]) == len(streams[i]), f"row {i} stats"
 
 
+def test_plain_conveyor_multi_block():
+    """n > CHAINS exercises the interleaved multi-group layout (ng=2,
+    grid=2) and the _unrows/_unplane reassembly — previously chip-only."""
+    rng = np.random.default_rng(93)
+    scheme = _mk_scheme(rng, skewed=True)
+    n, max_len = 1200, 16               # npad 2048 -> 2 grid steps
+    rlens = rng.integers(0, max_len + 1, n).astype(np.int32)
+    datas = [rng.integers(0, 44, r).astype(np.uint8) for r in rlens]
+    streams = [bs.encode_stream(scheme, d).tobytes() for d in datas]
+    rect = _rect_from_streams(streams)
+
+    f1, f2, subw, lmax = d2.scheme_tables2([scheme])
+    signal = 255 if scheme.type == 2 else 256
+    got, bits, lastg = dc.plain_chain_conveyor(
+        jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[0]),
+        jnp.asarray(f2), jnp.int32(signal), max_len=max_len, subw=subw,
+        lmax=lmax, interpret=True)
+    got = np.asarray(got)
+    # spot-check rows spread across both sublane groups and column blocks
+    for i in list(range(0, n, 97)) + [n - 1]:
+        r = int(rlens[i])
+        assert (got[i, :r] == datas[i]).all(), f"row {i}"
+    from dextractor_tpu.ops.decode_jax import stream_word_counts
+    words = stream_word_counts(np.asarray(bits).astype(np.int64),
+                               np.asarray(lastg).astype(np.int64))
+    for i in list(range(0, n, 97)) + [n - 1]:
+        assert 4 * int(words[i]) == len(streams[i]), f"row {i} stats"
+
+
 @pytest.mark.parametrize("long_runs", [False, True])
 def test_run_conveyor_matches_xla(long_runs):
     rng = np.random.default_rng(47 + long_runs)
