@@ -66,9 +66,18 @@ CHAINS = 1024               # 8 sublane groups x 128 lanes per grid step
 
 
 def _gather128(row, idx):
-    """row (1, 128) ref-loaded table; idx (8, 128) -> gathered (8, 128)."""
+    """row (1, 128) ref-loaded table; idx (8, L) -> gathered (8, L).
+
+    The hardware dynamic lane-gather works per 128-lane VREG with
+    lane-local indices, so wider planes gather slice-by-slice (the
+    slices are VREG-aligned; concat is a layout no-op)."""
     tbl = jnp.broadcast_to(row, (8, 128))
-    return jnp.take_along_axis(tbl, idx, axis=1)
+    lanes = idx.shape[1]
+    if lanes == 128:
+        return jnp.take_along_axis(tbl, idx, axis=1)
+    outs = [jnp.take_along_axis(tbl, idx[:, q * 128:(q + 1) * 128], axis=1)
+            for q in range(lanes // 128)]
+    return jnp.concatenate(outs, axis=1)
 
 
 def _lut2_gather(lut2, idx):
@@ -133,6 +142,18 @@ def _advance(conv, delta, max_bits: int):
     return conv
 
 
+def _tree_sum(terms):
+    """Balanced-tree sum: log2(n) dependency depth instead of a serial
+    accumulate chain (the window select-reduce sits on the per-symbol
+    critical path of a latency-bound kernel)."""
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) & 1:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
 def _window(conv, wpos, w_words: int):
     """64-bit window (a, b) at word offset wpos[chain] of the conveyor.
 
@@ -140,31 +161,43 @@ def _window(conv, wpos, w_words: int):
     slice is one select — exactly one contributes per chain, so i32 sums
     are exact (Mosaic cannot reduce u32)."""
     w_words = min(w_words, conv.shape[0] // 8)
-    acc_a = jnp.zeros((8, 128), jnp.int32)
-    acc_b = jnp.zeros((8, 128), jnp.int32)
+    ta, tb = [], []
     for c in range(w_words):
         sl = conv[c * 8:(c + 1) * 8]
-        acc_a = acc_a + jnp.where(wpos == c, sl, 0)
-        acc_b = acc_b + jnp.where(wpos + 1 == c, sl, 0)
-    return acc_a.astype(jnp.uint32), acc_b.astype(jnp.uint32)
+        ta.append(jnp.where(wpos == c, sl, 0))
+        tb.append(jnp.where(wpos + 1 == c, sl, 0))
+    return (_tree_sum(ta).astype(jnp.uint32),
+            _tree_sum(tb).astype(jnp.uint32))
 
 
 def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
-                          f2r: int):
+                          f2r: int, lanes: int, interpret: bool = False):
     def kernel(rectT_ref, rlen_ref, f1_ref, f2_ref, prm_ref, out_ref,
-               stats_ref, conv_ref, pos_ref, base_ref, last_ref):
+               stats_ref, conv_ref, pos_ref, base_ref, last_ref, dma_sem):
+        j = pl.program_id(0)
         g = pl.program_id(1)
-        rlen = rlen_ref[:]                           # (8, 128) per chain
+        rlen = rlen_ref[:]                           # (8, lanes) per chain
 
         @pl.when(g == 0)
         def _init():
-            conv_ref[:] = rectT_ref[:].astype(jnp.int32)
+            # the conveyor is consumed in-place (rolled), so it lives in
+            # scratch filled by one explicit DMA instead of a
+            # double-buffered VMEM input block — halves the VMEM high
+            # water, which is what bounds chain sets per grid step
+            if interpret:                 # no DMA engine in interpret
+                conv_ref[:] = rectT_ref[:, pl.ds(j * lanes, lanes)]
+            else:
+                cp = pltpu.make_async_copy(
+                    rectT_ref.at[:, pl.ds(j * lanes, lanes)], conv_ref,
+                    dma_sem)
+                cp.start()
+                cp.wait()
             pos_ref[:] = rlen * 0
             base_ref[:] = rlen * 0
             last_ref[:] = rlen * 0
 
         f1 = f1_ref[:]
-        signal = prm_ref[:]
+        signal = jnp.concatenate([prm_ref[:]] * (lanes // 128), axis=1)
         pos = pos_ref[:]
         base = base_ref[:]
         last = last_ref[:]
@@ -176,7 +209,11 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         for s in range(G_PLAIN):
             active = (g * G_PLAIN + s) < rlen
             wpos = (pos >> 5) - base
-            sw_a, sw_b = _window(conv, wpos, W_PLAIN)
+            # growing window: the group starts word-aligned (wpos == 0)
+            # and symbol s has consumed <= 24*s bits since, so only the
+            # first (24*s)//32 + 2 words can hold its window
+            sw_a, sw_b = _window(conv, wpos, min((24 * s) // 32 + 2,
+                                                 W_PLAIN))
             p = (pos & 31).astype(jnp.uint32)
             cw = _entry_lookup(_peek16(sw_a, sw_b, p), f1, f2_ref,
                                subw, lmax, f2r)
@@ -203,16 +240,24 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
 
 
 def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
-                        f2r: int):
+                        f2r: int, lanes: int, interpret: bool = False):
     def kernel(rectT_ref, rlen_ref, f1r_ref, f1s_ref, f2_ref, prm_ref,
                runs_ref, lits_ref, stats_ref, conv_ref, pos_ref, base_ref,
-               em_ref, last_ref):
+               em_ref, last_ref, dma_sem):
+        j = pl.program_id(0)
         g = pl.program_id(1)
         rlen = rlen_ref[:]
 
         @pl.when(g == 0)
         def _init():
-            conv_ref[:] = rectT_ref[:].astype(jnp.int32)
+            if interpret:
+                conv_ref[:] = rectT_ref[:, pl.ds(j * lanes, lanes)]
+            else:
+                cp = pltpu.make_async_copy(
+                    rectT_ref.at[:, pl.ds(j * lanes, lanes)], conv_ref,
+                    dma_sem)
+                cp.start()
+                cp.wait()
             pos_ref[:] = rlen * 0
             base_ref[:] = rlen * 0
             em_ref[:] = rlen * 0
@@ -220,7 +265,7 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
 
         f1r = f1r_ref[:]
         f1s = f1s_ref[:]
-        nsignal = prm_ref[:]
+        nsignal = jnp.concatenate([prm_ref[:]] * (lanes // 128), axis=1)
         pos = pos_ref[:]
         base = base_ref[:]
         emitted = em_ref[:]
@@ -233,7 +278,10 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         for s in range(G_RUN):
             active = emitted < rlen
             wpos = (pos >> 5) - base
-            sw_a, sw_b = _window(conv, wpos, W_RUN)
+            # growing window: token s has consumed <= 56*s bits since the
+            # group's word-aligned start
+            sw_a, sw_b = _window(conv, wpos, min((56 * s) // 32 + 2,
+                                                 W_RUN))
             p = (pos & 31).astype(jnp.uint32)
             e = _entry_lookup(_peek16(sw_a, sw_b, p), f1r, f2_ref,
                               subw, lmax, f2r)
@@ -249,7 +297,8 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
 
             need_sym = active & (emitted1 < rlen)
             wpos = (pos >> 5) - base
-            sw_a, sw_b = _window(conv, wpos, W_RUN)
+            sw_a, sw_b = _window(conv, wpos, min((56 * s + 48) // 32 + 2,
+                                                 W_RUN))
             p = (pos & 31).astype(jnp.uint32)
             e2 = _entry_lookup(_peek16(sw_a, sw_b, p), f1s, f2_ref,
                                subw, lmax, f2r)
@@ -326,11 +375,15 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
     (syms (N, max_len) u8, bits (N,) i32, last_gran (N,) i32).
     """
     n, k = rect.shape
-    npad = _round_up(max(n, CHAINS), CHAINS)
+    sets = 2 if k <= 512 else 1          # 2 chain sets per grid step fit
+    lanes = 128 * sets                   # VMEM only up to k=512 conveyors
+    block = CHAINS * sets
+    npad = _round_up(max(n, block), block)
     if npad != n:
         rect = jnp.pad(rect, ((0, npad - n), (0, 0)))
         rlens = jnp.pad(rlens, (0, npad - n))
-    rectT = _interleave_rect(rect, npad)
+    rectT = jax.lax.bitcast_convert_type(
+        _interleave_rect(rect, npad), jnp.int32)
     rlen8 = _chain_plane(rlens.astype(jnp.int32), npad)
     f1t = f1c.reshape(2, 128)
     f2r = _round_up(max(f2.shape[0], 128), 128) // 128
@@ -340,15 +393,15 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
         jnp.asarray(signal, jnp.int32).reshape(1, 1), (8, 128))
     groups = (max_len + G_PLAIN - 1) // G_PLAIN
     lp = groups * G_PLAIN
-    kern = _plain_kernel_factory(k, groups, subw, lmax, f2r_used)
+    kern = _plain_kernel_factory(k, groups, subw, lmax, f2r_used, lanes,
+                                 interpret)
     ncols = npad // CHAINS * 128
     outT, stats = pl.pallas_call(
         kern,
-        grid=(npad // CHAINS, groups),
+        grid=(ncols // lanes, groups),
         in_specs=[
-            pl.BlockSpec((k * 8, 128), lambda j, g: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda j, g: (0, j),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda j, g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -358,17 +411,18 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G_PLAIN * 8, 128), lambda j, g: (g, j),
+            pl.BlockSpec((G_PLAIN * 8, lanes), lambda j, g: (g, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 128), lambda j, g: (0, j),
+            pl.BlockSpec((16, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((lp * 8, ncols), jnp.int32),
             jax.ShapeDtypeStruct((16, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * 8, 128), jnp.int32)]
-        + [pltpu.VMEM((8, 128), jnp.int32)] * 3,
+        scratch_shapes=[pltpu.VMEM((k * 8, lanes), jnp.int32)]
+        + [pltpu.VMEM((8, lanes), jnp.int32)] * 3
+        + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(rectT, rlen8, f1t, f2p, prm)
     syms = _unrows(outT, lp, n, max_len).astype(jnp.uint8)
@@ -385,11 +439,15 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
     Returns (runs (N, Tp) i32, lits (N, Tp) i32, bits (N,) i32,
     last_gran (N,) i32)."""
     n, k = rect.shape
-    npad = _round_up(max(n, CHAINS), CHAINS)
+    sets = 2 if k <= 512 else 1
+    lanes = 128 * sets
+    block = CHAINS * sets
+    npad = _round_up(max(n, block), block)
     if npad != n:
         rect = jnp.pad(rect, ((0, npad - n), (0, 0)))
         rlens = jnp.pad(rlens, (0, npad - n))
-    rectT = _interleave_rect(rect, npad)
+    rectT = jax.lax.bitcast_convert_type(
+        _interleave_rect(rect, npad), jnp.int32)
     rlen8 = _chain_plane(rlens.astype(jnp.int32), npad)
     f1rt = f1r.reshape(2, 128)
     f1st = f1s.reshape(2, 128)
@@ -400,15 +458,15 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
         jnp.asarray(nsignal, jnp.int32).reshape(1, 1), (8, 128))
     groups = (max_tokens + G_RUN - 1) // G_RUN
     tp = groups * G_RUN
-    kern = _run_kernel_factory(k, groups, subw, lmax, f2r_used)
+    kern = _run_kernel_factory(k, groups, subw, lmax, f2r_used, lanes,
+                               interpret)
     ncols = npad // CHAINS * 128
     runsT, litsT, stats = pl.pallas_call(
         kern,
-        grid=(npad // CHAINS, groups),
+        grid=(ncols // lanes, groups),
         in_specs=[
-            pl.BlockSpec((k * 8, 128), lambda j, g: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda j, g: (0, j),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda j, g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -420,11 +478,11 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G_RUN * 8, 128), lambda j, g: (g, j),
+            pl.BlockSpec((G_RUN * 8, lanes), lambda j, g: (g, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_RUN * 8, 128), lambda j, g: (g, j),
+            pl.BlockSpec((G_RUN * 8, lanes), lambda j, g: (g, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 128), lambda j, g: (0, j),
+            pl.BlockSpec((16, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -432,8 +490,9 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
             jax.ShapeDtypeStruct((tp * 8, ncols), jnp.int32),
             jax.ShapeDtypeStruct((16, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * 8, 128), jnp.int32)]
-        + [pltpu.VMEM((8, 128), jnp.int32)] * 4,
+        scratch_shapes=[pltpu.VMEM((k * 8, lanes), jnp.int32)]
+        + [pltpu.VMEM((8, lanes), jnp.int32)] * 4
+        + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(rectT, rlen8, f1rt, f1st, f2p, prm)
     runs = _unrows(runsT, tp, n, tp)
