@@ -137,17 +137,36 @@ def assemble_dexqv(coding: QVCoding, wells, begs, ends, qvs,
     out[fpos] = fields
 
     base = ent_off[:-1] + hdr_lens
+    copier = _ragged_copier()
     for k, (flat, lens) in enumerate(parts):
         lens = part_lens[k]
         total = int(lens.sum())
         if total:
-            p_starts = np.zeros(n, np.int64)
-            np.cumsum(lens[:-1], out=p_starts[1:])
-            pos = (np.arange(total, dtype=np.int64) - np.repeat(p_starts, lens)
-                   + np.repeat(base, lens))
-            out[pos] = flat[:total]
+            flat = np.ascontiguousarray(np.asarray(flat, np.uint8)[:total])
+            if copier is not None:
+                dst = np.ascontiguousarray(base)
+                lens_c = np.ascontiguousarray(lens)
+                copier(out.ctypes.data, dst.ctypes.data, flat.ctypes.data,
+                       lens_c.ctypes.data, n)
+            else:
+                p_starts = np.zeros(n, np.int64)
+                np.cumsum(lens[:-1], out=p_starts[1:])
+                pos = (np.arange(total, dtype=np.int64)
+                       - np.repeat(p_starts, lens) + np.repeat(base, lens))
+                out[pos] = flat
         base = base + lens
     return head + out.tobytes()
+
+
+def _ragged_copier():
+    """Native per-entry memcpy (dxt_ragged_copy), or None to use the
+    NumPy fancy-index fallback."""
+    try:
+        from ..native import qv_encode_shim
+
+        return qv_encode_shim().dxt_ragged_copy
+    except OSError:
+        return None
 
 
 def write_dexqv(coding: QVCoding, wells, begs, ends, qvs,

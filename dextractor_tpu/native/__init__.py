@@ -97,6 +97,10 @@ def qv_encode_shim():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_longlong, ctypes.c_int, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p]
+        lib.dxt_ragged_copy.restype = None
+        lib.dxt_ragged_copy.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_longlong]
     except OSError as e:
         _qve_err = e
         raise

@@ -141,6 +141,21 @@ long long dxt_encode_run(
   return e.len;
 }
 
+/* Ragged scatter-copy: entry i's lens[i] bytes move from the running
+ * source offset in flat to dst_off[i] in out.  The container assembler's
+ * hot loop (one memcpy per entry beats NumPy's fancy-index scatter by
+ * ~100x on multi-MB images). */
+void dxt_ragged_copy(
+    uint8_t *out, const int64_t *dst_off, const uint8_t *flat,
+    const int64_t *lens, long long n)
+{ int64_t src = 0;
+  long long i;
+  for (i = 0; i < n; i++)
+    { memcpy(out + dst_off[i], flat + src, (size_t) lens[i]);
+      src += lens[i];
+    }
+}
+
 /* Pack_Tag + Number_Read + Compress_Read for all entries: keep tag bytes
  * where del != rchar (or all, rchar < 0), 2-bit pack.  Returns total. */
 long long dxt_pack_tags(
