@@ -40,16 +40,55 @@ class QVStats:
     tot_char: int
 
 
-def _run_hist_entries(streams_flat, offsets, entries, rchar):
-    """Accumulate Histogram_Runs over the given entry indices."""
+def _run_hist_entries(streams_flat, offsets, r0, rchar):
+    """Histogram_Runs (QV.c:702-724) over entries [r0, n) — vectorized
+    over the flat region instead of a per-entry tokenize loop.
+
+    Token semantics match bitstream.tokenize_runs: one run token (the
+    rchar run length, possibly 0) before each literal, plus a trailing
+    symbol-less run token when an entry ends in rchar characters."""
+    lo, hi = int(offsets[r0]), int(offsets[-1])
     hist = np.zeros(256, np.int64)
-    for i in entries:
-        seg = streams_flat[offsets[i]: offsets[i + 1]]
-        if len(seg) == 0:
-            continue
-        runlens, _, _ = bs.tokenize_runs(seg, rchar)
-        if len(runlens):
-            hist += np.bincount(np.minimum(runlens, 255), minlength=256)
+    if hi <= lo:
+        return hist
+    seg = streams_flat[lo:hi]
+    bnd = np.asarray(offsets[r0:], np.int64) - lo    # boundaries, 0..len
+    try:                 # single native pass; NumPy fallback below builds
+        from ..native import qv_encode_shim   # ~30x its size in temporaries
+        import ctypes
+
+        lib = qv_encode_shim()
+        seg_c = np.ascontiguousarray(seg)
+        bnd_c = np.ascontiguousarray(bnd)
+        lib.dxt_run_hist(seg_c.ctypes.data_as(ctypes.c_void_p),
+                         bnd_c.ctypes.data_as(ctypes.c_void_p),
+                         len(bnd_c) - 1, int(rchar),
+                         hist.ctypes.data_as(ctypes.c_void_p))
+        return hist
+    except OSError:
+        pass
+    lits = np.flatnonzero(seg != rchar)
+    # nxt[i] = index of the first literal at/after boundary i — all the
+    # per-entry bookkeeping is O(n_entries log n_lits); the flat side
+    # stays at three linear passes (diff, two bincounts)
+    nxt = np.searchsorted(lits, bnd, "left")
+    has_lit = nxt[:-1] < nxt[1:]
+    if len(lits):
+        prev = np.concatenate([[np.int64(-1)], lits[:-1]])
+        runlens = lits - prev - 1                    # gap to previous literal
+        first = nxt[:-1][has_lit]                    # first literal per entry
+        runlens[first] = lits[first] - bnd[:-1][has_lit]
+        hist += np.bincount(np.minimum(runlens, 255), minlength=256)
+    # trailing run per entry (bytes after its last literal; whole entry
+    # when it has none) — zero-length entries contribute nothing
+    last_end = np.where(has_lit,
+                        lits[np.maximum(nxt[1:] - 1, 0)] + 1
+                        if len(lits) else np.int64(0),
+                        bnd[:-1])
+    trail = bnd[1:] - last_end
+    trail = trail[trail > 0]
+    if len(trail):
+        hist += np.bincount(np.minimum(trail, 255), minlength=256)
     return hist
 
 
@@ -75,7 +114,7 @@ def scan_streams(streams: np.ndarray, lengths: np.ndarray) -> QVStats:
         k = int(tagn[0])
         del_char = int(streams[DEL][k])
         r0 = int(np.searchsorted(off, k, "right") - 1)
-        del_run += _run_hist_entries(streams[DEL], off, range(r0, n_entries), del_char)
+        del_run += _run_hist_entries(streams[DEL], off, r0, del_char)
     else:
         del_char = -1
 
@@ -88,7 +127,7 @@ def scan_streams(streams: np.ndarray, lengths: np.ndarray) -> QVStats:
         r1 = int(np.searchsorted(off[1:], 100000, "left"))
         part = np.bincount(streams[SUB][: off[r1 + 1]], minlength=256)
         sub_char = int(np.argmax(part))                  # first max, like the C scan
-        sub_run += _run_hist_entries(streams[SUB], off, range(r1, n_entries), sub_char)
+        sub_run += _run_hist_entries(streams[SUB], off, r1, sub_char)
 
     return QVStats(del_hist, ins_hist, mrg_hist, sub_hist, del_run, sub_run,
                    del_char, sub_char, total)
@@ -253,22 +292,37 @@ def _encode_entries_native(q: qv.QuivaFile, coding: dq.QVCoding, lossy: bool):
         ins_data = ins_data & 0xFE
         mrg_data = mrg_data & 0xFC
 
-    del_flat, del_w = channel(q.streams[DEL], coding.del_scheme,
-                              coding.drun_scheme, coding.del_char)
-    ins_flat, ins_w = channel(ins_data, coding.ins_scheme)
-    mrg_flat, mrg_w = channel(mrg_data, coding.mrg_scheme)
-    sub_flat, sub_w = channel(q.streams[SUB], coding.sub_scheme,
-                              coding.srun_scheme, coding.sub_char)
+    # the C calls release the GIL (plain ctypes), so the five independent
+    # channel encodes run on five cores — the reference tool is single-
+    # threaded by design, this is free parallelism on any host
+    from concurrent.futures import ThreadPoolExecutor
 
     tag_out = np.empty(total // 4 + 4 * n + 16, np.uint8)
     tag_lens = np.zeros(n, np.int64)
-    r = lib.dxt_pack_tags(ptr(np.ascontiguousarray(q.streams[TAG])),
-                          ptr(np.ascontiguousarray(q.streams[DEL])),
-                          ptr(offs), n, coding.del_char,
-                          ptr(tb.NUMBER_BASE_LUT), ptr(tag_out),
-                          len(tag_out), ptr(tag_lens))
-    if r < 0:
-        raise FormatError("native tag pack buffer overflow")
+
+    def tag_job():
+        r = lib.dxt_pack_tags(ptr(np.ascontiguousarray(q.streams[TAG])),
+                              ptr(np.ascontiguousarray(q.streams[DEL])),
+                              ptr(offs), n, coding.del_char,
+                              ptr(tb.NUMBER_BASE_LUT), ptr(tag_out),
+                              len(tag_out), ptr(tag_lens))
+        if r < 0:
+            raise FormatError("native tag pack buffer overflow")
+        return r
+
+    with ThreadPoolExecutor(max_workers=5) as ex:
+        f_del = ex.submit(channel, q.streams[DEL], coding.del_scheme,
+                          coding.drun_scheme, coding.del_char)
+        f_ins = ex.submit(channel, ins_data, coding.ins_scheme)
+        f_mrg = ex.submit(channel, mrg_data, coding.mrg_scheme)
+        f_sub = ex.submit(channel, q.streams[SUB], coding.sub_scheme,
+                          coding.srun_scheme, coding.sub_char)
+        f_tag = ex.submit(tag_job)
+        del_flat, del_w = f_del.result()
+        ins_flat, ins_w = f_ins.result()
+        mrg_flat, mrg_w = f_mrg.result()
+        sub_flat, sub_w = f_sub.result()
+        r = f_tag.result()
 
     parts = [
         (del_flat, del_w), (tag_out[: int(r)], tag_lens),

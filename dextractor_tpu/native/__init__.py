@@ -101,6 +101,10 @@ def qv_encode_shim():
         lib.dxt_ragged_copy.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_longlong]
+        lib.dxt_run_hist.restype = None
+        lib.dxt_run_hist.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_void_p]
     except OSError as e:
         _qve_err = e
         raise

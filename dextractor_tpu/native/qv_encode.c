@@ -141,6 +141,27 @@ long long dxt_encode_run(
   return e.len;
 }
 
+/* Histogram_Runs (QV.c:702-724) over concatenated entries: one run
+ * token (min(len,255)) before each non-rchar literal plus a trailing
+ * token when an entry ends in rchar characters.  Single cache-friendly
+ * pass; accumulates into hist[256]. */
+void dxt_run_hist(
+    const uint8_t *data, const int64_t *offs, long long n_entries,
+    int rchar, int64_t *hist)
+{ long long i;
+  for (i = 0; i < n_entries; i++)
+    { int64_t k = offs[i], end = offs[i + 1];
+      while (k < end)
+        { int64_t h = k;
+          while (k < end && data[k] == (uint8_t) rchar)
+            k += 1;
+          hist[(k - h >= 255) ? 255 : (int) (k - h)] += 1;
+          if (k < end)
+            k += 1;
+        }
+    }
+}
+
 /* Ragged scatter-copy: entry i's lens[i] bytes move from the running
  * source offset in flat to dst_off[i] in out.  The container assembler's
  * hot loop (one memcpy per entry beats NumPy's fancy-index scatter by
