@@ -180,9 +180,11 @@ def main(argv=None) -> int:
                 agg_sinks[key] = open(p, "wb")
                 created.append(p)
 
-    def fail(msg):
-        # unlink partial outputs (dextract.c:464-493)
-        sys.stderr.write(f"dextract: {msg}\n")
+    def fail(msg=None):
+        # unlink partial outputs (dextract.c:464-493); msg=None when the
+        # caller already printed the reference-format diagnostic
+        if msg is not None:
+            sys.stderr.write(f"dextract: {msg}\n")
         for s in agg_sinks.values():
             s.close()
         for p in created:
@@ -195,7 +197,7 @@ def main(argv=None) -> int:
     for arg in files:
         sn = _sniff(arg)
         if sn is None:
-            return fail(f"cannot resolve {arg}")
+            return fail()                # _sniff printed the diagnostic
         pwd, core, full, kind = sn
         if flags["v"]:
             sys.stderr.write(f"Processing file : {core} ...\n")

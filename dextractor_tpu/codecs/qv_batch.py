@@ -22,32 +22,6 @@ from ..formats.ragged import flat_gather_lens, next_pow2
 from ..ops import twobit as tb
 
 
-def decode_tables(coding):
-    """Stack one coding's schemes into device decode tables.
-
-    Returns (sids (6,) i32, lookups (S,65536) i32, lens (S,256) i32,
-    types (S,) i32, del_mode, sub_mode)."""
-    schemes = []
-
-    def sidx(s):
-        if s is None:
-            return 0          # never dereferenced for absent run schemes
-        s.with_lookup()
-        schemes.append(s)
-        return len(schemes) - 1
-
-    sids = np.array([
-        sidx(coding.del_scheme), sidx(coding.drun_scheme),
-        sidx(coding.ins_scheme), sidx(coding.mrg_scheme),
-        sidx(coding.sub_scheme), sidx(coding.srun_scheme)], np.int32)
-    lookups = np.stack([s.lookup for s in schemes]).astype(np.int32)
-    lens = np.stack([s.codelens for s in schemes]).astype(np.int32)
-    types = np.array([s.type for s in schemes], np.int32)
-    del_mode = "run" if coding.del_char >= 0 else "plain"
-    sub_mode = "run" if coding.sub_char >= 0 else "plain"
-    return sids, lookups, lens, types, del_mode, sub_mode
-
-
 def decode_tables_v2(coding):
     """Coding -> gather-free two-level decode tables (ops/decode2).
 

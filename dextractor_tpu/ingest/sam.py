@@ -229,6 +229,18 @@ def _record_from_fields(qname, seq, tags) -> SamRecord:
         bqual=int(tags.get("bq", -1)), nump=int(tags.get("np", -1)))
 
 
+def _skip_bam_header(buf) -> bytes:
+    """Consume the BAM header after its magic: header text plus the
+    reference directory (sam.c:200-240).  Returns the header text."""
+    (l_text,) = struct.unpack("<i", buf.take(4))
+    text = buf.take(l_text)
+    (n_ref,) = struct.unpack("<i", buf.take(4))
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", buf.take(4))
+        buf.take(l_name + 4)
+    return text
+
+
 class SamReader:
     """Open a .subreads.bam / .subreads.sam and stream records."""
 
@@ -240,13 +252,8 @@ class SamReader:
             self.is_bam = buf.ensure(4) and bytes(
                 buf._buf[buf._pos: buf._pos + 4]) == b"BAM\x01"
             if self.is_bam:
-                buf.take(4)
-                (l_text,) = struct.unpack("<i", buf.take(4))
-                self.header_text = buf.take(l_text)
-                (n_ref,) = struct.unpack("<i", buf.take(4))
-                for _ in range(n_ref):
-                    (l_name,) = struct.unpack("<i", buf.take(4))
-                    buf.take(l_name + 4)
+                buf.take(4)                      # magic
+                self.header_text = _skip_bam_header(buf)
             else:
                 self.header_lines = []
                 for line in buf.lines():
@@ -261,12 +268,7 @@ class SamReader:
         with open(self.path, "rb") as f:
             buf = _StreamBuf(_inflate_chunks(f))
             buf.take(4)                          # magic
-            (l_text,) = struct.unpack("<i", buf.take(4))
-            buf.take(l_text)
-            (n_ref,) = struct.unpack("<i", buf.take(4))
-            for _ in range(n_ref):
-                (l_name,) = struct.unpack("<i", buf.take(4))
-                buf.take(l_name + 4)
+            _skip_bam_header(buf)
             while not buf.at_eof():
                 (block,) = struct.unpack("<i", buf.take(4))
                 rec = memoryview(buf.take(block))

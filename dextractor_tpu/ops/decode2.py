@@ -511,33 +511,49 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
 
     # -- packed delTag (host-sliced bytes; device: unpack + route) ------
     clens = keep.sum(axis=1)
-    tlens = (clens + 3) >> 2
-    tb = tag_bytes.shape[1]
-    tcol = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 1)
-    packed = jnp.where(tcol < tlens[:, None], tag_bytes, 0)
-    shifts = jnp.array([6, 4, 2, 0], jnp.uint8)   # first symbol: bits 7-6
-    codes = ((packed[:, :, None] >> shifts[None, None, :]) & 3).reshape(
-        n, 4 * tb)[:, :max_len]
-    if codes.shape[1] < max_len:                 # narrow tag rectangle
-        codes = jnp.pad(codes, ((0, 0), (0, max_len - codes.shape[1])))
-    from .bitstream_jax import compact_monotone
-    (kcols,) = compact_monotone((col,), keep)
-    rank = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
-    # route the raw 2-bit codes to the keep positions (ascii mapping
-    # happens after routing — 2-bit payloads keep the packed expansion
-    # state small): displacement of the r-th kept symbol is kcols[r] - r
-    # (monotone), so the expansion network replaces a per-element scatter
-    has_sym = rank < clens[:, None]
-    disp = jnp.where(has_sym, jnp.maximum(kcols - rank, 0), 0)
-    (troutes,), tocc = expand_monotone((codes.astype(jnp.int32),),
-                                       disp, max_len, live0=has_sym)
-    routed_sym = jnp.where(
-        troutes == 0, np.uint8(ord("a")),
-        jnp.where(troutes == 1, np.uint8(ord("c")),
-                  jnp.where(troutes == 2, np.uint8(ord("g")),
-                            np.uint8(ord("t"))))).astype(jnp.uint8)
-    tag_rows = jnp.where(tocc, routed_sym, np.uint8(ord("n")))
-    tag_rows = jnp.where(in_read, tag_rows, 0)
+    if jax.default_backend() != "cpu":
+        # TPU: gather by kept-rank in one Pallas pass (ops/tag_pallas) —
+        # the routing-network formulation below costs ~half the whole
+        # decode step in rolled planes and fusion barriers
+        from .tag_pallas import tag_route_rows
+
+        rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+        state = ((jnp.maximum(rank, 0) << 2)
+                 | (keep.astype(jnp.int32) << 1)
+                 | in_read.astype(jnp.int32))
+        tb4 = tag_bytes.shape[1] // 4
+        b = tag_bytes[:, :4 * tb4].reshape(n, tb4, 4).astype(jnp.uint32)
+        tag_words = (b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16)
+                     | (b[:, :, 3] << 24))
+        tag_rows = tag_route_rows(tag_words, state, max_len=max_len)
+    else:
+        tlens = (clens + 3) >> 2
+        tb = tag_bytes.shape[1]
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 1)
+        packed = jnp.where(tcol < tlens[:, None], tag_bytes, 0)
+        shifts = jnp.array([6, 4, 2, 0], jnp.uint8)  # 1st symbol: bits 7-6
+        codes = ((packed[:, :, None] >> shifts[None, None, :]) & 3).reshape(
+            n, 4 * tb)[:, :max_len]
+        if codes.shape[1] < max_len:             # narrow tag rectangle
+            codes = jnp.pad(codes, ((0, 0), (0, max_len - codes.shape[1])))
+        from .bitstream_jax import compact_monotone
+        (kcols,) = compact_monotone((col,), keep)
+        rank = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
+        # route the raw 2-bit codes to the keep positions (ascii mapping
+        # after routing keeps the packed expansion state small):
+        # displacement of the r-th kept symbol is kcols[r] - r (monotone),
+        # so the expansion network replaces a per-element scatter
+        has_sym = rank < clens[:, None]
+        disp = jnp.where(has_sym, jnp.maximum(kcols - rank, 0), 0)
+        (troutes,), tocc = expand_monotone((codes.astype(jnp.int32),),
+                                           disp, max_len, live0=has_sym)
+        routed_sym = jnp.where(
+            troutes == 0, np.uint8(ord("a")),
+            jnp.where(troutes == 1, np.uint8(ord("c")),
+                      jnp.where(troutes == 2, np.uint8(ord("g")),
+                                np.uint8(ord("t"))))).astype(jnp.uint8)
+        tag_rows = jnp.where(tocc, routed_sym, np.uint8(ord("n")))
+        tag_rows = jnp.where(in_read, tag_rows, 0)
 
     # -- ins / mrg (always plain) ---------------------------------------
     ins_rows = plain_chain(rect_ins, rlens, f1c[2], f2, sig[2],

@@ -55,6 +55,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .decode2 import _extract, _peek16
+
 # symbols per group: a plain symbol consumes <= 24 bits (16-bit code +
 # 8-bit escape literal), so G_PLAIN * 24 bits bound the per-group conveyor
 # advance; run tokens consume <= 56 bits (32-bit run + 24-bit literal)
@@ -107,22 +109,6 @@ def _entry_lookup(cw, f1, f2_ref, subw: int, lmax: int, f2r: int):
         e2 = _f2_lookup(f2_ref, jnp.where(is2, idx2, 0), f2r)
         return jnp.where(is2, e2, e1)
     return e1
-
-
-def _peek16(sw_a, sw_b, p):
-    hi = jnp.where(p == 0, sw_a,
-                   (sw_a << p) | (sw_b >> ((jnp.uint32(32) - p)
-                                           & jnp.uint32(31))))
-    return (hi >> jnp.uint32(16)).astype(jnp.int32)
-
-
-def _extract(sw_a, sw_b, off, nbits: int):
-    off = off.astype(jnp.uint32)
-    lt = (sw_a << (off & 31)) | (sw_b >> ((jnp.uint32(32) - off)
-                                          & jnp.uint32(31)))
-    ge = sw_b << ((off - 32) & 31)
-    hi = jnp.where(off == 0, sw_a, jnp.where(off < 32, lt, ge))
-    return (hi >> jnp.uint32(32 - nbits)).astype(jnp.int32)
 
 
 def _advance(conv, delta, max_bits: int):

@@ -162,126 +162,6 @@ def decode_run_batch(buf, starts, rlens, sym_ids, run_ids, lookups, lens_tbl,
     return runs, lits, emitted, pos, last
 
 
-def expand_runs_device(runs, lits, rchar, *, max_len: int):
-    """Expand (runlen, literal) token pairs into symbol rows on device.
-
-    Literal k of lane i lands at column cumsum(runs)[i,k] + k; positions
-    are strictly increasing per lane, so a single masked scatter (OOB
-    dropped) materializes the row over an rchar background.
-    """
-    n, t = runs.shape
-    pos = jnp.cumsum(runs, axis=1) + jax.lax.broadcasted_iota(
-        jnp.int32, (n, t), 1)
-    valid = lits >= 0
-    pos = jnp.where(valid, pos, max_len)          # dropped by mode='drop'
-    rows = jnp.broadcast_to(jnp.asarray(rchar).astype(jnp.uint8),
-                            (n, max_len))
-    return rows.at[jnp.arange(n)[:, None], pos].set(
-        jnp.where(valid, lits, 0).astype(jnp.uint8), mode="drop")
-
-
-def _words_of(bits, last):
-    """Device port of the encoder's tail-padding word-count formula."""
-    t = bits.astype(jnp.int32)
-    olen = t & 31
-    llen = (t - last) & 31
-    raw = (t + 31) >> 5
-    dup = (olen > 0) & (llen > 16) & (olen > llen)
-    zext = (olen == 0) & (llen > 16) & (t > 0)
-    return raw + dup.astype(jnp.int32) + zext.astype(jnp.int32)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("max_len", "del_mode", "sub_mode"))
-def decode_entry_batch(buf, starts, rlens, sids, lookups, lens_tbl, types,
-                       del_char, sub_char, *, max_len: int,
-                       del_mode: str, sub_mode: str):
-    """Fully fused five-channel .dexqv entry decode on device.
-
-    One coding (the raw-container case, QV.c:1428-1477): N entries whose
-    delQV streams start at ``starts``; later streams chain arithmetically.
-    Returns (5, N, max_len) u8 rows — delTag as lowercase ascii with 'n'
-    holes, run channels fully expanded.
-
-    sids: (6,) i32 scheme ids (del, drun, ins, mrg, sub, srun).
-    del_mode / sub_mode: 'run' | 'plain' (static — they change the chain).
-    """
-    n = starts.shape[0]
-    ids = lambda k: jnp.broadcast_to(sids[k], (n,))
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
-    in_read = col < rlens[:, None]
-
-    # -- delQV ---------------------------------------------------------
-    if del_mode == "run":
-        runs, lits, _, dbits, dlast = decode_run_batch(
-            buf, starts, rlens, ids(0), ids(1), lookups, lens_tbl, types,
-            max_tokens=max_len)
-        del_rows = expand_runs_device(runs, lits, del_char, max_len=max_len)
-        keep = in_read & (del_rows != jnp.uint8(del_char))
-    else:
-        del_rows, dbits, dlast = decode_plain_batch(
-            buf, starts, rlens, ids(0), lookups, lens_tbl, types,
-            max_len=max_len)
-        keep = in_read
-    del_w = _words_of(dbits, dlast)
-
-    # -- packed delTag -------------------------------------------------
-    clens = keep.sum(axis=1)
-    tlens = (clens + 3) >> 2
-    tag_starts = starts + 4 * del_w.astype(starts.dtype)
-    tmax = (max_len + 3) >> 2
-    tcol = jax.lax.broadcasted_iota(jnp.int32, (n, tmax), 1)
-    packed = buf[jnp.minimum(tag_starts[:, None] + tcol, buf.shape[0] - 1)]
-    packed = jnp.where(tcol < tlens[:, None], packed, 0)
-    # 2-bit unpack, first symbol in bits 7-6 (DB.c:334)
-    shifts = jnp.array([6, 4, 2, 0], jnp.uint8)
-    codes = ((packed[:, :, None] >> shifts[None, None, :]) & 3).reshape(
-        n, 4 * tmax)[:, :max_len]
-    # acgt by 4-way select (alphabet is 4 symbols — no LUT gather needed)
-    kept_sym = jnp.where(
-        codes == 0, np.uint8(ord("a")),
-        jnp.where(codes == 1, np.uint8(ord("c")),
-                  jnp.where(codes == 2, np.uint8(ord("g")),
-                            np.uint8(ord("t"))))).astype(jnp.uint8)
-    # scatter kept symbols into the keep positions: compacting the column
-    # indices of keeps yields the destination of the r-th kept symbol
-    from .bitstream_jax import compact_monotone
-    (kcols,) = compact_monotone((col,), keep)
-    rank = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
-    dest = jnp.where(rank < clens[:, None], kcols, max_len)
-    tag_rows = jnp.full((n, max_len), np.uint8(ord("n")), jnp.uint8)
-    tag_rows = tag_rows.at[jnp.arange(n)[:, None], dest].set(
-        kept_sym, mode="drop")
-    tag_rows = jnp.where(in_read, tag_rows, 0)
-
-    # -- ins / mrg (always plain) -------------------------------------
-    ins_starts = tag_starts + tlens.astype(starts.dtype)
-    ins_rows, ibits, ilast = decode_plain_batch(
-        buf, ins_starts, rlens, ids(2), lookups, lens_tbl, types,
-        max_len=max_len)
-    mrg_starts = ins_starts + 4 * _words_of(ibits, ilast).astype(starts.dtype)
-    mrg_rows, mbits, mlast = decode_plain_batch(
-        buf, mrg_starts, rlens, ids(3), lookups, lens_tbl, types,
-        max_len=max_len)
-    sub_starts = mrg_starts + 4 * _words_of(mbits, mlast).astype(starts.dtype)
-
-    # -- subQV ---------------------------------------------------------
-    if sub_mode == "run":
-        sruns, slits, _, _, _ = decode_run_batch(
-            buf, sub_starts, rlens, ids(4), ids(5), lookups, lens_tbl,
-            types, max_tokens=max_len)
-        sub_rows = expand_runs_device(sruns, slits, sub_char,
-                                      max_len=max_len)
-    else:
-        sub_rows, _, _ = decode_plain_batch(
-            buf, sub_starts, rlens, ids(4), lookups, lens_tbl, types,
-            max_len=max_len)
-
-    z = jnp.uint8(0)
-    mask = lambda r: jnp.where(in_read, r, z)
-    return jnp.stack([mask(del_rows), tag_rows, mask(ins_rows),
-                      mask(mrg_rows), mask(sub_rows)])
-
 
 def expand_runs_np(runs: np.ndarray, lits: np.ndarray, rlens: np.ndarray,
                    rchar: int) -> np.ndarray:

@@ -38,9 +38,8 @@ def test_two_process_distributed_encode(tmp_path):
     coordinator = f"127.0.0.1:{_free_port()}"
     worker = os.path.join(ROOT, "tests", "_mp_worker.py")
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
-               XLA_FLAGS="--xla_force_host_platform_device_count=4",
-               JAX_NUM_CPU_DEVICES="")
-    env.pop("JAX_NUM_CPU_DEVICES", None)
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    env.pop("JAX_NUM_CPU_DEVICES", None)   # scrub any inherited value
     procs = [subprocess.Popen(
         [sys.executable, worker, coordinator, str(pid), "2", str(src),
          str(tmp_path)],
