@@ -321,6 +321,19 @@ def _round_up(x, mult):
     return (x + mult - 1) // mult * mult
 
 
+def _pick_sets(n: int, k: int) -> int:
+    """Chain sets per grid step: more sets hide more of the serial
+    per-symbol latency, but the conveyor scratch is (k*8, 128*sets) i32
+    (8 MB ceiling) and the batch is padded to 1024*sets chains (cap the
+    padding waste at ~33%)."""
+    for sets in (4, 2):
+        vmem = k * 8 * 128 * sets * 4
+        waste_ok = n > CHAINS * sets // 2
+        if vmem <= (8 << 20) and waste_ok:
+            return sets
+    return 1
+
+
 def _interleave_rect(rect, npad):
     """rect (Np, K) u32 -> (K*8, Ng*128) conveyor planes.
 
@@ -361,8 +374,8 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
     (syms (N, max_len) u8, bits (N,) i32, last_gran (N,) i32).
     """
     n, k = rect.shape
-    sets = 2 if k <= 512 else 1          # 2 chain sets per grid step fit
-    lanes = 128 * sets                   # VMEM only up to k=512 conveyors
+    sets = _pick_sets(n, k)
+    lanes = 128 * sets
     block = CHAINS * sets
     npad = _round_up(max(n, block), block)
     if npad != n:
@@ -425,7 +438,7 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
     Returns (runs (N, Tp) i32, lits (N, Tp) i32, bits (N,) i32,
     last_gran (N,) i32)."""
     n, k = rect.shape
-    sets = 2 if k <= 512 else 1
+    sets = _pick_sets(n, k)
     lanes = 128 * sets
     block = CHAINS * sets
     npad = _round_up(max(n, block), block)

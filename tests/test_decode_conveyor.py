@@ -74,12 +74,14 @@ def test_plain_conveyor_matches_xla(skewed):
         assert 4 * int(words[i]) == len(streams[i]), f"row {i} stats"
 
 
-def test_plain_conveyor_multi_block():
-    """n > CHAINS exercises the interleaved multi-group layout (ng=2,
-    grid=2) and the _unrows/_unplane reassembly — previously chip-only."""
+@pytest.mark.parametrize("n", [1200, 2080])
+def test_plain_conveyor_multi_block(n):
+    """n > CHAINS exercises the interleaved multi-group layout and the
+    _unrows/_unplane reassembly — previously chip-only.  n=1200 runs 2
+    chain sets per grid step (npad 2048); n=2080 runs 4 (npad 4096)."""
     rng = np.random.default_rng(93)
     scheme = _mk_scheme(rng, skewed=True)
-    n, max_len = 1200, 16               # npad 2048 -> 2 grid steps
+    max_len = 16
     rlens = rng.integers(0, max_len + 1, n).astype(np.int32)
     datas = [rng.integers(0, 44, r).astype(np.uint8) for r in rlens]
     streams = [bs.encode_stream(scheme, d).tobytes() for d in datas]
