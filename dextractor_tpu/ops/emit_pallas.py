@@ -31,40 +31,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vmem_lanes import cumsum_lanes as _cumsum_lanes
+from .vmem_lanes import cummax_lanes
+from .vmem_lanes import shl_fill as _shl_fill
+from .vmem_lanes import shr_fill as _shr_fill
+
 B = 8                       # rows per grid step
 
 _NEG = np.int32(-(1 << 30))
 
 
 # ---------------------------------------------------------------------------
-# VMEM-resident lane primitives (shared with pack_pallas' formulation)
+# VMEM-resident lane primitives: shared definitions in vmem_lanes
 # ---------------------------------------------------------------------------
-
-def _shr_fill(x, step, fill=0):
-    """x shifted right by ``step`` along axis 1 (toward higher lanes)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(col >= step, pltpu.roll(x, step, axis=1), fill)
-
-
-def _shl_fill(x, step, fill=0):
-    """x shifted left by ``step`` along axis 1 (toward lower lanes)."""
-    m = x.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(col < m - step, pltpu.roll(x, m - step, axis=1), fill)
-
-
-def _cumsum_lanes(x):
-    """Inclusive cumsum along lanes, int32 wraparound semantics."""
-    for b in range(max(x.shape[1] - 1, 1).bit_length()):
-        x = x + _shr_fill(x, 1 << b)
-    return x
 
 
 def _cummax_lanes(x):
-    """Inclusive cumulative max along lanes."""
-    for b in range(max(x.shape[1] - 1, 1).bit_length()):
-        x = jnp.maximum(x, _shr_fill(x, 1 << b, fill=int(_NEG)))
-    return x
+    return cummax_lanes(x, int(_NEG))
 
 
 LUT_IMPL = "lane"           # "select" (VPU reduce) | "lane" (dynamic gather)

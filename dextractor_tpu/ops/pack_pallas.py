@@ -26,34 +26,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .vmem_lanes import cumsum_lanes as _cumsum_lanes
+from .vmem_lanes import shl_fill as _shl_fill0
+from .vmem_lanes import shr_fill as _shr_fill0
+
 B = 8                      # rows per grid step
-
-
-def _shr_fill0(x, step):
-    """x shifted right by ``step`` along axis 1, zero-filled (no wrap)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(col >= step, pltpu.roll(x, step, axis=1), 0)
-
-
-def _shl_fill0(x, step, fill=0):
-    """x shifted left by ``step`` along axis 1, ``fill``-filled.
-
-    pltpu.roll only accepts non-negative shifts: a left shift by ``step``
-    is the circular roll by ``m - step``."""
-    m = x.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(col < m - step, pltpu.roll(x, m - step, axis=1), fill)
-
-
-def _cumsum_lanes(x):
-    """Inclusive cumsum along axis 1 via log2 shift rounds (VMEM-resident).
-
-    int32 with wraparound — exactly the mod-2^32 semantics the hi/lo word
-    contributions need."""
-    m = x.shape[1]
-    for b in range(max(m - 1, 1).bit_length()):
-        x = x + _shr_fill0(x, 1 << b)
-    return x
 
 
 def _compact2(a, b_, d, keep):
