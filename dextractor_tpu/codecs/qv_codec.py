@@ -430,9 +430,9 @@ def _pack_tags_device(tag_rows, del_rows, lengths, del_char):
 
 
 def _pack_tags_impl(tag_rows, del_rows, lengths, del_char, number_lut):
-    import jax as _j
+    from ..ops.emit_pallas import fused_ok
 
-    if _j.default_backend() != "cpu" and tag_rows.shape[1] % 512 == 0:
+    if fused_ok(tag_rows.shape[1]):
         from ..ops.emit_pallas import pack_tags_pallas
         return pack_tags_pallas(tag_rows, del_rows, lengths, del_char,
                                 number_lut)

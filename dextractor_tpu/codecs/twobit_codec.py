@@ -26,8 +26,9 @@ from ..ops import twobit as tb
 
 @jax.jit
 def _encode_rows(ascii_rows, lengths, number_lut):
-    if (jax.default_backend() != "cpu"
-            and ascii_rows.shape[1] % 512 == 0):
+    from ..ops.emit_pallas import fused_ok
+
+    if fused_ok(ascii_rows.shape[1]):
         from ..ops.emit_pallas import pack2bit_pallas
 
         return pack2bit_pallas(ascii_rows, lengths, number_lut)

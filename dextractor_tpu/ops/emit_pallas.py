@@ -38,6 +38,22 @@ from .vmem_lanes import shr_fill as _shr_fill
 
 B = 8                       # rows per grid step
 
+
+def fused_ok(width: int, any_backend: bool = False) -> bool:
+    """Can the fused emit kernels take rows of this width?
+
+    The in-kernel lane chunking assumes 512-lane multiples (pad_rows
+    aligns to 512 for exactly this).  By default also requires an
+    accelerator backend - the XLA formulations are faster on CPU;
+    ``any_backend=True`` skips that check for callers that pick the
+    backend themselves (the shard_map pipeline).
+    """
+    import jax
+
+    if width % 512 != 0:
+        return False
+    return any_backend or jax.default_backend() != "cpu"
+
 _NEG = np.int32(-(1 << 30))
 
 

@@ -86,7 +86,7 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
         def mix(a, b):
             return jnp.stack([a[0], b[0], b[1], a[1]])
 
-        if streams.shape[2] % 512 == 0:
+        if ep.fused_ok(streams.shape[2], any_backend=True):
             packed, clens = ep.pack_tags_pallas(
                 streams[1], streams[0], lengths, rchars[0], number_lut)
         else:
