@@ -52,8 +52,34 @@ def _bucket_rows(rows: np.ndarray, lengths: np.ndarray):
     return rows, lengths, n
 
 
+def _ptr(a):
+    import ctypes
+
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
 def _pack_batch(seqs_flat, lengths, number_lut, device: bool):
     """Pack ragged ascii symbols into per-read 2-bit payload bytes."""
+    if not device:
+        try:                          # single native pass over the flat —
+            from ..native import twobit_host_shim   # no rectangle assembly
+
+            lib = twobit_host_shim()
+            n = len(lengths)
+            offs = np.zeros(n + 1, np.int64)
+            np.cumsum(lengths, out=offs[1:])
+            clens = ((lengths.astype(np.int64) + 3) >> 2)
+            cap = int(clens.sum())
+            out = np.empty(max(cap, 1), np.uint8)
+            out_lens = np.zeros(n, np.int64)
+            sf = np.ascontiguousarray(seqs_flat)
+            nl = np.ascontiguousarray(number_lut)
+            r = lib.dxt_pack_seq(_ptr(sf), _ptr(offs), n, _ptr(nl),
+                                 _ptr(out), cap, _ptr(out_lens))
+            if r >= 0:
+                return out[:int(r)], clens
+        except OSError:
+            pass
     rows = pad_rows(seqs_flat, lengths, align=512, bucket=device)
     if device:
         rows_p, lengths_p, n = _bucket_rows(rows, lengths)
@@ -64,6 +90,39 @@ def _pack_batch(seqs_flat, lengths, number_lut, device: bool):
     clens = (lengths + 3) >> 2
     payload = rows_to_flat(packed, clens)
     return payload, clens
+
+
+def _native_seq_text(headers, payload, clens, rlens, letter4, width):
+    """Assemble the width-wrapped text image with the native unpacker
+    (one pass per read), or return None when the shim is unavailable."""
+    try:
+        from ..native import qv_encode_shim, twobit_host_shim
+
+        lib = twobit_host_shim()
+        qe = qv_encode_shim()
+    except OSError:
+        return None
+    n = len(rlens)
+    rlens = np.ascontiguousarray(rlens.astype(np.int64))
+    w = int(width) if width > 0 else (1 << 60)
+    nlines = (rlens + w - 1) // w
+    hdr_lens = np.array([len(h) for h in headers], np.int64)
+    blk = hdr_lens + 1 + rlens + nlines
+    blk_off = np.zeros(n + 1, np.int64)
+    np.cumsum(blk, out=blk_off[1:])
+    out = np.full(int(blk_off[-1]), ord("\n"), np.uint8)
+    hdr_flat = np.frombuffer(b"".join(headers), np.uint8)
+    dst = np.ascontiguousarray(blk_off[:-1])
+    qe.dxt_ragged_copy(_ptr(out), _ptr(dst), _ptr(hdr_flat),
+                       _ptr(np.ascontiguousarray(hdr_lens)), n)
+    pay_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(clens, out=pay_offs[1:])
+    seq_offs = np.ascontiguousarray(blk_off[:-1] + hdr_lens + 1)
+    pay = np.ascontiguousarray(payload)
+    lut = np.ascontiguousarray(letter4)
+    lib.dxt_unpack_text(_ptr(pay), _ptr(pay_offs), _ptr(rlens), n, w,
+                        _ptr(lut), _ptr(out), _ptr(seq_offs))
+    return out.tobytes()
 
 
 def _unpack_batch(payload, clens, rlens, letter_lut, device: bool):
@@ -101,8 +160,13 @@ def decode_dexta_to_fasta(data: bytes, width: int = 80, upper: bool = False,
     d = dx.read_dexta(data, arrow=False)
     rlens = (d.ends - d.begs).astype(np.int64)
     lut = tb.UPPER_LUT if upper else tb.LOWER_LUT
-    sym = _unpack_batch(d.payload.flat, d.payload.lengths, rlens, lut, device)
     headers = fa.format_headers(d.prefix, d.wells, d.begs, d.ends, qvs=d.qvs)
+    if not device:
+        txt = _native_seq_text(headers, d.payload.flat, d.payload.lengths,
+                               rlens, lut, width)
+        if txt is not None:
+            return txt
+    sym = _unpack_batch(d.payload.flat, d.payload.lengths, rlens, lut, device)
     return fa.write_seq_file(headers, sym, rlens, width=width)
 
 
@@ -131,7 +195,13 @@ def decode_dexar_to_arrow(data: bytes, width: int = 80,
     device = _auto(device)
     d = dx.read_dexta(data, arrow=True)
     rlens = (d.ends - d.begs).astype(np.int64)
-    sym = _unpack_batch(d.payload.flat, d.payload.lengths, rlens, tb.ARROW_LETTER_LUT, device)
     snrs = d.cnrs.astype(np.float64) / 100.0
     headers = fa.format_headers(d.prefix, d.wells, d.begs, d.ends, snrs=snrs)
+    if not device:
+        txt = _native_seq_text(headers, d.payload.flat, d.payload.lengths,
+                               rlens, tb.ARROW_LETTER_LUT, width)
+        if txt is not None:
+            return txt
+    sym = _unpack_batch(d.payload.flat, d.payload.lengths, rlens,
+                        tb.ARROW_LETTER_LUT, device)
     return fa.write_seq_file(headers, sym, rlens, width=width)

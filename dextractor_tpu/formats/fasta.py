@@ -77,18 +77,36 @@ def parse_seq_file(data: bytes, arrow: bool = False) -> SeqFile:
     seq_line_lens = np.where(seq_mask, line_lens, 0)
     lengths = np.bincount(rec_of_line, weights=seq_line_lens, minlength=n).astype(np.int64)
 
-    # gather all sequence bytes (drop header lines and newlines)
-    keep = np.ones(len(buf), bool)
-    keep[ends] = False                              # newlines
-    if n:
-        hdr_starts = starts[hdr_idx]
-        hdr_ends = ends[hdr_idx]
-        # mark header line spans as dropped
-        delta = np.zeros(len(buf) + 1, np.int64)
-        delta[hdr_starts] += 1
-        delta[hdr_ends] -= 1
-        keep &= np.cumsum(delta[:-1]) == 0
-    flat = buf[keep]
+    # gather all sequence bytes (drop header lines and newlines): one
+    # memcpy per sequence line via the native shim; the NumPy fallback
+    # builds a whole-file keep mask (two 8-byte-per-input-byte passes)
+    seq_idx = np.flatnonzero(seq_mask)
+    s_starts = np.ascontiguousarray(starts[seq_idx].astype(np.int64))
+    s_lens = np.ascontiguousarray(line_lens[seq_idx].astype(np.int64))
+    total = int(s_lens.sum())
+    flat = None
+    try:
+        from ..native import qv_encode_shim
+        import ctypes
+
+        lib = qv_encode_shim()
+        flat = np.empty(max(total, 1), np.uint8)[:total]
+        ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        lib.dxt_gather_copy(ptr(flat), ptr(buf), ptr(s_starts),
+                            ptr(s_lens), len(seq_idx))
+    except OSError:
+        pass
+    if flat is None:
+        keep = np.ones(len(buf), bool)
+        keep[ends] = False                          # newlines
+        if n:
+            hdr_starts = starts[hdr_idx]
+            hdr_ends = ends[hdr_idx]
+            delta = np.zeros(len(buf) + 1, np.int64)
+            delta[hdr_starts] += 1
+            delta[hdr_ends] -= 1
+            keep &= np.cumsum(delta[:-1]) == 0
+        flat = buf[keep]
 
     # parse headers
     wells = np.zeros(n, np.int32)

@@ -105,6 +105,10 @@ def qv_encode_shim():
         lib.dxt_run_hist.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
             ctypes.c_int, ctypes.c_void_p]
+        lib.dxt_gather_copy.restype = None
+        lib.dxt_gather_copy.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_longlong]
     except OSError as e:
         _qve_err = e
         raise
@@ -114,6 +118,36 @@ def qv_encode_shim():
 
 _dexta = None
 _dexta_err = None
+
+
+_tbh = None
+_tbh_err = None
+
+
+def twobit_host_shim():
+    """Host 2-bit pack / wrapped-text unpack, or raise OSError."""
+    global _tbh, _tbh_err
+    if _tbh is not None:
+        return _tbh
+    if _tbh_err is not None:
+        raise _tbh_err
+    try:
+        lib = _build_shim("twobit_host")
+        lib.dxt_pack_seq.restype = ctypes.c_longlong
+        lib.dxt_pack_seq.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_void_p]
+        lib.dxt_unpack_text.restype = ctypes.c_longlong
+        lib.dxt_unpack_text.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+    except OSError as e:
+        _tbh_err = e
+        raise
+    _tbh = lib
+    return lib
 
 
 def dexta_index_shim():

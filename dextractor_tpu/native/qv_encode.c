@@ -177,6 +177,20 @@ void dxt_ragged_copy(
     }
 }
 
+/* Ragged gather-copy: piece i moves from src + src_off[i] to the running
+ * output offset.  The text parsers' hot loop (collect sequence lines,
+ * drop headers/newlines) — one memcpy per line. */
+void dxt_gather_copy(
+    uint8_t *out, const uint8_t *src, const int64_t *src_off,
+    const int64_t *lens, long long n)
+{ int64_t dst = 0;
+  long long i;
+  for (i = 0; i < n; i++)
+    { memcpy(out + dst, src + src_off[i], (size_t) lens[i]);
+      dst += lens[i];
+    }
+}
+
 /* Pack_Tag + Number_Read + Compress_Read for all entries: keep tag bytes
  * where del != rchar (or all, rchar < 0), 2-bit pack.  Returns total. */
 long long dxt_pack_tags(
