@@ -62,11 +62,29 @@ def parse_quiva(data: bytes) -> QuivaFile:
     streams = np.empty((5, total), np.uint8)
     starts6 = starts.reshape(n, 6)
     if total:
-        run_starts = np.zeros(n, np.int64)
-        np.cumsum(lengths[:-1], out=run_starts[1:])
-        rel = np.arange(total, dtype=np.int64) - np.repeat(run_starts, lengths)
-        for s in range(5):
-            streams[s] = buf[np.repeat(starts6[:, s + 1], lengths) + rel]
+        copied = False
+        try:                          # one memcpy per line via the shim;
+            from ..native import qv_encode_shim   # fallback: index gather
+
+            import ctypes
+
+            lib = qv_encode_shim()
+            ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+            lens_c = np.ascontiguousarray(lengths)
+            for s in range(5):
+                src = np.ascontiguousarray(starts6[:, s + 1].astype(np.int64))
+                lib.dxt_gather_copy(ptr(streams[s]), ptr(buf), ptr(src),
+                                    ptr(lens_c), n)
+            copied = True
+        except OSError:
+            pass
+        if not copied:
+            run_starts = np.zeros(n, np.int64)
+            np.cumsum(lengths[:-1], out=run_starts[1:])
+            rel = np.arange(total, dtype=np.int64) - np.repeat(run_starts,
+                                                               lengths)
+            for s in range(5):
+                streams[s] = buf[np.repeat(starts6[:, s + 1], lengths) + rel]
 
     wells = np.zeros(n, np.int32)
     begs = np.zeros(n, np.int32)
