@@ -1,9 +1,12 @@
 """Pallas TPU kernels: conveyor-belt batched Huffman decode.
 
 128 decode chains ride the VPU lanes and 8 more chain groups ride the
-sublanes — 1024 chains per grid step.  Each chain's compressed words live
-in VMEM as an interleaved "conveyor" tile of shape (K*8, 128): row
-``k*8 + s`` holds word ``k`` of sublane-group ``s``'s chains, so
+sublanes — 1024 chains per column group, and up to 4 such groups
+(chain "sets", `_pick_sets`) run per grid step so the VLIW scheduler
+interleaves their independent serial dependency chains.  Each chain's
+compressed words live in VMEM as an interleaved "conveyor" tile of
+shape (K*8, 128) per column group: row ``k*8 + s`` holds word ``k`` of
+sublane-group ``s``'s chains, so
 
   * one (8, 128) slice ``conv[c*8:(c+1)*8]`` is word ``c`` of *all* 1024
     chains — the 64-bit stream window is a W-way select over those
