@@ -323,7 +323,11 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
     symbols per window refresh: 8 * 24 bits worst case fits the 12-word
     register window from any starting alignment."""
     f2_rows = (f2.shape[0] + 127) // 128
-    if jax.default_backend() != "cpu" and (not subw or f2_rows <= 16):
+    # the conveyor keeps each chain's whole stream resident in VMEM
+    # ((K*8, 128) i32 per column group) — beyond K=2048 words (~10 kb
+    # reads) it cannot fit, and the windowed XLA chain below takes over
+    if (jax.default_backend() != "cpu" and rect.shape[1] <= 2048
+            and (not subw or f2_rows <= 16)):
         from .decode_conveyor import plain_chain_conveyor
 
         return plain_chain_conveyor(rect, rlens, f1c, f2, signal,
@@ -377,7 +381,8 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
     decode_jax.decode_run_batch.  On accelerator backends the chains run
     in the VMEM conveyor kernel (ops/decode_conveyor)."""
     f2_rows = (f2.shape[0] + 127) // 128
-    if jax.default_backend() != "cpu" and (not subw or f2_rows <= 16):
+    if (jax.default_backend() != "cpu" and rect.shape[1] <= 2048
+            and (not subw or f2_rows <= 16)):
         from .decode_conveyor import run_chain_conveyor
 
         return run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal,
