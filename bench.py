@@ -212,7 +212,7 @@ def main() -> None:
         encode_quiva_to_dexqv, decode_dexqv_to_quiva, _index_native)
     from dextractor_tpu.codecs.qv_batch import decode_tables_v2
     from dextractor_tpu.formats import dexqv as dqf
-    from dextractor_tpu.formats.ragged import next_pow2
+    from dextractor_tpu.formats.ragged import bucket_len, next_pow2
     from dextractor_tpu.ops import decode2 as d2
 
     from dextractor_tpu.codecs.qv_batch import channel_rects
@@ -231,6 +231,7 @@ def main() -> None:
         dbuf = np.frombuffer(enc, np.uint8)
         drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
         dec_max_len = next_pow2(max(int(drlens.max(initial=0)), 512))
+        dec_max_sym = bucket_len(int(drlens.max(initial=0)))
         dec_max_tokens = next_pow2(max(int(ntoks_t.max(initial=0)), 16))
         rects = channel_rects(dbuf, eoffs, coffs_t, dec_max_len)
         rects = tuple(
@@ -257,7 +258,7 @@ def main() -> None:
                     r, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_, dc_,
                     sc_, max_len=dec_max_len, max_tokens=dec_max_tokens,
                     del_mode=del_mode, sub_mode=sub_mode, subw=subw, lmax=lmax,
-                    chan_l2=chan_l2)
+                    chan_l2=chan_l2, max_sym=dec_max_sym)
                 return acc + rows.astype(jnp.int32).sum()
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..formats.ragged import flat_gather_lens, next_pow2
+from ..formats.ragged import bucket_len, flat_gather_lens, next_pow2
 from ..ops import twobit as tb
 
 
@@ -96,6 +96,7 @@ def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
 
     rlens = np.asarray(rlens, np.int32)
     max_len = next_pow2(max(int(rlens.max(initial=0)), 512))
+    max_sym = bucket_len(int(rlens.max(initial=0)))
     max_tokens = next_pow2(
         max(int(np.asarray(ntoks).max(initial=0)), 16))
     rects = channel_rects(buf, starts, coffs, max_len)
@@ -108,7 +109,7 @@ def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
                 jnp.int32(coding.sub_char & 0xFF))
     statics = dict(max_len=max_len, max_tokens=max_tokens,
                    del_mode=del_mode, sub_mode=sub_mode, subw=subw,
-                   lmax=lmax, chan_l2=chan_l2)
+                   lmax=lmax, chan_l2=chan_l2, max_sym=max_sym)
     if mesh is None:
         return d2.decode_entry_batch2(
             *(jnp.asarray(r) for r in rects), jnp.asarray(rlens),
@@ -141,6 +142,7 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
     n = len(starts)
     rlens = np.asarray(rlens, np.int32)
     max_len = next_pow2(max(int(rlens.max(initial=0)), 512))
+    max_sym = bucket_len(int(rlens.max(initial=0)))
     buf = np.concatenate([np.asarray(buf, np.uint8), np.zeros(8, np.uint8)])
     bufd = jnp.asarray(buf)
 
@@ -220,8 +222,8 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
             rows, b, g = dcv.plain_chain_conveyor(
                 jnp.asarray(rect), jnp.asarray(rl[sel]),
                 jnp.asarray(f1_t[sid]), f2_j, jnp.int32(sig),
-                max_len=max_len, subw=subw_t, lmax=lmax_t)
-            o[sel] = np.asarray(rows)
+                max_len=max_sym, subw=subw_t, lmax=lmax_t)
+            o[sel, :max_sym] = np.asarray(rows)
             bits[sel] = np.asarray(b)
             lg[sel] = np.asarray(g)
         return o, bits, lg
@@ -242,7 +244,7 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
             r_, l_, b, g = dcv.run_chain_conveyor(
                 jnp.asarray(rect), jnp.asarray(rl[sel]),
                 jnp.asarray(f1_t[rid]), jnp.asarray(f1_t[sid]), f2_j,
-                jnp.int32(sig), max_tokens=max_len, subw=subw_t,
+                jnp.int32(sig), max_tokens=max_sym, subw=subw_t,
                 lmax=lmax_t)
             t = min(max_len, r_.shape[1])
             runs[sel, :t] = np.asarray(r_)[:, :t]

@@ -314,7 +314,7 @@ def expand_monotone(vals: tuple, disp, width: int, live0=None):
 # ---------------------------------------------------------------------------
 
 def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
-                subw: int, lmax: int):
+                subw: int, lmax: int, max_sym: int | None = None):
     """Decode N plain streams, one per word-aligned rectangle row.
 
     Returns symbols (N, max_len) u8.  On accelerator backends the chains
@@ -323,6 +323,10 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
     symbols per window refresh: 8 * 24 bits worst case fits the 12-word
     register window from any starting alignment."""
     f2_rows = (f2.shape[0] + 127) // 128
+    # ``max_sym`` (static, the batch's bucketed longest read) caps the
+    # serial group-steps below the padded row width — pow2 row bucketing
+    # alone would run up to 2x dead steps past every chain's end
+    ml = max_len if max_sym is None else min(max_len, max_sym)
     # the conveyor keeps each chain's whole stream resident in VMEM
     # ((K*8, 128) i32 per column group) — beyond K=2048 words (~10 kb
     # reads) it cannot fit, and the windowed XLA chain below takes over
@@ -330,12 +334,15 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
             and (not subw or f2_rows <= 16)):
         from .decode_conveyor import plain_chain_conveyor
 
-        return plain_chain_conveyor(rect, rlens, f1c, f2, signal,
-                                    max_len=max_len, subw=subw,
-                                    lmax=lmax)[0]
+        out = plain_chain_conveyor(rect, rlens, f1c, f2, signal,
+                                   max_len=ml, subw=subw,
+                                   lmax=lmax)[0]
+        if ml < max_len:
+            out = jnp.pad(out, ((0, 0), (0, max_len - ml)))
+        return out
     n = rlens.shape[0]
     group_sz = 8
-    groups = (max_len + group_sz - 1) // group_sz
+    groups = (ml + group_sz - 1) // group_sz
     refresh, read = _window_reader(rect)
 
     def group(g, carry):
@@ -367,7 +374,10 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
     out0 = jnp.broadcast_to(z.astype(jnp.uint8)[:, None],
                             (n, groups * group_sz))
     pos, last, out = jax.lax.fori_loop(0, groups, group, (z, z, out0))
-    return out[:, :max_len]
+    out = out[:, :ml]
+    if ml < max_len:
+        out = jnp.pad(out, ((0, 0), (0, max_len - ml)))
+    return out
 
 
 def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
@@ -470,12 +480,14 @@ def expand_runs2(runs, lits, rchar, *, max_len: int):
 
 @functools.partial(
     jax.jit, static_argnames=("max_len", "max_tokens", "del_mode",
-                              "sub_mode", "subw", "lmax", "chan_l2"))
+                              "sub_mode", "subw", "lmax", "chan_l2",
+                              "max_sym"))
 def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
                         rlens, sids, f1, f2, types, del_char, sub_char, *,
                         max_len: int, max_tokens: int, del_mode: str,
                         sub_mode: str, subw: int, lmax: int,
-                        chan_l2: tuple | None = None):
+                        chan_l2: tuple | None = None,
+                        max_sym: int | None = None):
     """Fully fused five-channel .dexqv entry decode, gather-free.
 
     Each channel decodes from its own word-aligned rectangle (the native
@@ -511,7 +523,7 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
     else:
         del_rows = plain_chain(
             rect_del, rlens, f1c[0], f2, sig[0], max_len=max_len,
-            subw=sw[0], lmax=lmax)
+            subw=sw[0], lmax=lmax, max_sym=max_sym)
         keep = in_read
 
     # -- packed delTag (host-sliced bytes; device: unpack + route) ------
@@ -562,9 +574,11 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
 
     # -- ins / mrg (always plain) ---------------------------------------
     ins_rows = plain_chain(rect_ins, rlens, f1c[2], f2, sig[2],
-                           max_len=max_len, subw=sw[2], lmax=lmax)
+                           max_len=max_len, subw=sw[2], lmax=lmax,
+                           max_sym=max_sym)
     mrg_rows = plain_chain(rect_mrg, rlens, f1c[3], f2, sig[3],
-                           max_len=max_len, subw=sw[3], lmax=lmax)
+                           max_len=max_len, subw=sw[3], lmax=lmax,
+                           max_sym=max_sym)
 
     # -- subQV -----------------------------------------------------------
     if sub_mode == "run":
@@ -574,7 +588,8 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
         sub_rows = expand_runs2(sruns, slits, sub_char, max_len=max_len)
     else:
         sub_rows = plain_chain(rect_sub, rlens, f1c[4], f2, sig[4],
-                               max_len=max_len, subw=sw[4], lmax=lmax)
+                               max_len=max_len, subw=sw[4], lmax=lmax,
+                               max_sym=max_sym)
 
     z = jnp.uint8(0)
     mask = lambda r: jnp.where(in_read, r, z)

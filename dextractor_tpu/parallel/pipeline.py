@@ -404,7 +404,8 @@ def sharded_decode_run(mesh, *, max_tokens: int):
 
 def sharded_decode_entry(mesh, *, max_len: int, max_tokens: int,
                          del_mode: str, sub_mode: str, subw: int,
-                         lmax: int, chan_l2: tuple | None = None):
+                         lmax: int, chan_l2: tuple | None = None,
+                         max_sym: int | None = None):
     """shard_map'd fused five-channel entry decode (single coding):
     tables replicated, the per-channel word rectangles and the chains
     sharded over the data axis (ops/decode2)."""
@@ -416,7 +417,8 @@ def sharded_decode_entry(mesh, *, max_len: int, max_tokens: int,
             rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub, rlens,
             sids, f1, f2, types, del_char, sub_char,
             max_len=max_len, max_tokens=max_tokens, del_mode=del_mode,
-            sub_mode=sub_mode, subw=subw, lmax=lmax, chan_l2=chan_l2)
+            sub_mode=sub_mode, subw=subw, lmax=lmax, chan_l2=chan_l2,
+            max_sym=max_sym)
 
     return shard_map(
         step, mesh=mesh,
