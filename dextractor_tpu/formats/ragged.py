@@ -53,14 +53,17 @@ def pad_rows(flat: np.ndarray, lengths: np.ndarray, align: int = 512,
              pad_value: int = 0, bucket: bool = False) -> np.ndarray:
     """Scatter flat ragged rows into an (N, Lpad) rectangle.
 
-    With ``bucket``, Lpad is rounded to the next power of two so jitted
-    device programs see few distinct shapes (compile-cache friendly).
+    With ``bucket``, Lpad is rounded to quarter-octave granularity (kept
+    a multiple of ``align``) so jitted device programs see few distinct
+    shapes while the kernels process at most ~12.5% dead lanes — pow2
+    bucketing made the fused emit kernels run up to 2x past every row's
+    end.
     """
     n = len(lengths)
     lpad = max(int(lengths.max(initial=0)), 1)
     lpad = _round_up(lpad, align)
     if bucket:
-        lpad = next_pow2(lpad)
+        lpad = _round_up(lpad, max(align, next_pow2(lpad) // 8))
     out = np.full((n, lpad), pad_value, dtype=flat.dtype)
     total = int(lengths.sum())
     if total:
