@@ -29,6 +29,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..utils.errors import FormatError
+from .dexqv import _ragged_copier
 from .ragged import Ragged, flat_gather_lens
 
 KEY_NEW = 0x55AA
@@ -75,14 +76,25 @@ def _assemble(prefix: bytes, field_bytes: np.ndarray, n_ff: np.ndarray,
     # fixed fields
     fpos = (ent_off[:-1] + n_ff + 1)[:, None] + np.arange(fwidth, dtype=np.int64)[None, :]
     out[fpos] = field_bytes
-    # payload
+    # payload: one memcpy per entry via the native shim (the NumPy
+    # fancy-index scatter costs ~16 index bytes per payload byte)
     total_p = int(clens.sum())
     if total_p:
-        p_starts = np.zeros(n, np.int64)
-        np.cumsum(clens[:-1], out=p_starts[1:])
-        pos = (np.arange(total_p, dtype=np.int64) - np.repeat(p_starts, clens)
-               + np.repeat(ent_off[:-1] + n_ff + 1 + fwidth, clens))
-        out[pos] = payload[:total_p]
+        dst_off = np.ascontiguousarray(ent_off[:-1] + n_ff + 1 + fwidth)
+        flat = np.ascontiguousarray(payload[:total_p], np.uint8)
+        copier = _ragged_copier()
+        if copier is not None:
+            import ctypes
+
+            ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+            copier(ptr(out), ptr(dst_off), ptr(flat),
+                   ptr(np.ascontiguousarray(clens)), n)
+        else:
+            p_starts = np.zeros(n, np.int64)
+            np.cumsum(clens[:-1], out=p_starts[1:])
+            pos = (np.arange(total_p, dtype=np.int64) - np.repeat(p_starts, clens)
+                   + np.repeat(dst_off, clens))
+            out[pos] = flat
 
     return head + out.tobytes()
 

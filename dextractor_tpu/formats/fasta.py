@@ -34,6 +34,11 @@ _ARROW_HDR = re.compile(
     rb"\s*SN=\s*(" + _FLT + rb"),\s*(" + _FLT + rb"),\s*(" + _FLT + rb"),\s*(" + _FLT + rb")"
 )
 
+# line-anchored variants for the bulk findall over joined header lines;
+# [^/\n]*? reproduces the per-line "first '/'" split of the loop parser
+_FASTA_HDR_LINE = re.compile(rb"(?m)^[^/\n]*?/" + _FASTA_HDR.pattern)
+_ARROW_HDR_LINE = re.compile(rb"(?m)^[^/\n]*?/" + _ARROW_HDR.pattern)
+
 
 @dataclass
 class SeqFile:
@@ -63,6 +68,9 @@ def _split_lines(data: bytes):
 
 def parse_seq_file(data: bytes, arrow: bool = False) -> SeqFile:
     """Parse a .fasta (arrow=False) or .arrow (arrow=True) file."""
+    fast = _parse_seq_file_native(data, arrow)
+    if fast is not None:
+        return fast
     buf, starts, ends = _split_lines(data)
     is_hdr = buf[starts] == ord(">")
     if not is_hdr[0]:
@@ -108,7 +116,96 @@ def parse_seq_file(data: bytes, arrow: bool = False) -> SeqFile:
             keep &= np.cumsum(delta[:-1]) == 0
         flat = buf[keep]
 
-    # parse headers
+    # parse headers: one anchored bulk findall over the joined header
+    # lines (C-level), numeric fields converted columnwise by NumPy; any
+    # shape mismatch falls back to the exact per-line loop for the error
+    prefix, fields = _parse_headers_bulk(data, starts[hdr_idx], ends[hdr_idx],
+                                         n, arrow)
+    if fields is None:
+        prefix, fields = _parse_headers_loop(data, starts[hdr_idx],
+                                             ends[hdr_idx], n, arrow)
+    wells, begs, ends_f, qvs, snrs = fields
+
+    return SeqFile(prefix=prefix, wells=wells, begs=begs, ends=ends_f,
+                   qvs=qvs, snrs=snrs, seqs=Ragged(flat, lengths))
+
+
+def _parse_seq_file_native(data: bytes, arrow: bool) -> SeqFile | None:
+    """Single-pass native line scan + bulk header parse; None when the
+    shim is unavailable (the NumPy mask path then takes over)."""
+    try:
+        from ..native import twobit_host_shim
+        import ctypes
+
+        lib = twobit_host_shim()
+    except OSError:
+        return None
+    if len(data) == 0:
+        raise FormatError("empty sequence file")
+    if data[-1:] != b"\n":
+        raise FormatError("last line does not end with a newline")
+    if data[:1] != b">":
+        raise FormatError("first header in file is missing")
+    buf = np.frombuffer(data, np.uint8)
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    counts = np.zeros(2, np.int64)
+    lib.dxt_line_stats(ptr(buf), len(buf), ord(">"),
+                       ptr(counts[0:1]), ptr(counts[1:2]))
+    n = int(counts[1])
+    hdr_starts = np.empty(n, np.int64)
+    hdr_ends = np.empty(n, np.int64)
+    rec_lens = np.empty(n, np.int64)
+    flat = np.empty(len(buf), np.uint8)
+    total = int(lib.dxt_seq_scan(ptr(buf), len(buf), ord(">"),
+                                 ptr(hdr_starts), ptr(hdr_ends),
+                                 ptr(flat), ptr(rec_lens)))
+    flat = flat[:total]
+    prefix, fields = _parse_headers_bulk(data, hdr_starts, hdr_ends, n, arrow)
+    if fields is None:
+        prefix, fields = _parse_headers_loop(data, hdr_starts, hdr_ends,
+                                             n, arrow)
+    wells, begs, ends_f, qvs, snrs = fields
+    return SeqFile(prefix=prefix, wells=wells, begs=begs, ends=ends_f,
+                   qvs=qvs, snrs=snrs, seqs=Ragged(flat, rec_lens))
+
+
+def _parse_headers_bulk(data: bytes, hdr_starts, hdr_ends, n: int, arrow: bool):
+    """Vectorized header parse; returns (prefix, fields) or (prefix, None)
+    when the fast path cannot certify a 1:1 line:match correspondence."""
+    if n == 0:
+        z = np.zeros(0, np.int32)
+        return b"", (z, z, z, None if arrow else z,
+                     np.zeros((0, 4), np.float32) if arrow else None)
+    first = data[hdr_starts[0]:hdr_ends[0]]
+    slash = first.find(b"/")
+    if slash < 0:
+        raise FormatError("header line incorrectly formatted ?")
+    prefix = first[:slash]
+    blob = b"\n".join(
+        bytes(memoryview(data)[hs:he]) for hs, he in zip(hdr_starts, hdr_ends)
+    ) if n > 1 else first
+    pattern = _ARROW_HDR_LINE if arrow else _FASTA_HDR_LINE
+    ms = pattern.findall(blob)
+    if len(ms) != n or blob.count(b"\n") != n - 1:
+        return prefix, None
+    cols = np.array(ms, dtype=np.bytes_)
+    try:
+        wells = cols[:, 0].astype(np.int32)
+        begs = cols[:, 1].astype(np.int32)
+        ends_f = cols[:, 2].astype(np.int32)
+        if arrow:
+            snrs = cols[:, 3:7].astype(np.float32)
+            return prefix, (wells, begs, ends_f, None, snrs)
+        q = cols[:, 3]
+        qvs = np.where(q == b"", b"0", q).astype(np.int32)
+        return prefix, (wells, begs, ends_f, qvs, None)
+    except ValueError:
+        return prefix, None
+
+
+def _parse_headers_loop(data: bytes, hdr_starts, hdr_ends, n: int, arrow: bool):
+    """Reference-faithful per-line header parse (dexta.c:151-157,
+    dexar.c:152-157); also the error path for malformed headers."""
     wells = np.zeros(n, np.int32)
     begs = np.zeros(n, np.int32)
     ends_f = np.zeros(n, np.int32)
@@ -117,7 +214,7 @@ def parse_seq_file(data: bytes, arrow: bool = False) -> SeqFile:
     pattern = _ARROW_HDR if arrow else _FASTA_HDR
     prefix = b""
     data_mv = memoryview(data)
-    for i, (hs, he) in enumerate(zip(starts[hdr_idx], ends[hdr_idx])):
+    for i, (hs, he) in enumerate(zip(hdr_starts, hdr_ends)):
         line = bytes(data_mv[hs:he])
         slash = line.find(b"/")
         if slash < 0:
@@ -134,9 +231,7 @@ def parse_seq_file(data: bytes, arrow: bool = False) -> SeqFile:
             snrs[i] = [np.float32(m.group(k)) for k in (4, 5, 6, 7)]
         elif m.group(4) is not None:
             qvs[i] = int(m.group(4))
-
-    return SeqFile(prefix=prefix, wells=wells, begs=begs, ends=ends_f,
-                   qvs=qvs, snrs=snrs, seqs=Ragged(flat, lengths))
+    return prefix, (wells, begs, ends_f, qvs, snrs)
 
 
 def format_headers(prefix: bytes, wells, begs, ends, qvs=None, snrs=None) -> list[bytes]:

@@ -143,6 +143,15 @@ def twobit_host_shim():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p]
+        lib.dxt_line_stats.restype = None
+        lib.dxt_line_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.dxt_seq_scan.restype = ctypes.c_longlong
+        lib.dxt_seq_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
     except OSError as e:
         _tbh_err = e
         raise

@@ -45,6 +45,61 @@ long long dxt_pack_seq(
   return total;
 }
 
+/* Count newline-terminated lines and lines starting with hdr_ch.
+ * The caller uses the counts to size dxt_seq_scan's outputs. */
+void dxt_line_stats(const uint8_t *buf, long long n, int hdr_ch,
+                    int64_t *n_lines, int64_t *n_hdrs)
+{ const uint8_t *p = buf, *end = buf + n;
+  int64_t lines = 0, hdrs = 0;
+  while (p < end)
+    { const uint8_t *nl = memchr(p, '\n', (size_t) (end - p));
+      if (nl == 0)
+        break;                      /* unterminated tail: not a line */
+      lines += 1;
+      if (*p == (uint8_t) hdr_ch)
+        hdrs += 1;
+      p = nl + 1;
+    }
+  *n_lines = lines;
+  *n_hdrs = hdrs;
+}
+
+/* One-pass .fasta/.arrow scan: header lines get their [start,end) byte
+ * spans recorded; sequence lines are memcpy'd (newline-free) into flat
+ * and accumulate rec_lens of the current record.  Returns total flat
+ * bytes, or -1 when a sequence line precedes the first header.  The
+ * caller sizes hdr_starts/hdr_ends/rec_lens from dxt_line_stats and
+ * flat at n (an upper bound on sequence bytes). */
+long long dxt_seq_scan(const uint8_t *buf, long long n, int hdr_ch,
+                       int64_t *hdr_starts, int64_t *hdr_ends,
+                       uint8_t *flat, int64_t *rec_lens)
+{ const uint8_t *p = buf, *end = buf + n;
+  int64_t total = 0;
+  long long rec = -1;
+  while (p < end)
+    { const uint8_t *nl = memchr(p, '\n', (size_t) (end - p));
+      size_t         len;
+      if (nl == 0)
+        break;
+      len = (size_t) (nl - p);
+      if (*p == (uint8_t) hdr_ch)
+        { rec += 1;
+          hdr_starts[rec] = p - buf;
+          hdr_ends[rec] = nl - buf;
+          rec_lens[rec] = 0;
+        }
+      else
+        { if (rec < 0)
+            return -1;
+          memcpy(flat + total, p, len);
+          total += (int64_t) len;
+          rec_lens[rec] += (int64_t) len;
+        }
+      p = nl + 1;
+    }
+  return total;
+}
+
 /* Unpack 2-bit payloads into width-wrapped ascii text.
  *
  * Entry i's packed bytes start at pay[pay_offs[i]]; rlens[i] symbols are

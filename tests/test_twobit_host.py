@@ -90,3 +90,55 @@ def test_unpack_text_matches_write_seq_file(width):
                         width, ptr(np.ascontiguousarray(tb.LOWER_LUT)),
                         ptr(out), ptr(seq_offs))
     assert out.tobytes() == exp
+
+
+def _numpy_parse(data: bytes, arrow: bool):
+    """parse_seq_file with the native fast path disabled."""
+    from unittest import mock
+
+    with mock.patch.object(fa, "_parse_seq_file_native", lambda d, a: None):
+        return fa.parse_seq_file(data, arrow=arrow)
+
+
+@pytest.mark.parametrize("arrow", [False, True])
+def test_native_seq_scan_matches_numpy_parse(arrow):
+    _native()
+    rng = np.random.default_rng(11)
+    lines = []
+    lengths = [0, 1, 3, 79, 80, 81, 200, 0, 45]
+    sym = "1234" if arrow else "acgt"
+    for i, ln in enumerate(lengths):
+        if arrow:
+            lines.append(f">mov/{i * 3}/5_{5 + ln} SN=1.25,0.50,10.00,3.75")
+        else:
+            # every other read omits the optional RQ field
+            tail = "" if i % 2 else f" RQ=0.{700 + i}"
+            lines.append(f">mov/{i * 3}/5_{5 + ln}{tail}")
+        s = "".join(sym[k] for k in rng.integers(0, 4, ln))
+        for j in range(0, ln, 80):
+            lines.append(s[j:j + 80])
+    data = ("\n".join(lines) + "\n").encode()
+
+    got = fa.parse_seq_file(data, arrow=arrow)
+    exp = _numpy_parse(data, arrow)
+    assert got.prefix == exp.prefix
+    np.testing.assert_array_equal(got.wells, exp.wells)
+    np.testing.assert_array_equal(got.begs, exp.begs)
+    np.testing.assert_array_equal(got.ends, exp.ends)
+    if arrow:
+        np.testing.assert_array_equal(got.snrs, exp.snrs)
+    else:
+        np.testing.assert_array_equal(got.qvs, exp.qvs)
+    np.testing.assert_array_equal(got.seqs.lengths, exp.seqs.lengths)
+    np.testing.assert_array_equal(got.seqs.flat, exp.seqs.flat)
+
+
+def test_native_seq_scan_error_paths():
+    _native()
+    from dextractor_tpu.utils.errors import FormatError
+
+    for bad in (b"", b">h/1/0_4 RQ=0.1\nacgt", b"acgt\n"):
+        with pytest.raises(FormatError):
+            fa.parse_seq_file(bad)
+    with pytest.raises(FormatError):
+        _numpy_parse(b"acgt\n>h/1/0_4\nacgt\n", False)
