@@ -101,17 +101,36 @@ def scan_streams(streams: np.ndarray, lengths: np.ndarray) -> QVStats:
     np.cumsum(lengths, out=off[1:])
     total = int(off[-1])
 
-    del_hist = np.bincount(streams[DEL], minlength=256).astype(np.int64)
-    ins_hist = np.bincount(streams[INS], minlength=256).astype(np.int64)
-    mrg_hist = np.bincount(streams[MRG], minlength=256).astype(np.int64)
-    sub_hist = np.bincount(streams[SUB], minlength=256).astype(np.int64)
+    first_n = None
+    try:                             # one native pass for the four flat
+        from ..native import qv_encode_shim   # histograms + first-'n' scan
+        import ctypes
+
+        lib = qv_encode_shim()
+        hist4 = np.zeros((4, 256), np.int64)
+        fn = np.zeros(1, np.int64)
+        ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        rows = [np.ascontiguousarray(streams[c])
+                for c in (DEL, INS, MRG, SUB, TAG)]
+        lib.dxt_qv_scan_hists(*(ptr(r) for r in rows), total,
+                              ptr(hist4), ptr(fn))
+        del_hist, ins_hist, mrg_hist, sub_hist = hist4
+        first_n = int(fn[0])
+    except OSError:
+        del_hist = np.bincount(streams[DEL], minlength=256).astype(np.int64)
+        ins_hist = np.bincount(streams[INS], minlength=256).astype(np.int64)
+        mrg_hist = np.bincount(streams[MRG], minlength=256).astype(np.int64)
+        sub_hist = np.bincount(streams[SUB], minlength=256).astype(np.int64)
 
     # delChar: the delQV under the first 'n'/'N' delTag in file order
     # (QV.c:993-1002); run histogram covers that entry onward.
-    tagn = np.flatnonzero((streams[TAG] == ord("n")) | (streams[TAG] == ord("N")))
+    if first_n is None:
+        tagn = np.flatnonzero(
+            (streams[TAG] == ord("n")) | (streams[TAG] == ord("N")))
+        first_n = int(tagn[0]) if len(tagn) else -1
     del_run = np.ones(256, np.int64)                    # init to 1 (QV.c:934-935)
-    if len(tagn):
-        k = int(tagn[0])
+    if first_n >= 0:
+        k = first_n
         del_char = int(streams[DEL][k])
         r0 = int(np.searchsorted(off, k, "right") - 1)
         del_run += _run_hist_entries(streams[DEL], off, r0, del_char)

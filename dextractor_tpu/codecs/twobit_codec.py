@@ -69,13 +69,41 @@ def _pack_batch(seqs_flat, lengths, number_lut, device: bool):
             offs = np.zeros(n + 1, np.int64)
             np.cumsum(lengths, out=offs[1:])
             clens = ((lengths.astype(np.int64) + 3) >> 2)
-            cap = int(clens.sum())
+            couts = np.zeros(n + 1, np.int64)
+            np.cumsum(clens, out=couts[1:])
+            cap = int(couts[-1])
             out = np.empty(max(cap, 1), np.uint8)
             out_lens = np.zeros(n, np.int64)
             sf = np.ascontiguousarray(seqs_flat)
             nl = np.ascontiguousarray(number_lut)
-            r = lib.dxt_pack_seq(_ptr(sf), _ptr(offs), n, _ptr(nl),
-                                 _ptr(out), cap, _ptr(out_lens))
+            # packed lengths are exactly ceil(len/4), so chunk output
+            # offsets are known upfront and the pack parallelizes over
+            # entry ranges (ctypes releases the GIL; the reference tool
+            # is single-threaded by design)
+            import ctypes
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+
+            nt = min(_os.cpu_count() or 1, 4, max(n, 1))
+            if nt > 1 and cap >= (8 << 20):
+                bounds = [(i * n) // nt for i in range(nt + 1)]
+                u8p = ctypes.c_void_p
+
+                def _one(t):
+                    lo, hi = bounds[t], bounds[t + 1]
+                    if lo == hi:
+                        return 0
+                    return lib.dxt_pack_seq(
+                        _ptr(sf), _ptr(offs[lo:]), hi - lo, _ptr(nl),
+                        u8p(out.ctypes.data + int(couts[lo])),
+                        cap - int(couts[lo]), _ptr(out_lens[lo:]))
+
+                with ThreadPoolExecutor(nt) as ex:
+                    rs = list(ex.map(_one, range(nt)))
+                r = cap if all(x >= 0 for x in rs) else -1
+            else:
+                r = lib.dxt_pack_seq(_ptr(sf), _ptr(offs), n, _ptr(nl),
+                                     _ptr(out), cap, _ptr(out_lens))
             if r >= 0:
                 return out[:int(r)], clens
         except OSError:

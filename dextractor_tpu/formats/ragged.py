@@ -93,6 +93,21 @@ def flat_gather_lens(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) 
     total = int(lengths.sum())
     if not total:
         return np.empty(0, flat.dtype)
+    if flat.dtype.itemsize == 1:
+        try:          # one memcpy per run; the fancy-index gather below
+            from ..native import qv_encode_shim   # costs ~16 index bytes/byte
+            import ctypes
+
+            lib = qv_encode_shim()
+            out = np.empty(total, flat.dtype)
+            ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+            lib.dxt_gather_copy(
+                ptr(out), ptr(np.ascontiguousarray(flat)),
+                ptr(np.ascontiguousarray(starts, np.int64)),
+                ptr(np.ascontiguousarray(lengths, np.int64)), len(lengths))
+            return out
+        except OSError:
+            pass
     run_starts = np.zeros(len(lengths), np.int64)
     np.cumsum(lengths[:-1], out=run_starts[1:])
     idx = np.arange(total, dtype=np.int64) - np.repeat(run_starts, lengths) + np.repeat(starts, lengths)

@@ -109,6 +109,11 @@ def qv_encode_shim():
         lib.dxt_gather_copy.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_longlong]
+        lib.dxt_qv_scan_hists.restype = None
+        lib.dxt_qv_scan_hists.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_void_p]
     except OSError as e:
         _qve_err = e
         raise

@@ -162,6 +162,27 @@ void dxt_run_hist(
     }
 }
 
+/* QVcoding_Scan's flat-histogram phase (QV.c:988-991 + 993-1002) in one
+ * pass: four 256-bin histograms over the del/ins/mrg/sub streams plus
+ * the first index whose delTag is 'n'/'N' (-1 when absent).  hist4 is
+ * 4*256 int64, zeroed by the caller. */
+void dxt_qv_scan_hists(
+    const uint8_t *del, const uint8_t *ins, const uint8_t *mrg,
+    const uint8_t *sub, const uint8_t *tag, long long total,
+    int64_t *hist4, int64_t *first_n)
+{ int64_t *hd = hist4, *hi = hist4 + 256, *hm = hist4 + 512, *hs = hist4 + 768;
+  long long i;
+  *first_n = -1;
+  for (i = 0; i < total; i++)
+    { hd[del[i]] += 1;
+      hi[ins[i]] += 1;
+      hm[mrg[i]] += 1;
+      hs[sub[i]] += 1;
+      if (*first_n < 0 && (tag[i] == 'n' || tag[i] == 'N'))
+        *first_n = i;
+    }
+}
+
 /* Ragged scatter-copy: entry i's lens[i] bytes move from the running
  * source offset in flat to dst_off[i] in out.  The container assembler's
  * hot loop (one memcpy per entry beats NumPy's fancy-index scatter by
