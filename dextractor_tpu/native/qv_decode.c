@@ -63,6 +63,38 @@ static inline void win_fill(Win *w, const BitRead *b)
 #define WPEEK16(w)   ((uint32_t) ((w).icode >> 48))
 #define WDROP(w, n)  ((w).icode <<= (n), (w).ilen -= (n))
 
+/* Fused decode tables: entry = (codelen << 8) | symbol, so one load
+ * replaces the lookup->lens dependent-load pair.  ``small`` covers the
+ * 11-bit peek prefix (4 KB, L1-resident) for codes <= 11 bits — the
+ * frequent symbols — with 0 meaning "consult the full 128 KB table".
+ * The reference walks the raw 64K int32 table per symbol (QV.c:560);
+ * this halves the footprint and keeps the hot set in L1. */
+#define SMALL_BITS 11
+typedef struct
+  { uint16_t big[65536];
+    uint16_t small[1 << SMALL_BITS];
+  } FusedTab;
+
+static void fuse_tab(FusedTab *t, const int32_t *look, const uint8_t *lens)
+{ int64_t p;
+  for (p = 0; p < 65536; p++)
+    { int c = look[p];
+      int n = (c >= 0 && c < 256) ? lens[c] : 0;
+      t->big[p] = (uint16_t) ((n << 8) | (c & 255));
+    }
+  for (p = 0; p < (1 << SMALL_BITS); p++)
+    { uint16_t e = t->big[p << (16 - SMALL_BITS)];
+      t->small[p] = ((e >> 8) <= SMALL_BITS) ? e : 0;
+    }
+}
+
+static inline uint32_t tab_get(const FusedTab *t, uint32_t p16)
+{ uint32_t e = t->small[p16 >> (16 - SMALL_BITS)];
+  if (e == 0)
+    e = t->big[p16];
+  return e;
+}
+
 /* words the encoder wrote for a stream (tail-padding rule, QV.c:436-442) */
 static inline int64_t stream_words(int64_t total, int last)
 { int64_t nfull, olen, llen;
@@ -77,7 +109,7 @@ static inline int64_t stream_words(int64_t total, int last)
 }
 
 /* plain stream: decode rlen symbols, return words consumed (or -1) */
-static int64_t dec_plain(BitRead *b, const int32_t *look, const uint8_t *lens,
+static int64_t dec_plain(BitRead *b, const FusedTab *tab,
                          int type, uint8_t *out, int64_t rlen)
 { int     signal = (type == 2) ? 255 : 256;
   int     last = 0;
@@ -87,9 +119,11 @@ static int64_t dec_plain(BitRead *b, const int32_t *look, const uint8_t *lens,
   win_init(&w);
   for (j = 0; j < rlen; j++)
     { int c, n;
+      uint32_t e;
       win_fill(&w, b);                /* >= 24 bits: code + escape literal */
-      c = look[WPEEK16(w)];
-      n = lens[c];
+      e = tab_get(tab, WPEEK16(w));
+      c = (int) (e & 255);
+      n = (int) (e >> 8);
       WDROP(w, n);
       b->pos += n;
       last = n;
@@ -107,8 +141,8 @@ static int64_t dec_plain(BitRead *b, const int32_t *look, const uint8_t *lens,
 
 /* RLE stream: decode rlen expanded symbols; *ntok (NULL-able) counts
  * (run, literal) token pairs — the batch decoder's chain-length unit */
-static int64_t dec_run(BitRead *b, const int32_t *nlook, const uint8_t *nlens,
-                       int ntype, const int32_t *rlook, const uint8_t *rlens,
+static int64_t dec_run(BitRead *b, const FusedTab *ntab, int ntype,
+                       const FusedTab *rtab,
                        uint8_t *out, int64_t rlen, int rchar, int64_t *ntok)
 { int     nsignal = (ntype == 2) ? 255 : 256;
   int     last = 0;
@@ -119,10 +153,12 @@ static int64_t dec_run(BitRead *b, const int32_t *nlook, const uint8_t *nlens,
   win_init(&w);
   while (j < rlen)
     { int c, n;
+      uint32_t t;
       toks += 1;
       win_fill(&w, b);                /* run code + 16-bit length literal */
-      c = rlook[WPEEK16(w)];
-      n = rlens[c];
+      t = tab_get(rtab, WPEEK16(w));
+      c = (int) (t & 255);
+      n = (int) (t >> 8);
       WDROP(w, n);
       b->pos += n;
       last = n;
@@ -142,8 +178,9 @@ static int64_t dec_run(BitRead *b, const int32_t *nlook, const uint8_t *nlens,
       if (j < rlen)
         { int s;
           win_fill(&w, b);
-          s = nlook[WPEEK16(w)];
-          n = nlens[s];
+          t = tab_get(ntab, WPEEK16(w));
+          s = (int) (t & 255);
+          n = (int) (t >> 8);
           WDROP(w, n);
           b->pos += n;
           last = n;
@@ -224,6 +261,19 @@ long long dxt_qv_walk(
   int64_t ne = 0;
   int64_t total = 0;
   int     well = 0;
+  FusedTab *tabs;
+  int       nschemes = 0, si;
+
+  for (si = 0; si < 6; si++)
+    if (sid[si] + 1 > nschemes)
+      nschemes = sid[si] + 1;
+  tabs = (FusedTab *) malloc(sizeof(FusedTab) * (size_t) (nschemes ? nschemes : 1));
+  if (tabs == NULL)
+    return -4;
+  for (si = 0; si < nschemes; si++)
+    fuse_tab(tabs + si, LOOK(si), LENS(si));
+#define TAB(i) (tabs + (i))
+#define WRET(v) do { free(tabs); return (v); } while (0)
 
   while (off < size && ne < cap_entries)
     { int64_t rlen, clen, tlen, w;
@@ -235,13 +285,13 @@ long long dxt_qv_walk(
       byte = buf[off++];
       while (byte == 255)
         { well += 255;
-          if (off >= size) return -2;
+          if (off >= size) WRET(-2);
           byte = buf[off++];
         }
       well += byte;
 
       if (newv)
-        { if (off + 12 > size) return -2;
+        { if (off + 12 > size) WRET(-2);
           memcpy(&beg, buf + off, 4);
           memcpy(&end, buf + off + 4, 4);
           memcpy(&qv, buf + off + 8, 4);
@@ -249,7 +299,7 @@ long long dxt_qv_walk(
         }
       else
         { uint16_t h;
-          if (off + 6 > size) return -2;
+          if (off + 6 > size) WRET(-2);
           memcpy(&h, buf + off, 2); beg = h;
           memcpy(&h, buf + off + 2, 2); end = h;
           memcpy(&h, buf + off + 4, 2); qv = h;
@@ -257,7 +307,7 @@ long long dxt_qv_walk(
         }
       rlen = (int64_t) end - beg;
       if (rlen < 0 || total + rlen > cap_total)
-        return -3;
+        WRET(-3);
 
       wells[ne] = well;
       begs[ne] = beg;
@@ -285,7 +335,7 @@ long long dxt_qv_walk(
               { int64_t  nc = (rlen < (1 << 20)) ? (1 << 20)
                                                  : rlen + (rlen >> 2);
                 uint8_t *ns = (uint8_t *) realloc(scratch, (size_t) nc);
-                if (ns == NULL) return -4;
+                if (ns == NULL) WRET(-4);
                 scratch = ns;
                 scratch_cap = nc;
               }
@@ -293,16 +343,15 @@ long long dxt_qv_walk(
           }
         br.buf = buf; br.size = size; br.base = off; br.pos = 0;
         if (del_char < 0)
-          { w = dec_plain(&br, LOOK(sid[0]), LENS(sid[0]), types[sid[0]], dd, rlen);
+          { w = dec_plain(&br, TAB(sid[0]), types[sid[0]], dd, rlen);
             clen = rlen;
             if (ntoks != NULL)
               ntoks[2 * ne] = 0;
           }
         else
           { int64_t k, dtk = 0;
-            w = dec_run(&br, LOOK(sid[0]), LENS(sid[0]), types[sid[0]],
-                        LOOK(sid[1]), LENS(sid[1]), dd, rlen, del_char,
-                        &dtk);
+            w = dec_run(&br, TAB(sid[0]), types[sid[0]],
+                        TAB(sid[1]), dd, rlen, del_char, &dtk);
             clen = 0;
             for (k = 0; k < rlen; k++)
               clen += (dd[k] != (uint8_t) del_char);
@@ -316,7 +365,7 @@ long long dxt_qv_walk(
         /* packed delTag: 2-bit unpack + lower + Unpack_Tag (QV.c:1437-1461) */
         tlen = (clen + 3) >> 2;
         if (off + tlen > size)
-          return -2;
+          WRET(-2);
         if (materialize)
           { int64_t k, p = clen - 1;
             if (del_char < 0)
@@ -343,28 +392,27 @@ long long dxt_qv_walk(
         coffs[5 * ne + 1] = (int32_t) (off - eoffs[ne]);
 
       br.buf = buf; br.size = size; br.base = off; br.pos = 0;
-      w = dec_plain(&br, LOOK(sid[2]), LENS(sid[2]), types[sid[2]], oins, rlen);
+      w = dec_plain(&br, TAB(sid[2]), types[sid[2]], oins, rlen);
       off += 4 * w;
       if (coffs != NULL)
         coffs[5 * ne + 2] = (int32_t) (off - eoffs[ne]);
 
       br.buf = buf; br.size = size; br.base = off; br.pos = 0;
-      w = dec_plain(&br, LOOK(sid[3]), LENS(sid[3]), types[sid[3]], omrg, rlen);
+      w = dec_plain(&br, TAB(sid[3]), types[sid[3]], omrg, rlen);
       off += 4 * w;
       if (coffs != NULL)
         coffs[5 * ne + 3] = (int32_t) (off - eoffs[ne]);
 
       br.buf = buf; br.size = size; br.base = off; br.pos = 0;
       if (sub_char < 0)
-        { w = dec_plain(&br, LOOK(sid[4]), LENS(sid[4]), types[sid[4]], osub, rlen);
+        { w = dec_plain(&br, TAB(sid[4]), types[sid[4]], osub, rlen);
           if (ntoks != NULL)
             ntoks[2 * ne + 1] = 0;
         }
       else
         { int64_t stk = 0;
-          w = dec_run(&br, LOOK(sid[4]), LENS(sid[4]), types[sid[4]],
-                      LOOK(sid[5]), LENS(sid[5]), osub, rlen, sub_char,
-                      &stk);
+          w = dec_run(&br, TAB(sid[4]), types[sid[4]],
+                      TAB(sid[5]), osub, rlen, sub_char, &stk);
           if (ntoks != NULL)
             ntoks[2 * ne + 1] = (int32_t) stk;
         }
@@ -373,9 +421,9 @@ long long dxt_qv_walk(
         coffs[5 * ne + 4] = (int32_t) (off - eoffs[ne]);
 
       if (off > size)
-        return -2;
+        WRET(-2);
       total += rlen;
       ne += 1;
     }
-  return ne;
+  WRET(ne);
 }
