@@ -58,6 +58,11 @@ def _ptr(a):
     return a.ctypes.data_as(ctypes.c_void_p)
 
 
+# threshold for the chunk-threaded host pack (tests lower it to pin the
+# threaded path's byte-identity on small inputs)
+_PACK_THREAD_MIN_BYTES = 8 << 20
+
+
 def _pack_batch(seqs_flat, lengths, number_lut, device: bool):
     """Pack ragged ascii symbols into per-read 2-bit payload bytes."""
     if not device:
@@ -85,8 +90,12 @@ def _pack_batch(seqs_flat, lengths, number_lut, device: bool):
             from concurrent.futures import ThreadPoolExecutor
 
             nt = min(_os.cpu_count() or 1, 4, max(n, 1))
-            if nt > 1 and cap >= (8 << 20):
-                bounds = [(i * n) // nt for i in range(nt + 1)]
+            if nt > 1 and cap >= _PACK_THREAD_MIN_BYTES:
+                # split by output *bytes*, not entry count: skewed read
+                # lengths would otherwise collapse the pack to one thread
+                targets = [(i * cap) // nt for i in range(nt + 1)]
+                bounds = np.searchsorted(couts, targets, "left").tolist()
+                bounds[0], bounds[-1] = 0, n
                 u8p = ctypes.c_void_p
 
                 def _one(t):

@@ -93,7 +93,15 @@ def flat_gather_lens(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) 
     total = int(lengths.sum())
     if not total:
         return np.empty(0, flat.dtype)
-    if flat.dtype.itemsize == 1:
+    starts = np.asarray(starts, np.int64)
+    lengths = np.asarray(lengths, np.int64)
+    # the native memcpy path cannot bounds-check; malformed runs (e.g. a
+    # corrupt container yielding negative lengths) must take the NumPy
+    # path below, which raises instead of corrupting the heap
+    valid = bool(len(starts) == len(lengths)
+                 and (lengths >= 0).all() and (starts >= 0).all()
+                 and (starts + lengths <= len(flat)).all())
+    if flat.dtype.itemsize == 1 and valid:
         try:          # one memcpy per run; the fancy-index gather below
             from ..native import qv_encode_shim   # costs ~16 index bytes/byte
             import ctypes

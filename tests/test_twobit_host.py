@@ -142,3 +142,37 @@ def test_native_seq_scan_error_paths():
             fa.parse_seq_file(bad)
     with pytest.raises(FormatError):
         _numpy_parse(b"acgt\n>h/1/0_4\nacgt\n", False)
+
+
+def test_threaded_pack_matches_single_thread(monkeypatch):
+    """The >=8MB chunk-threaded dxt_pack_seq path must stay byte-identical
+    to the single-call path, including skewed lengths and empty chunks."""
+    _native()
+    from dextractor_tpu.codecs import twobit_codec as tc
+
+    rng = np.random.default_rng(21)
+    # one long read among many short ones exercises byte-balanced bounds
+    lengths = np.concatenate([[40000], rng.integers(0, 50, 300),
+                              [0, 1, 2, 3], rng.integers(0, 50, 300)]).astype(np.int64)
+    flat = np.frombuffer(b"acgt" * ((int(lengths.sum()) + 3) // 4), np.uint8)
+    flat = flat[: int(lengths.sum())].copy()
+    lut = np.zeros(256, np.uint8)
+    lut[ord("a")], lut[ord("c")], lut[ord("g")], lut[ord("t")] = 0, 1, 2, 3
+
+    single, cl1 = tc._pack_batch(flat, lengths, lut, device=False)
+    monkeypatch.setattr(tc, "_PACK_THREAD_MIN_BYTES", 1)
+    threaded, cl2 = tc._pack_batch(flat, lengths, lut, device=False)
+    np.testing.assert_array_equal(cl1, cl2)
+    np.testing.assert_array_equal(single, threaded)
+
+
+def test_flat_gather_lens_rejects_malformed_runs():
+    """Negative lengths / out-of-range starts must raise (NumPy semantics),
+    never reach the native memcpy."""
+    from dextractor_tpu.formats.ragged import flat_gather_lens
+
+    flat = np.arange(100, dtype=np.uint8)
+    with pytest.raises(ValueError):
+        flat_gather_lens(flat, np.array([0, 50, 60]), np.array([10, -2, 5]))
+    with pytest.raises(IndexError):
+        flat_gather_lens(flat, np.array([0, 98]), np.array([10, 10]))
