@@ -442,3 +442,36 @@ def sharded_qv_encode(mesh):
         out_specs=(P(None, DATA_AXIS, None), P(None, DATA_AXIS),
                    P(None, DATA_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
                    P(DATA_AXIS, None), P(DATA_AXIS)))
+
+
+def sharded_twobit_encode(mesh):
+    """shard_map'd 2-bit pack (the .dexta/.dexar compute path at scale).
+
+    The codec is purely elementwise per read (Compress_Read, DB.c:319-338),
+    so reads shard over the data axis with **zero collectives** — the
+    scaling limit is container assembly on the hosts, not the mesh.
+    Rows are the ascii rectangle, tables replicated.
+    """
+    def step(ascii_rows, lengths, number_lut):
+        codes = number_lut[ascii_rows]
+        from ..ops import twobit as tb
+
+        return tb.pack_2bit(codes, lengths)
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P()),
+        out_specs=P(DATA_AXIS, None))
+
+
+def sharded_twobit_decode(mesh):
+    """shard_map'd 2-bit unpack + letter map (Uncompress_Read reversed)."""
+    def step(packed_rows, letter_lut):
+        from ..ops import twobit as tb
+
+        return letter_lut[tb.unpack_2bit(packed_rows)]
+
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P()),
+        out_specs=P(DATA_AXIS, None))

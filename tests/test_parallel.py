@@ -202,3 +202,33 @@ def test_sharded_encode_produces_identical_container(ref_tools, tmp_path):
     ours = assemble_from_step(out, coding, q.wells, q.begs, q.ends, q.qvs,
                               q.n_entries)
     assert ours == ref_dexqv
+
+
+def test_sharded_twobit_matches_single_device():
+    """Sharded 2-bit pack/unpack == the single-device kernels (and the
+    NumPy oracle) on ragged rows; zero collectives in the program."""
+    from dextractor_tpu.parallel import (
+        make_mesh, sharded_twobit_encode, sharded_twobit_decode)
+    from dextractor_tpu.ops import twobit as tb
+
+    rng = np.random.default_rng(17)
+    n, L = 16, 96
+    lens = rng.integers(0, L + 1, n).astype(np.int64)
+    rows = np.zeros((n, L), np.uint8)
+    for i, l in enumerate(lens):
+        rows[i, :l] = rng.integers(0, 4, l)
+    ascii_rows = np.frombuffer(b"acgt", np.uint8)[rows]
+    nlut = np.zeros(256, np.uint8)
+    for k, ch in enumerate(b"acgt"):
+        nlut[ch] = k
+
+    mesh = make_mesh(8)
+    packed = np.asarray(sharded_twobit_encode(mesh)(
+        jnp.asarray(ascii_rows), jnp.asarray(lens), jnp.asarray(nlut)))
+    exp = tb.pack_2bit_np(rows, lens)
+    np.testing.assert_array_equal(packed, exp)
+
+    sym = np.asarray(sharded_twobit_decode(mesh)(
+        jnp.asarray(packed), jnp.frombuffer(b"acgt", np.uint8)))
+    for i, l in enumerate(lens):
+        np.testing.assert_array_equal(sym[i, :l], ascii_rows[i, :l])
