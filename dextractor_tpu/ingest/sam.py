@@ -332,9 +332,27 @@ class SamReader:
             yield _record_from_fields(qname, seq, tags)
 
     def header_status(self) -> int:
-        """HASQV/HASPW bits by probing the first record's tags
-        (the snapshot's sam_header_process never finished its DS-tag
-        parsing, sam.c:318-355 — record probing is equivalent)."""
+        """HASQV/HASPW bits, from the @RG DS: description when present.
+
+        The PacBio BAM spec carries the per-file stream inventory in the
+        read-group description (``DS:READTYPE=SUBREAD;DeletionQV=dq;...;
+        PulseWidth:CodecV1=pw``); the reference's sam_header_process set
+        out to parse it but was left unfinished (sam.c:318-355, the
+        dangling ``desc/subs/pw`` locals).  Files without a DS field fall
+        back to probing the first record's aux tags — equivalent, since
+        every record of a PacBio movie carries the same streams."""
+        ds = self._rg_description()
+        if ds is not None:
+            status = 0
+            fields = dict(
+                kv.split(b"=", 1) for kv in ds.split(b";") if b"=" in kv)
+            if all(fields.get(k) for k in (b"DeletionQV", b"DeletionTag",
+                                           b"InsertionQV", b"MergeQV",
+                                           b"SubstitutionQV")):
+                status |= HASQV
+            if fields.get(b"PulseWidth:CodecV1") or fields.get(b"PulseWidth"):
+                status |= HASPW
+            return status
         it = self._iter_bam() if self.is_bam else self._iter_sam()
         for _, _, tags in it:
             status = 0
@@ -344,3 +362,13 @@ class SamReader:
                 status |= HASPW
             return status
         return 0
+
+    def _rg_description(self) -> bytes | None:
+        """The DS: field of the first @RG header line, or None."""
+        for line in self.header_text.split(b"\n"):
+            if not line.startswith(b"@RG"):
+                continue
+            for col in line.split(b"\t")[1:]:
+                if col.startswith(b"DS:"):
+                    return col[3:]
+        return None

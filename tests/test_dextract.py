@@ -147,3 +147,23 @@ def test_dextract_sam_matches_bam(tmp_path):
         os.chdir(cwd)
     assert (tmp_path / "a.fasta").read_bytes() == (tmp_path / "b.fasta").read_bytes()
     assert (tmp_path / "a.quiva").read_bytes() == (tmp_path / "b.quiva").read_bytes()
+
+
+def test_header_status_from_rg_ds_tag(tmp_path):
+    """@RG DS: description drives HASQV/HASPW without record probing
+    (the parse sam.c:318-355 promised; record probe stays the fallback)."""
+    ds_full = (b"READTYPE=SUBREAD;DeletionQV=dq;DeletionTag=dt;"
+               b"InsertionQV=iq;MergeQV=mq;SubstitutionQV=sq;"
+               b"Ipd:CodecV1=ip;PulseWidth:CodecV1=pw;BINDINGKIT=x")
+    ds_noqv = b"READTYPE=SUBREAD;Ipd:CodecV1=ip;PulseWidth:CodecV1=pw"
+    ds_nopw = (b"READTYPE=SUBREAD;DeletionQV=dq;DeletionTag=dt;"
+               b"InsertionQV=iq;MergeQV=mq;SubstitutionQV=sq")
+    for ds, want in ((ds_full, HASQV | HASPW), (ds_noqv, HASPW),
+                     (ds_nopw, HASQV)):
+        sam = (b"@HD\tVN:1.5\tSO:unknown\n"
+               b"@RG\tID:abc\tPL:PACBIO\tDS:" + ds + b"\n"
+               b"m1/0/0_4\t4\t*\t0\t255\t*\t*\t0\t0\tACGT\t*\t"
+               b"qs:i:0\tqe:i:4\tzm:i:0\trq:f:0.9\tsn:B:f,5,5,5,5\n")
+        p = tmp_path / "t.subreads.sam"
+        p.write_bytes(sam)
+        assert SamReader(str(p)).header_status() == want
