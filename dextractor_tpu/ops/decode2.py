@@ -458,6 +458,20 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
     return runs, lits
 
 
+def _expand_dispatch(runs, lits, rchar, *, max_len: int):
+    """Route run expansion to the VMEM Pallas network on accelerators
+    (no per-round HBM barriers); the XLA formulation stays the CPU path
+    and the fallback (env DXT_EXPAND_PALLAS=0 forces it for chip A/B)."""
+    import os
+
+    if (jax.default_backend() != "cpu"
+            and os.environ.get("DXT_EXPAND_PALLAS", "1") != "0"):
+        from .expand_pallas import expand_runs_pallas
+
+        return expand_runs_pallas(runs, lits, rchar, max_len=max_len)
+    return expand_runs2(runs, lits, rchar, max_len=max_len)
+
+
 def expand_runs2(runs, lits, rchar, *, max_len: int):
     """Expand (runlen, literal) token pairs into symbol rows, gather-free.
 
@@ -518,7 +532,7 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
         runs, lits = run_chain(
             rect_del, rlens, f1c[1], f1c[0], f2, sig[0],
             max_tokens=max_tokens, subw=max(sw[0], sw[1]), lmax=lmax)
-        del_rows = expand_runs2(runs, lits, del_char, max_len=max_len)
+        del_rows = _expand_dispatch(runs, lits, del_char, max_len=max_len)
         keep = in_read & (del_rows != del_char.astype(jnp.uint8))
     else:
         del_rows = plain_chain(
@@ -585,7 +599,7 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
         sruns, slits = run_chain(
             rect_sub, rlens, f1c[5], f1c[4], f2, sig[4],
             max_tokens=max_tokens, subw=max(sw[4], sw[5]), lmax=lmax)
-        sub_rows = expand_runs2(sruns, slits, sub_char, max_len=max_len)
+        sub_rows = _expand_dispatch(sruns, slits, sub_char, max_len=max_len)
     else:
         sub_rows = plain_chain(rect_sub, rlens, f1c[4], f2, sig[4],
                                max_len=max_len, subw=sw[4], lmax=lmax,
