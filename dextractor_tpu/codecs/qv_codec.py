@@ -633,6 +633,12 @@ def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
     cap_total = max(size, 1 << 20)
     if _WALK_BUF is not None:
         cap_total = max(cap_total, _WALK_BUF.size // 5)
+    # information-theoretic output bound: an RLE escape token (>= 32
+    # bits) expands to at most 65535 symbols, so a stream byte can never
+    # decode to more than ~16K symbols — header fields claiming more are
+    # corrupt, not large (keeps flipped int32 rlens from driving the
+    # grow-on-overflow loop into hundred-GiB allocations)
+    cap_limit = max(16384 * size, 1 << 20)
     while True:
         if _WALK_BUF is None or _WALK_BUF.size < 5 * cap_total:
             _WALK_BUF = np.empty(5 * cap_total, np.uint8)
@@ -644,7 +650,11 @@ def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
             ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
             ptr(elens), ptr(out), 1, None, None)
         if ne == -3:
-            cap_total *= 2
+            if cap_total >= cap_limit:
+                raise FormatError(
+                    "corrupt .dexqv stream: entry lengths exceed what the "
+                    "stream could encode")
+            cap_total = min(cap_total * 2, cap_limit)
             continue
         if ne < 0:
             raise FormatError(f"corrupt .dexqv stream (native walker: {ne})")

@@ -9,6 +9,7 @@ from dextractor_tpu.codecs.qv_codec import (
     encode_quiva_to_dexqv,
     decode_dexqv_to_quiva,
 )
+from dextractor_tpu.utils.errors import FormatError
 from dextractor_tpu.ops import bitstream as bs
 from dextractor_tpu.ops.huffman import make_scheme, HScheme, build_lookup
 
@@ -283,3 +284,18 @@ def test_dexqv_golden_well_jumps(ref_tools, tmp_path):
     assert encode_quiva_to_dexqv(quiva, device=True) == ref
     assert encode_quiva_to_dexqv(quiva, device=False) == ref
     assert decode_dexqv_to_quiva(ref) == quiva
+
+
+def test_corrupt_rlen_rejected_without_huge_alloc():
+    """A flipped int32 end field must raise FormatError, not drive the
+    grow-on-overflow decode buffer into hundred-GiB allocations."""
+    rng = np.random.default_rng(3)
+    q = make_quiva(rng, n_reads=5, min_len=50, max_len=100)
+    enc = bytearray(encode_quiva_to_dexqv(q, device=False))
+    # find the first entry's end field: after container key + coding,
+    # entry = well byte + <iii>; corrupt the high byte of `end`
+    from dextractor_tpu.formats import dexqv as dqf
+    _, coff = dqf.parse_qvcoding(memoryview(bytes(enc)), 2)
+    enc[coff + 1 + 7] = 0x7F                 # end ~ 2^30
+    with pytest.raises(FormatError):
+        decode_dexqv_to_quiva(bytes(enc), device=False)
