@@ -461,11 +461,12 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
 def _expand_dispatch(runs, lits, rchar, *, max_len: int):
     """Route run expansion to the VMEM Pallas network on accelerators
     (no per-round HBM barriers); the XLA formulation stays the CPU path
-    and the fallback (env DXT_EXPAND_PALLAS=0 forces it for chip A/B)."""
+    and the fallback.  Off until chip-validated: env DXT_EXPAND_PALLAS=1
+    enables (the A/B in the queued chip ablation sets it)."""
     import os
 
     if (jax.default_backend() != "cpu"
-            and os.environ.get("DXT_EXPAND_PALLAS", "1") != "0"):
+            and os.environ.get("DXT_EXPAND_PALLAS", "0") == "1"):
         from .expand_pallas import expand_runs_pallas
 
         return expand_runs_pallas(runs, lits, rchar, max_len=max_len)
