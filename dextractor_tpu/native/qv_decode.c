@@ -70,13 +70,21 @@ static inline void win_fill(Win *w, const BitRead *b)
  * The reference walks the raw 64K int32 table per symbol (QV.c:560);
  * this halves the footprint and keeps the hot set in L1. */
 #define SMALL_BITS 11
+#define PAIR_BITS  13
 typedef struct
   { uint16_t big[65536];
     uint16_t small[1 << SMALL_BITS];
+    uint32_t pair[1 << PAIR_BITS];   /* two escape-free codes fitting in
+                                        PAIR_BITS: sym2<<18|sym1<<10|
+                                        n2<<5|ntot — n2 alone feeds the
+                                        tail-padding rule (stream_words'
+                                        ``last``); 0 = no pair here */
   } FusedTab;
 
-static void fuse_tab(FusedTab *t, const int32_t *look, const uint8_t *lens)
+static void fuse_tab(FusedTab *t, const int32_t *look, const uint8_t *lens,
+                     int type)
 { int64_t p;
+  int     esc = (type == 2) ? 255 : 256;
   for (p = 0; p < 65536; p++)
     { int c = look[p];
       int n = (c >= 0 && c < 256) ? lens[c] : 0;
@@ -85,6 +93,19 @@ static void fuse_tab(FusedTab *t, const int32_t *look, const uint8_t *lens)
   for (p = 0; p < (1 << SMALL_BITS); p++)
     { uint16_t e = t->big[p << (16 - SMALL_BITS)];
       t->small[p] = ((e >> 8) <= SMALL_BITS) ? e : 0;
+    }
+  for (p = 0; p < (1 << PAIR_BITS); p++)
+    { uint16_t e1 = t->big[p << (16 - PAIR_BITS)];
+      int      c1 = e1 & 255, n1 = e1 >> 8;
+      t->pair[p] = 0;
+      if (n1 >= 1 && n1 < PAIR_BITS && c1 != esc)
+        { uint32_t rest = ((uint32_t) p << (16 - PAIR_BITS + n1)) & 0xFFFF;
+          uint16_t e2 = t->big[rest];
+          int      c2 = e2 & 255, n2 = e2 >> 8;
+          if (n2 >= 1 && n1 + n2 <= PAIR_BITS && c2 != esc)
+            t->pair[p] = ((uint32_t) c2 << 18) | ((uint32_t) c1 << 10)
+                       | ((uint32_t) n2 << 5) | (uint32_t) (n1 + n2);
+        }
     }
 }
 
@@ -121,6 +142,23 @@ static int64_t dec_plain(BitRead *b, const FusedTab *tab,
     { int c, n;
       uint32_t e;
       win_fill(&w, b);                /* >= 24 bits: code + escape literal */
+      if (j + 1 < rlen)
+        { uint32_t pr = tab->pair[WPEEK16(w) >> (16 - PAIR_BITS)];
+          if (pr != 0)                /* two escape-free codes at once */
+            { n = (int) (pr & 31);
+              WDROP(w, n);
+              b->pos += n;
+              last = (int) ((pr >> 5) & 31);   /* the 2nd code's length
+                                                  alone drives the tail-
+                                                  padding rule */
+              if (out != NULL)
+                { out[j] = (uint8_t) (pr >> 10);
+                  out[j + 1] = (uint8_t) (pr >> 18);
+                }
+              j += 1;
+              continue;
+            }
+        }
       e = tab_get(tab, WPEEK16(w));
       c = (int) (e & 255);
       n = (int) (e >> 8);
@@ -271,7 +309,7 @@ long long dxt_qv_walk(
   if (tabs == NULL)
     return -4;
   for (si = 0; si < nschemes; si++)
-    fuse_tab(tabs + si, LOOK(si), LENS(si));
+    fuse_tab(tabs + si, LOOK(si), LENS(si), types[si]);
 #define TAB(i) (tabs + (i))
 #define WRET(v) do { free(tabs); return (v); } while (0)
 
