@@ -1,0 +1,201 @@
+"""Chip validation probe for kernels landed while the TPU was down.
+
+Validates, on the real accelerator, byte-exactness of:
+  1. the fused .dexqv device decode (gather-based tag kernel, adaptive
+     2/4 chain sets, max_sym group-step cap) against the host encoder,
+  2. the fused .dexqv device encode (quarter-octave row buckets),
+  3. the 2-bit dexta device encode/decode,
+  4. the VMEM Pallas run expansion (DXT_EXPAND_PALLAS=1 A/B) — both
+     correctness and a chained-step timing A/B so the gate decision is
+     data-driven.
+
+Uses the exact data construction bench.py uses (seed 0, --mb sized) so
+compiled programs land in the shared .jax_cache and bench.py reuses them.
+
+Run: python tools/chip_probe.py [--mb 16] [--skip-ab]
+Writes a JSON summary to stdout (one line, prefixed PROBE:).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[probe +{time.perf_counter() - T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+T0 = time.perf_counter()
+
+
+def main():
+    mb = 16
+    skip_ab = False
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
+        if a == "--mb":
+            mb = int(args[i + 1])
+        if a == "--skip-ab":
+            skip_ab = True
+
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    log(f"platform={jax.devices()[0].platform}")
+
+    from conftest import make_quiva, make_fasta
+    from dextractor_tpu.codecs.qv_codec import (
+        encode_quiva_to_dexqv, decode_dexqv_to_quiva)
+    from dextractor_tpu.codecs.twobit_codec import (
+        encode_fasta_to_dexta, decode_dexta_to_fasta)
+
+    read_len = 2000
+    n_reads = max(8, (mb * 1_000_000) // (5 * read_len))
+    rng = np.random.default_rng(0)
+    data = make_quiva(rng, n_reads=n_reads, min_len=read_len - 50,
+                      max_len=read_len + 50)
+    fasta = make_fasta(rng, n_reads=n_reads, min_len=read_len - 50,
+                       max_len=read_len + 50, width=80)
+    log(f"generated quiva {len(data)/1e6:.1f} MB, fasta {len(fasta)/1e6:.1f} MB")
+
+    results = {}
+
+    # host ground truth (CPU paths are golden-tested vs the C oracles)
+    enc_host = encode_quiva_to_dexqv(data, device=False)
+    denc_host = encode_fasta_to_dexta(fasta, device=False)
+    log("host encodes done")
+
+    # 1. device .dexqv decode (XLA expand path, gate off)
+    os.environ["DXT_EXPAND_PALLAS"] = "0"
+    t = time.perf_counter()
+    dec = decode_dexqv_to_quiva(enc_host, device=True)
+    results["dexqv_decode_device_ok"] = dec == data
+    log(f"dexqv device decode (xla expand): ok={results['dexqv_decode_device_ok']} "
+        f"({time.perf_counter()-t:.1f}s incl compile)")
+
+    # 2. device .dexqv encode (quarter-octave buckets)
+    t = time.perf_counter()
+    enc_dev = encode_quiva_to_dexqv(data, device=True)
+    results["dexqv_encode_device_ok"] = enc_dev == enc_host
+    log(f"dexqv device encode: ok={results['dexqv_encode_device_ok']} "
+        f"({time.perf_counter()-t:.1f}s incl compile)")
+
+    # 3. dexta device round trip
+    t = time.perf_counter()
+    denc_dev = encode_fasta_to_dexta(fasta, device=True)
+    results["dexta_encode_device_ok"] = denc_dev == denc_host
+    log(f"dexta device encode: ok={results['dexta_encode_device_ok']} "
+        f"({time.perf_counter()-t:.1f}s incl compile)")
+    t = time.perf_counter()
+    fdec = decode_dexta_to_fasta(denc_host, device=True, width=80)
+    results["dexta_decode_device_ok"] = fdec == fasta
+    log(f"dexta device decode: ok={results['dexta_decode_device_ok']} "
+        f"({time.perf_counter()-t:.1f}s incl compile)")
+
+    # 4. Pallas run expansion A/B: correctness + chained timing
+    if not skip_ab:
+        os.environ["DXT_EXPAND_PALLAS"] = "1"
+        t = time.perf_counter()
+        dec_p = decode_dexqv_to_quiva(enc_host, device=True)
+        results["dexqv_decode_pallas_expand_ok"] = dec_p == data
+        log(f"dexqv device decode (pallas expand): "
+            f"ok={results['dexqv_decode_pallas_expand_ok']} "
+            f"({time.perf_counter()-t:.1f}s incl compile)")
+
+        # chained decode-step timing under both gates (bench-identical
+        # program shapes so bench.py reuses whichever wins from the cache)
+        from dextractor_tpu.codecs.qv_codec import _index_native
+        from dextractor_tpu.codecs.qv_batch import (
+            decode_tables_v2, channel_rects)
+        from dextractor_tpu.formats import dexqv as dqf
+        from dextractor_tpu.formats.ragged import bucket_len, next_pow2
+        from dextractor_tpu.ops import decode2 as d2
+
+        coding, coff = dqf.parse_qvcoding(memoryview(enc_host), 2)
+        indexed = _index_native(enc_host, coding, coff, True)
+        (_, _, _, _, _, _, eoffs, elens, coffs_t, ntoks_t) = indexed
+        n_dec = len(eoffs)
+        n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
+        dbuf = np.frombuffer(enc_host, np.uint8)
+        drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
+        dec_max_len = next_pow2(max(int(drlens.max(initial=0)), 512))
+        dec_max_sym = bucket_len(int(drlens.max(initial=0)))
+        dec_max_tokens = next_pow2(max(int(ntoks_t.max(initial=0)), 16))
+        rects = channel_rects(dbuf, eoffs, coffs_t, dec_max_len)
+        rects = tuple(
+            np.concatenate([r, np.zeros((n_decp - n_dec, r.shape[1]), r.dtype)])
+            for r in rects)
+        sids, f1_t, f2_t, types_t, del_mode, sub_mode, subw, lmax = \
+            decode_tables_v2(coding)
+        chan_l2 = tuple(bool(((f1_t[sids[k]] >> 20) & 1).any())
+                        for k in range(6))
+        dec_args = (*(jnp.asarray(r) for r in rects), jnp.asarray(drlens),
+                    jnp.asarray(sids), jnp.asarray(f1_t), jnp.asarray(f2_t),
+                    jnp.asarray(types_t), jnp.int32(coding.del_char & 0xFF),
+                    jnp.int32(coding.sub_char & 0xFF))
+        jax.block_until_ready(dec_args)
+        payload_bytes = int(elens.sum()) * 5
+
+        def make_chained():
+            @jax.jit
+            def dec_chained(rd_, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_,
+                            ty_, dc_, sc_, k):
+                def body(_, acc):
+                    r = rd_ ^ acc.astype(jnp.uint32)
+                    rows = d2.decode_entry_batch2(
+                        r, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_,
+                        dc_, sc_, max_len=dec_max_len,
+                        max_tokens=dec_max_tokens, del_mode=del_mode,
+                        sub_mode=sub_mode, subw=subw, lmax=lmax,
+                        chan_l2=chan_l2, max_sym=dec_max_sym)
+                    return acc + rows.astype(jnp.int32).sum()
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+            return dec_chained
+
+        def measure(label):
+            fn = make_chained()
+
+            def run_k(k):
+                t = time.perf_counter()
+                v = fn(*dec_args, jnp.int32(k))
+                _ = int(v)
+                return time.perf_counter() - t
+
+            t0 = time.perf_counter()
+            run_k(1)
+            log(f"{label}: compile+warm {time.perf_counter()-t0:.1f}s")
+            t2 = min(run_k(2) for _ in range(3))
+            t22 = min(run_k(22) for _ in range(2))
+            dt = (t22 - t2) / 20
+            log(f"{label}: k=2 {t2:.3f}s k=22 {t22:.3f}s -> "
+                f"{dt*1e3:.2f} ms/step = {payload_bytes/dt/1e9:.2f} GB/s")
+            return dt
+
+        os.environ["DXT_EXPAND_PALLAS"] = "0"
+        dt_xla = measure("decode-xla-expand")
+        os.environ["DXT_EXPAND_PALLAS"] = "1"
+        dt_pal = measure("decode-pallas-expand")
+        results["decode_step_ms_xla_expand"] = round(dt_xla * 1e3, 3)
+        results["decode_step_ms_pallas_expand"] = round(dt_pal * 1e3, 3)
+        results["pallas_expand_speedup"] = round(dt_xla / dt_pal, 3)
+
+    ok = all(v for k, v in results.items() if k.endswith("_ok"))
+    results["all_ok"] = ok
+    print("PROBE: " + json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
