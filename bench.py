@@ -230,9 +230,9 @@ def main() -> None:
         n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
         dbuf = np.frombuffer(enc, np.uint8)
         drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
-        dec_max_len = next_pow2(max(int(drlens.max(initial=0)), 512))
+        dec_max_len = bucket_len(int(drlens.max(initial=0)), 512)
         dec_max_sym = bucket_len(int(drlens.max(initial=0)))
-        dec_max_tokens = next_pow2(max(int(ntoks_t.max(initial=0)), 16))
+        dec_max_tokens = bucket_len(int(ntoks_t.max(initial=0)), 16)
         rects = channel_rects(dbuf, eoffs, coffs_t, dec_max_len)
         rects = tuple(
             np.concatenate([r, np.zeros((n_decp - n_dec, r.shape[1]), r.dtype)])

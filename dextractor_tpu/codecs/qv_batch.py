@@ -95,10 +95,13 @@ def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
     from ..ops import decode2 as d2
 
     rlens = np.asarray(rlens, np.int32)
-    max_len = next_pow2(max(int(rlens.max(initial=0)), 512))
+    # quarter-octave buckets (not pow2): every (N, max_len) plane op —
+    # expand network, tag route, masks, the output stack — pays the full
+    # padded width, and pow2 made that up to 2x the data (chip ablation:
+    # max_len 4096 vs longest read 2050 at bench shapes)
+    max_len = bucket_len(int(rlens.max(initial=0)), 512)
     max_sym = bucket_len(int(rlens.max(initial=0)))
-    max_tokens = next_pow2(
-        max(int(np.asarray(ntoks).max(initial=0)), 16))
+    max_tokens = bucket_len(int(np.asarray(ntoks).max(initial=0)), 16)
     rects = channel_rects(buf, starts, coffs, max_len)
     sids, f1, f2, types, del_mode, sub_mode, subw, lmax = \
         decode_tables_v2(coding)
@@ -141,7 +144,9 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
 
     n = len(starts)
     rlens = np.asarray(rlens, np.int32)
-    max_len = next_pow2(max(int(rlens.max(initial=0)), 512))
+    # quarter-octave bucket (see fused_decode_entries): plane ops pay the
+    # padded width, so pow2 wastes up to 2x on every channel
+    max_len = bucket_len(int(rlens.max(initial=0)), 512)
     max_sym = bucket_len(int(rlens.max(initial=0)))
     buf = np.concatenate([np.asarray(buf, np.uint8), np.zeros(8, np.uint8)])
     bufd = jnp.asarray(buf)

@@ -223,10 +223,11 @@ def roll_rows(x, shift):
     return x
 
 
-_EXP_LIVE = jnp.int32(1 << 29)     # packed-state live bit (below the sign)
+_EXP_LIVE = jnp.int32(1 << 30)     # packed-state live bit (below the sign)
 
 
-def expand_monotone(vals: tuple, disp, width: int, live0=None):
+def expand_monotone(vals: tuple, disp, width: int, live0=None, *,
+                    value_bits: int = 8):
     """Route element at column r to column r + disp[r] (time-reversed
     shift compaction).
 
@@ -249,22 +250,24 @@ def expand_monotone(vals: tuple, disp, width: int, live0=None):
     Returns the routed arrays plus a routed-occupancy mask (N, width) —
     unrouted slots hold garbage.
 
-    Execution notes: value (8 bits), displacement (21 bits) and
-    liveness (1 bit) are packed into ONE i32 plane so each round is a
-    single roll + selects, and every round ends in an
-    ``optimization_barrier`` — XLA:TPU miscompiles the fused multi-round
-    network at large widths (observed: width 8192, ~8% of rows wrong
-    while CPU and the round-snapshotted program are exact), and pinning
-    round boundaries restores correctness.
+    Execution notes: value (``value_bits``, default 8), displacement
+    (30 - value_bits bits) and liveness (1 bit, bit 30) are packed into
+    ONE i32 plane so each round is a single roll + selects, and every
+    round ends in an ``optimization_barrier`` — XLA:TPU miscompiles the
+    fused multi-round network at large widths (observed: width 8192,
+    ~8% of rows wrong while CPU and the round-snapshotted program are
+    exact), and pinning round boundaries restores correctness.
     """
     n, t = disp.shape
     width = int(width)
     pad = width - t
     if pad < 0:
         raise ValueError("expand_monotone: width must be >= token count")
-    if width > (1 << 21):
-        raise ValueError("expand_monotone: width exceeds the 21-bit "
-                         "packed displacement field")
+    vb = int(value_bits)
+    if width > (1 << (30 - vb)):
+        raise ValueError("expand_monotone: width exceeds the packed "
+                         "displacement field; use multi-value planes")
+    vmask = (1 << vb) - 1
     multi = len(vals) > 1
     if live0 is None:
         live = jnp.ones((n, t), jnp.bool_)
@@ -273,13 +276,13 @@ def expand_monotone(vals: tuple, disp, width: int, live0=None):
     lv = jnp.pad(live, ((0, 0), (0, pad)))
     d = jnp.pad(jnp.where(live, disp, 0), ((0, 0), (0, pad)))
     if multi:
-        # multi-value fallback: separate planes per value (unused by the
-        # current decode paths, kept for API generality)
+        # multi-value fallback: separate planes per value (monster widths
+        # whose displacement no longer fits the packed field)
         arrs = [jnp.pad(v, ((0, 0), (0, pad))) for v in vals]
         state = [lv, d] + arrs
     else:
-        v8 = jnp.pad(vals[0] & 0xFF, ((0, 0), (0, pad)))
-        s = v8 | (d << 8) | jnp.where(lv, _EXP_LIVE, 0)
+        v = jnp.pad(vals[0] & vmask, ((0, 0), (0, pad)))
+        s = v | (d << vb) | jnp.where(lv, _EXP_LIVE, 0)
         state = [s]
     col = jax.lax.broadcasted_iota(jnp.int32, (n, width), 1)
     for b in reversed(range(max(width - 1, 1).bit_length())):
@@ -294,19 +297,19 @@ def expand_monotone(vals: tuple, disp, width: int, live0=None):
             state[0] = (lv & ~movers) | dst
         else:
             s = state[0]
-            movers = (((s >> 29) & (s >> (8 + b))) & 1) == 1
-            # live bit (29) AND displacement bit b (8+b)
+            movers = (((s >> 30) & (s >> (vb + b))) & 1) == 1
+            # live bit (30) AND displacement bit b (vb+b)
             rolled = jnp.roll(s, step, axis=1)
-            dst = ((((rolled >> 29) & (rolled >> (8 + b))) & 1) == 1) \
+            dst = ((((rolled >> 30) & (rolled >> (vb + b))) & 1) == 1) \
                 & (col >= step)
-            s = jnp.where(dst, rolled - (step << 8),
+            s = jnp.where(dst, rolled - (step << vb),
                           jnp.where(movers, s & ~_EXP_LIVE, s))
             state[0] = s
         state = list(jax.lax.optimization_barrier(tuple(state)))
     if multi:
         return tuple(state[2:]), state[0]
     s = state[0]
-    return (s & 0xFF,), ((s >> 29) & 1) == 1
+    return (s & vmask,), ((s >> 30) & 1) == 1
 
 
 # ---------------------------------------------------------------------------
@@ -377,6 +380,46 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
     out = out[:, :ml]
     if ml < max_len:
         out = jnp.pad(out, ((0, 0), (0, max_len - ml)))
+    return out
+
+
+def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
+                 max_sym: int | None = None):
+    """Decode several plain channels, merging conveyor-eligible ones
+    that share an L2 need into ONE multi-channel launch (the chains are
+    latency-bound, so C channels in one serial walk cost far less than C
+    walks).  ``specs`` is a list of (key, rect, f1c, signal, subw);
+    returns {key: (N, max_len) u8 rows}.
+    """
+    out = {}
+    ml = max_len if max_sym is None else min(max_len, max_sym)
+    f2_rows = (f2.shape[0] + 127) // 128
+    singles = []
+    if jax.default_backend() != "cpu":
+        from .decode_conveyor import plain_chains_conveyor
+
+        by_sw: dict = {}
+        for key, rect, f1c, sg, sw_k in specs:
+            if rect.shape[1] <= 2048 and (not sw_k or f2_rows <= 16):
+                by_sw.setdefault(sw_k, []).append((key, rect, f1c, sg))
+            else:
+                singles.append((key, rect, f1c, sg, sw_k))
+        for sw_k, grp in by_sw.items():
+            if len(grp) == 1:      # reuse the single-channel program
+                singles.append(grp[0] + (sw_k,))
+                continue
+            res = plain_chains_conveyor(
+                [g[1] for g in grp], rlens, [g[2] for g in grp], f2,
+                [g[3] for g in grp], max_len=ml, subw=sw_k, lmax=lmax)
+            for (key, *_), (syms, _, _) in zip(grp, res):
+                if ml < max_len:
+                    syms = jnp.pad(syms, ((0, 0), (0, max_len - ml)))
+                out[key] = syms
+    else:
+        singles = [s for s in specs]
+    for key, rect, f1c, sg, sw_k in singles:
+        out[key] = plain_chain(rect, rlens, f1c, f2, sg, max_len=max_len,
+                               subw=sw_k, lmax=lmax, max_sym=max_sym)
     return out
 
 
@@ -473,6 +516,58 @@ def _expand_dispatch(runs, lits, rchar, *, max_len: int):
     return expand_runs2(runs, lits, rchar, max_len=max_len)
 
 
+def _unpack_tag_codes(tag_bytes, width: int):
+    """Positional 2-bit delTag unpack: code k of each row lands at column
+    k (Unpack_Tag order, first symbol in bits 7-6 — QV.c:824-847,
+    DB.c:334).  (N, TB) u8 -> (N, width) i32.  No gathers: the code
+    index IS the column index."""
+    n, tb = tag_bytes.shape
+    shifts = jnp.array([6, 4, 2, 0], jnp.uint8)
+    codes = ((tag_bytes[:, :, None] >> shifts[None, None, :]) & 3)
+    codes = codes.reshape(n, 4 * tb).astype(jnp.int32)
+    if codes.shape[1] < width:
+        codes = jnp.pad(codes, ((0, 0), (0, width - codes.shape[1])))
+    return codes[:, :width]
+
+
+def _tag_letters(codes):
+    """2-bit code -> ascii 'a/c/g/t' (undexqv.c tag alphabet)."""
+    return jnp.where(
+        codes == 0, 97, jnp.where(codes == 1, 99,
+                                  jnp.where(codes == 2, 103, 116)))
+
+
+def expand_del_tag(runs, lits, codes_t, rchar, *, max_len: int):
+    """Expand delQV run tokens and route the delTag in the same network.
+
+    Literal k is by construction the k-th non-delChar symbol of the read
+    (tokenize_runs / QV.c:448-506 emit one token per non-rchar symbol),
+    so kept-rank == token index and packed tag code k (unpacked
+    positionally, no gather) rides the same displacement as literal k —
+    the separate keep-cumsum + rank-gather tag route (QV.c:824-847
+    semantics) collapses into this one pass.
+
+    Returns (del_rows (N, max_len) u8, tag_rows (N, max_len) i32 with
+    -1 at in-read holes to be replaced by 'n' and masked by the caller).
+    """
+    n, t = runs.shape
+    d = jnp.cumsum(runs, axis=1)
+    valid = lits >= 0
+    width = max(max_len, t)
+    if width <= (1 << 20):
+        val = (lits & 0xFF) | (codes_t << 8)
+        (routed,), occ = expand_monotone((val,), d, width, live0=valid,
+                                         value_bits=10)
+        rlit, rtag = routed & 0xFF, routed >> 8
+    else:
+        (rlit, rtag), occ = expand_monotone((lits & 0xFF, codes_t), d,
+                                            width, live0=valid)
+    del_rows = jnp.where(occ, rlit,
+                         jnp.asarray(rchar, jnp.int32))[:, :max_len]
+    tag_rows = jnp.where(occ, _tag_letters(rtag), -1)[:, :max_len]
+    return del_rows.astype(jnp.uint8), tag_rows
+
+
 def expand_runs2(runs, lits, rchar, *, max_len: int):
     """Expand (runlen, literal) token pairs into symbol rows, gather-free.
 
@@ -528,83 +623,50 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
     col = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
     in_read = col < rlens[:, None]
 
-    # -- delQV ---------------------------------------------------------
+    # -- delQV + delTag -------------------------------------------------
+    # Run mode: kept-rank == token index (literals are exactly the
+    # non-delChar symbols), so the positionally-unpacked tag codes ride
+    # the run-expansion network alongside the literals — no keep-cumsum,
+    # no rank gather, no separate tag kernel.  Plain mode: every in-read
+    # position is kept, so the tag is a direct positional unpack.
+    # the plain channels (ins, mrg, and del/sub when not run-coded) merge
+    # into one multi-channel conveyor launch — one serial symbol walk for
+    # all of them (plain_chains groups by L2 need)
+    specs = [("ins", rect_ins, f1c[2], sig[2], sw[2]),
+             ("mrg", rect_mrg, f1c[3], sig[3], sw[3])]
+    if del_mode != "run":
+        specs.append(("del", rect_del, f1c[0], sig[0], sw[0]))
+    if sub_mode != "run":
+        specs.append(("sub", rect_sub, f1c[4], sig[4], sw[4]))
+    prows = plain_chains(specs, rlens, f2, max_len=max_len, lmax=lmax,
+                         max_sym=max_sym)
+    ins_rows = prows["ins"]
+    mrg_rows = prows["mrg"]
+
     if del_mode == "run":
         runs, lits = run_chain(
             rect_del, rlens, f1c[1], f1c[0], f2, sig[0],
             max_tokens=max_tokens, subw=max(sw[0], sw[1]), lmax=lmax)
-        del_rows = _expand_dispatch(runs, lits, del_char, max_len=max_len)
-        keep = in_read & (del_rows != del_char.astype(jnp.uint8))
+        codes_t = _unpack_tag_codes(tag_bytes, runs.shape[1])
+        del_rows, tag_r = expand_del_tag(runs, lits, codes_t, del_char,
+                                         max_len=max_len)
+        tag_rows = jnp.where(
+            tag_r >= 0, tag_r,
+            jnp.where(in_read, np.int32(ord("n")), 0)).astype(jnp.uint8)
+        tag_rows = jnp.where(in_read, tag_rows, jnp.uint8(0))
     else:
-        del_rows = plain_chain(
-            rect_del, rlens, f1c[0], f2, sig[0], max_len=max_len,
-            subw=sw[0], lmax=lmax, max_sym=max_sym)
-        keep = in_read
+        del_rows = prows["del"]
+        codes = _unpack_tag_codes(tag_bytes, max_len)
+        tag_rows = jnp.where(in_read, _tag_letters(codes),
+                             0).astype(jnp.uint8)
 
-    # -- packed delTag (host-sliced bytes; device: unpack + route) ------
-    clens = keep.sum(axis=1)
-    if jax.default_backend() != "cpu":
-        # TPU: gather by kept-rank in one Pallas pass (ops/tag_pallas) —
-        # the routing-network formulation below costs ~half the whole
-        # decode step in rolled planes and fusion barriers
-        from .tag_pallas import tag_route_rows
-
-        rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
-        state = ((jnp.maximum(rank, 0) << 2)
-                 | (keep.astype(jnp.int32) << 1)
-                 | in_read.astype(jnp.int32))
-        tb4 = tag_bytes.shape[1] // 4
-        b = tag_bytes[:, :4 * tb4].reshape(n, tb4, 4).astype(jnp.uint32)
-        tag_words = (b[:, :, 0] | (b[:, :, 1] << 8) | (b[:, :, 2] << 16)
-                     | (b[:, :, 3] << 24))
-        tag_rows = tag_route_rows(tag_words, state, max_len=max_len)
-    else:
-        tlens = (clens + 3) >> 2
-        tb = tag_bytes.shape[1]
-        tcol = jax.lax.broadcasted_iota(jnp.int32, (n, tb), 1)
-        packed = jnp.where(tcol < tlens[:, None], tag_bytes, 0)
-        shifts = jnp.array([6, 4, 2, 0], jnp.uint8)  # 1st symbol: bits 7-6
-        codes = ((packed[:, :, None] >> shifts[None, None, :]) & 3).reshape(
-            n, 4 * tb)[:, :max_len]
-        if codes.shape[1] < max_len:             # narrow tag rectangle
-            codes = jnp.pad(codes, ((0, 0), (0, max_len - codes.shape[1])))
-        from .bitstream_jax import compact_monotone
-        (kcols,) = compact_monotone((col,), keep)
-        rank = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
-        # route the raw 2-bit codes to the keep positions (ascii mapping
-        # after routing keeps the packed expansion state small):
-        # displacement of the r-th kept symbol is kcols[r] - r (monotone),
-        # so the expansion network replaces a per-element scatter
-        has_sym = rank < clens[:, None]
-        disp = jnp.where(has_sym, jnp.maximum(kcols - rank, 0), 0)
-        (troutes,), tocc = expand_monotone((codes.astype(jnp.int32),),
-                                           disp, max_len, live0=has_sym)
-        routed_sym = jnp.where(
-            troutes == 0, np.uint8(ord("a")),
-            jnp.where(troutes == 1, np.uint8(ord("c")),
-                      jnp.where(troutes == 2, np.uint8(ord("g")),
-                                np.uint8(ord("t"))))).astype(jnp.uint8)
-        tag_rows = jnp.where(tocc, routed_sym, np.uint8(ord("n")))
-        tag_rows = jnp.where(in_read, tag_rows, 0)
-
-    # -- ins / mrg (always plain) ---------------------------------------
-    ins_rows = plain_chain(rect_ins, rlens, f1c[2], f2, sig[2],
-                           max_len=max_len, subw=sw[2], lmax=lmax,
-                           max_sym=max_sym)
-    mrg_rows = plain_chain(rect_mrg, rlens, f1c[3], f2, sig[3],
-                           max_len=max_len, subw=sw[3], lmax=lmax,
-                           max_sym=max_sym)
-
-    # -- subQV -----------------------------------------------------------
     if sub_mode == "run":
         sruns, slits = run_chain(
             rect_sub, rlens, f1c[5], f1c[4], f2, sig[4],
             max_tokens=max_tokens, subw=max(sw[4], sw[5]), lmax=lmax)
         sub_rows = _expand_dispatch(sruns, slits, sub_char, max_len=max_len)
     else:
-        sub_rows = plain_chain(rect_sub, rlens, f1c[4], f2, sig[4],
-                               max_len=max_len, subw=sw[4], lmax=lmax,
-                               max_sym=max_sym)
+        sub_rows = prows["sub"]
 
     z = jnp.uint8(0)
     mask = lambda r: jnp.where(in_read, r, z)

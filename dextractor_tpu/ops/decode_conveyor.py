@@ -92,6 +92,22 @@ def _lut2_gather(lut2, idx):
     return jnp.where(idx < 128, lo, hi)
 
 
+def _lut2_gather_slots(f1lo, f1hi, idx):
+    """256-entry lookup with per-slot tables: f1lo/f1hi (8, L) hold each
+    128-lane slice's own channel table (rows = sublane groups), so one
+    launch decodes chains of *different* schemes.  Same op count as the
+    broadcast variant — the lane-gather was already slice-by-slice."""
+    lanes = idx.shape[1]
+    outs = []
+    for q in range(lanes // 128):
+        sl = slice(q * 128, (q + 1) * 128)
+        i = idx[:, sl]
+        lo = jnp.take_along_axis(f1lo[:, sl], i & 127, axis=1)
+        hi = jnp.take_along_axis(f1hi[:, sl], i & 127, axis=1)
+        outs.append(jnp.where(i < 128, lo, hi))
+    return jnp.concatenate(outs, axis=1)
+
+
 def _f2_lookup(f2_ref, idx, f2r: int):
     """f2[idx] for idx (8, 128) in [0, f2r*128); static row mux."""
     lane = idx & 127
@@ -106,6 +122,18 @@ def _f2_lookup(f2_ref, idx, f2r: int):
 def _entry_lookup(cw, f1, f2_ref, subw: int, lmax: int, f2r: int):
     """(len << 9 | sym) for 16-bit window cw — decode2._entry_lookup."""
     e1 = _lut2_gather(f1, cw >> 8)
+    if subw and f2r:
+        is2 = ((e1 >> 20) & 1) == 1
+        idx2 = (e1 & 0xFFFF) * subw + ((cw >> (16 - lmax)) & (subw - 1))
+        e2 = _f2_lookup(f2_ref, jnp.where(is2, idx2, 0), f2r)
+        return jnp.where(is2, e2, e1)
+    return e1
+
+
+def _entry_lookup_slots(cw, f1lo, f1hi, f2_ref, subw: int, lmax: int,
+                        f2r: int):
+    """_entry_lookup with per-slot L1 tables (multi-channel launches)."""
+    e1 = _lut2_gather_slots(f1lo, f1hi, cw >> 8)
     if subw and f2r:
         is2 = ((e1 >> 20) & 1) == 1
         idx2 = (e1 & 0xFFFF) * subw + ((cw >> (16 - lmax)) & (subw - 1))
@@ -226,6 +254,185 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             stats_ref[8:16, :] = last
 
     return kernel
+
+
+def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
+                                f2r: int, lanes: int,
+                                interpret: bool = False):
+    """Plain-chain kernel with per-slot L1 tables and signals: one launch
+    decodes chains of several channels (schemes) at once — the serial
+    per-symbol dependency chain is walked ONCE for all of them instead of
+    once per channel (the chains are latency-bound; see module docstring).
+    f1 arrives as (16, lanes): rows 0-7 the lo half, 8-15 the hi half of
+    each slot's 256-entry table; prm as (8, lanes) per-slot signals."""
+    def kernel(rectT_ref, rlen_ref, f1_ref, f2_ref, prm_ref, out_ref,
+               stats_ref, conv_ref, pos_ref, base_ref, last_ref, dma_sem):
+        j = pl.program_id(0)
+        g = pl.program_id(1)
+        rlen = rlen_ref[:]
+
+        @pl.when(g == 0)
+        def _init():
+            if interpret:
+                conv_ref[:] = rectT_ref[:, pl.ds(j * lanes, lanes)]
+            else:
+                cp = pltpu.make_async_copy(
+                    rectT_ref.at[:, pl.ds(j * lanes, lanes)], conv_ref,
+                    dma_sem)
+                cp.start()
+                cp.wait()
+            pos_ref[:] = rlen * 0
+            base_ref[:] = rlen * 0
+            last_ref[:] = rlen * 0
+
+        f1lo = f1_ref[0:8, :]
+        f1hi = f1_ref[8:16, :]
+        signal = prm_ref[:]
+        pos = pos_ref[:]
+        base = base_ref[:]
+        last = last_ref[:]
+        delta = (pos >> 5) - base
+        conv = _advance(conv_ref[:], delta, max_bits=4)
+        conv_ref[:] = conv
+        base = base + delta
+        syms = []
+        for s in range(G_PLAIN):
+            active = (g * G_PLAIN + s) < rlen
+            wpos = (pos >> 5) - base
+            sw_a, sw_b = _window(conv, wpos, min((24 * s) // 32 + 2,
+                                                 W_PLAIN))
+            p = (pos & 31).astype(jnp.uint32)
+            cw = _entry_lookup_slots(_peek16(sw_a, sw_b, p), f1lo, f1hi,
+                                     f2_ref, subw, lmax, f2r)
+            sym = cw & 511
+            nbits = (cw >> 9) & 31
+            esc = active & (sym == signal)
+            lit = _extract(sw_a, sw_b, p + nbits.astype(jnp.uint32), 8)
+            sym = jnp.where(esc, lit, sym)
+            pos = pos + jnp.where(active,
+                                  jnp.where(esc, nbits + 8, nbits), 0)
+            last = jnp.where(active, jnp.where(esc, 8, nbits), last)
+            syms.append(jnp.where(active, sym, 0))
+        out_ref[:] = jnp.concatenate(syms, axis=0)
+        pos_ref[:] = pos
+        base_ref[:] = base
+        last_ref[:] = last
+
+        @pl.when(g == n_groups - 1)
+        def _fin():
+            stats_ref[0:8, :] = pos
+            stats_ref[8:16, :] = last
+
+    return kernel
+
+
+def _pick_sets_multi(r: int, k: int):
+    """(sets, npad) minimizing (grid steps, padded chains) under the
+    conveyor scratch ceiling.  Unlike _pick_sets, sets need not be a
+    power of two — a merged multi-channel batch is rarely pow2-sized."""
+    best = None
+    for sets in range(1, 9):
+        if k * 8 * 128 * sets * 4 > (8 << 20):
+            break
+        block = CHAINS * sets
+        npad = _round_up(max(r, block), block)
+        score = (npad // block, npad, sets)
+        if best is None or score < best:
+            best = score
+    steps, npad, sets = best
+    return sets, npad
+
+
+def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
+                          max_len: int, subw: int, lmax: int,
+                          interpret: bool = False):
+    """Decode C plain channels' chains in ONE conveyor launch.
+
+    rects: C arrays (N, K_c) u32 (same reads, different channels);
+    f1cs: C (256,) i32 L1 tables; signals: C escape codes.  Channel c's
+    chains occupy their own 128-chain slots, and the per-slot table
+    planes route each slice's lookups to its own scheme — so the
+    latency-bound serial symbol walk runs once for all channels instead
+    of once per channel.  Returns a list of (syms (N, max_len) u8,
+    bits (N,) i32, last (N,) i32) per channel."""
+    C = len(rects)
+    n = rects[0].shape[0]
+    k = max(int(r.shape[1]) for r in rects)
+    npc = _round_up(max(n, 128), 128)         # per-channel slot span
+    rect = jnp.concatenate(
+        [jnp.pad(r, ((0, npc - n), (0, k - r.shape[1]))) for r in rects])
+    rl = jnp.pad(rlens.astype(jnp.int32), (0, npc - n))
+    rlall = jnp.concatenate([rl] * C)
+    r_tot = C * npc
+    sets, npad = _pick_sets_multi(r_tot, k)
+    lanes = 128 * sets
+    if npad != r_tot:
+        rect = jnp.pad(rect, ((0, npad - r_tot), (0, 0)))
+        rlall = jnp.pad(rlall, (0, npad - r_tot))
+    rectT = jax.lax.bitcast_convert_type(
+        _interleave_rect(rect, npad), jnp.int32)
+    rlen8 = _chain_plane(rlall, npad)
+    ncols = npad // CHAINS * 128
+
+    # per-slot table/signal planes: slot g*8+s sits at [s, g*128:(g+1)*128]
+    slot_channel = np.minimum(
+        np.arange(npad // 128) * 128 // npc, C - 1)
+    sel = jnp.asarray(slot_channel)
+    f1_stack = jnp.stack(list(f1cs))          # (C, 256)
+    sig_stack = jnp.stack([jnp.asarray(s, jnp.int32).reshape(())
+                           for s in signals])
+
+    def plane(x):                             # (nslots, 128) -> (8, ncols)
+        ng = ncols // 128
+        return x.reshape(ng, 8, 128).transpose(1, 0, 2).reshape(8, ncols)
+
+    f1p = jnp.concatenate([plane(f1_stack[sel, :128]),
+                           plane(f1_stack[sel, 128:])])
+    prm = plane(jnp.broadcast_to(sig_stack[sel][:, None],
+                                 (npad // 128, 128)))
+
+    f2r = _round_up(max(f2.shape[0], 128), 128) // 128
+    f2p = jnp.pad(f2, (0, f2r * 128 - f2.shape[0])).reshape(f2r, 128)
+    f2r_used = f2r if subw else 0
+    groups = (max_len + G_PLAIN - 1) // G_PLAIN
+    lp = groups * G_PLAIN
+    kern = _plain_slots_kernel_factory(k, groups, subw, lmax, f2r_used,
+                                       lanes, interpret)
+    outT, stats = pl.pallas_call(
+        kern,
+        grid=(ncols // lanes, groups),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8, lanes), lambda j, g: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, lanes), lambda j, g: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f2p.shape[0], 128), lambda j, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, lanes), lambda j, g: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G_PLAIN * 8, lanes), lambda j, g: (g, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, lanes), lambda j, g: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((lp * 8, ncols), jnp.int32),
+            jax.ShapeDtypeStruct((16, ncols), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((k * 8, lanes), jnp.int32)]
+        + [pltpu.VMEM((8, lanes), jnp.int32)] * 3
+        + [pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(rectT, rlen8, f1p, f2p, prm)
+    syms_all = _unrows(outT, lp, npad, max_len).astype(jnp.uint8)
+    bits_all = _unplane(stats[0:8], npad)
+    last_all = _unplane(stats[8:16], npad)
+    return [(syms_all[c * npc:c * npc + n],
+             bits_all[c * npc:c * npc + n],
+             last_all[c * npc:c * npc + n]) for c in range(C)]
 
 
 def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,

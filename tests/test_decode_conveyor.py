@@ -105,6 +105,46 @@ def test_plain_conveyor_multi_block(n):
         assert 4 * int(words[i]) == len(streams[i]), f"row {i} stats"
 
 
+def test_plain_chains_conveyor_multi_channel():
+    """One merged launch decoding three channels with distinct schemes
+    (per-slot table planes) must equal three per-channel XLA chains."""
+    rng = np.random.default_rng(71)
+    schemes = [_mk_scheme(rng, skewed=s % 2 == 0) for s in range(3)]
+    n, max_len = 140, 32            # >128 so slots split mid-channel
+    rlens = rng.integers(0, max_len + 1, n).astype(np.int32)
+    rlens[0] = 0
+    rlens[1] = max_len
+    datas, rects = [], []
+    for sc in schemes:
+        d = [rng.integers(0, 44, r).astype(np.uint8) for r in rlens]
+        datas.append(d)
+        rects.append(_rect_from_streams(
+            [bs.encode_stream(sc, x).tobytes() for x in d]))
+    f1, f2, subw, lmax = d2.scheme_tables2(schemes)
+    sigs = [255 if sc.type == 2 else 256 for sc in schemes]
+    res = dc.plain_chains_conveyor(
+        [jnp.asarray(r) for r in rects], jnp.asarray(rlens),
+        [jnp.asarray(f1[c]) for c in range(3)], jnp.asarray(f2),
+        [jnp.int32(s) for s in sigs], max_len=max_len, subw=subw,
+        lmax=lmax, interpret=True)
+    for c in range(3):
+        xla = np.asarray(d2.plain_chain(
+            jnp.asarray(rects[c]), jnp.asarray(rlens), jnp.asarray(f1[c]),
+            jnp.asarray(f2), jnp.int32(sigs[c]), max_len=max_len,
+            subw=subw, lmax=lmax))
+        got = np.asarray(res[c][0])
+        for i in list(range(0, n, 13)) + [n - 1]:
+            r = int(rlens[i])
+            assert (got[i, :r] == datas[c][i]).all(), f"ch {c} row {i}"
+            assert (got[i, :r] == xla[i, :r]).all(), f"ch {c} row {i} xla"
+        from dextractor_tpu.ops.decode_jax import stream_word_counts
+        words = stream_word_counts(np.asarray(res[c][1]).astype(np.int64),
+                                   np.asarray(res[c][2]).astype(np.int64))
+        for i in range(0, n, 13):
+            slen = 4 * int(words[i])
+            assert slen >= int(rlens[i]) // 8   # sanity: bits consumed
+
+
 @pytest.mark.parametrize("long_runs", [False, True])
 def test_run_conveyor_matches_xla(long_runs):
     rng = np.random.default_rng(47 + long_runs)
