@@ -504,12 +504,14 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
 def _expand_dispatch(runs, lits, rchar, *, max_len: int):
     """Route run expansion to the VMEM Pallas network on accelerators
     (no per-round HBM barriers); the XLA formulation stays the CPU path
-    and the fallback.  Off until chip-validated: env DXT_EXPAND_PALLAS=1
-    enables (the A/B in the queued chip ablation sets it)."""
+    and the fallback.  Chip-validated byte-exact and a 1.045x step win
+    under the merged-chain decode (tools/chip_probe.py A/B), so ON by
+    default on accelerators; env DXT_EXPAND_PALLAS=0 forces the XLA
+    network."""
     import os
 
     if (jax.default_backend() != "cpu"
-            and os.environ.get("DXT_EXPAND_PALLAS", "0") == "1"):
+            and os.environ.get("DXT_EXPAND_PALLAS", "1") == "1"):
         from .expand_pallas import expand_runs_pallas
 
         return expand_runs_pallas(runs, lits, rchar, max_len=max_len)

@@ -402,7 +402,7 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
         kern,
         grid=(ncols // lanes, groups),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((16, lanes), lambda j, g: (0, j),
@@ -609,7 +609,7 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
         kern,
         grid=(ncols // lanes, groups),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda j, g: (0, 0),
@@ -674,7 +674,7 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
         kern,
         grid=(ncols // lanes, groups),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((8, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda j, g: (0, 0),
