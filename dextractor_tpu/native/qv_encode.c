@@ -10,6 +10,7 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 typedef struct
@@ -64,7 +65,16 @@ static inline int flush_tail(Emit *e)
 }
 
 /* Encode n_entries plain streams (concatenated in data with offs[n+1]).
- * Returns total bytes or -1 on cap overflow.  out_lens: bytes per entry. */
+ * Returns total bytes or -1 on cap overflow.  out_lens: bytes per entry.
+ *
+ * Fast path: per-symbol "effective" codes fold the type-2 escape literal
+ * into a single <=24-bit emission (code<<8 | value), and a 64K pair table
+ * pre-concatenates two effective codes (<=48 bits) so the body of every
+ * entry costs one table load and one 128-bit shift-or per symbol pair —
+ * the QV alphabet is skewed, so the table's hot rows stay cached.  Only
+ * the LAST emission of each entry goes through the exact scalar emitter,
+ * which is what keeps prev_fill (the duplicate-word tail-padding rule,
+ * QV.c:436-442) byte-identical to the reference. */
 long long dxt_encode_plain(
     const uint8_t *data, const int64_t *offs, long long n_entries,
     const uint32_t *bits, const int32_t *lens, int type,
@@ -72,25 +82,102 @@ long long dxt_encode_plain(
 { Emit     e = { out, cap, 0, 0, 0, 0 };
   uint32_t esc_code = type == 2 ? bits[255] : 0xffffffffu;
   int      esc_len = type == 2 ? lens[255] : -1;
-  int64_t  i, k, before;
+  int64_t  i, before;
+  uint32_t eff_bits[256];
+  uint8_t  eff_len[256];
+  uint64_t *pair_bits;
+  uint8_t  *pair_len;
+  int      s1, s2;
+
+  for (s1 = 0; s1 < 256; s1++)
+    { if (bits[s1] == esc_code && lens[s1] == esc_len)
+        { eff_bits[s1] = (esc_code << 8) | (uint32_t) s1;
+          eff_len[s1] = (uint8_t) (esc_len + 8);
+        }
+      else
+        { eff_bits[s1] = bits[s1];
+          eff_len[s1] = (uint8_t) lens[s1];
+        }
+    }
+  pair_bits = (uint64_t *) malloc((size_t) 65536 * sizeof(uint64_t));
+  pair_len = (uint8_t *) malloc(65536);
+  if (pair_bits == NULL || pair_len == NULL)
+    { free(pair_bits);
+      free(pair_len);
+      return -1;
+    }
+  for (s1 = 0; s1 < 256; s1++)
+    { uint64_t b1 = eff_bits[s1];
+      int      l1 = eff_len[s1];
+      uint64_t *row = pair_bits + ((size_t) s1 << 8);
+      uint8_t  *rl = pair_len + ((size_t) s1 << 8);
+      for (s2 = 0; s2 < 256; s2++)
+        { row[s2] = (b1 << eff_len[s2]) | eff_bits[s2];
+          rl[s2] = (uint8_t) (l1 + eff_len[s2]);
+        }
+    }
 
   for (i = 0; i < n_entries; i++)
-    { before = e.len;
-      for (k = offs[i]; k < offs[i + 1]; k++)
-        { uint8_t  x = data[k];
+    { const uint8_t *s = data + offs[i];
+      int64_t        L = offs[i + 1] - offs[i];
+      before = e.len;
+      if (L > 1)
+        { int64_t            body = L - 1, j = 0;
+          unsigned __int128  acc = ((unsigned __int128) e.accum) << 96;
+          int                fill = e.fill;
+          for (; j + 1 < body; j += 2)
+            { uint32_t idx = ((uint32_t) s[j] << 8) | s[j + 1];
+              int      pl = pair_len[idx];
+              if (pl)
+                acc |= ((unsigned __int128) pair_bits[idx])
+                       << (128 - fill - pl);
+              fill += pl;
+              while (fill >= 32)
+                { if (put_word(&e, (uint32_t) (acc >> 96)) < 0)
+                    goto fail;
+                  acc <<= 32;
+                  fill -= 32;
+                }
+            }
+          if (j < body)
+            { uint32_t x = s[j];
+              int      el = eff_len[x];
+              if (el)
+                acc |= ((unsigned __int128) eff_bits[x])
+                       << (128 - fill - el);
+              fill += el;
+              while (fill >= 32)
+                { if (put_word(&e, (uint32_t) (acc >> 96)) < 0)
+                    goto fail;
+                  acc <<= 32;
+                  fill -= 32;
+                }
+            }
+          e.accum = (uint32_t) (acc >> 96);
+          e.fill = fill;
+        }
+      if (L > 0)
+        { uint8_t  x = s[L - 1];
           uint32_t c = bits[x];
           int      n = lens[x];
           if (emit_bits(&e, c, n) < 0)
-            return -1;
+            goto fail;
           if (c == esc_code && n == esc_len)
             if (emit_bits(&e, x, 8) < 0)
-              return -1;
+              goto fail;
         }
       if (flush_tail(&e) < 0)
-        return -1;
+        goto fail;
       out_lens[i] = e.len - before;
     }
+  free(pair_bits);
+  free(pair_len);
   return e.len;
+
+fail:
+  free(pair_bits);
+  free(pair_len);
+  return -1;
 }
 
 long long dxt_encode_run(
