@@ -1,20 +1,33 @@
-"""Benchmark driver: one JSON line on stdout.
+"""Benchmark driver: one JSON line on stdout — ALWAYS.
 
-Measures the flagship .dexqv five-channel Huffman encode step on the
-accelerator with device-resident data (steady state), against the reference
-C encoder running on this host over the same logical data.
+Measures the flagship .dexqv five-channel Huffman codec and the 2-bit
+.dexta codec on the accelerator with device-resident data (steady state),
+against the reference C tools running on this host over the same logical
+data.
 
-Device-resident is the honest kernel metric here: this environment reaches
-its TPU through a TCP relay whose host<->device link runs at ~10-40 MB/s —
-three orders of magnitude below a production host's DMA — so end-to-end
-wall time through the tunnel measures the tunnel, not the codec.  The C
-baseline *is* end-to-end (read file, encode, write file) on local tmpfs,
-which is the reference's native operating point.
+Crash tolerance (the round-2 lesson): this environment's TPU worker can
+die mid-measurement with an opaque ``TPU backend error (Internal)`` (the
+watchdog kills it; it recovers after the usual warmup).  The parent
+process therefore never touches the device: it generates the data, runs
+the C baselines and the native host paths, and runs every device metric
+in a *worker subprocess*.  The worker appends one JSON line per completed
+metric to a results file as it goes, so a crash loses only the in-flight
+metric; the parent retries the remaining metrics in a fresh process (the
+dead worker recovers) until they finish or the time budget runs out, then
+emits the final JSON line with whatever succeeded (nulls for the rest).
+
+Device-resident is the honest kernel metric here: this environment
+reaches its TPU through a TCP relay whose host<->device link runs at
+~10-40 MB/s — three orders of magnitude below a production host's DMA —
+so end-to-end wall time through the tunnel measures the tunnel, not the
+codec.  The C baseline *is* end-to-end (read file, encode, write file)
+on local tmpfs, which is the reference's native operating point.
 
 The reference publishes no throughput numbers (BASELINE.md), so the
 compiled C tool is the baseline; vs_baseline = our GB/s / C GB/s.
 
 Usage: python bench.py [--mb N]
+Internal: python bench.py --worker --metrics a,b --out FILE [--mb N]
 """
 
 from __future__ import annotations
@@ -26,15 +39,321 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
 
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
 
 import numpy as np
 
+WORKDIR = Path("/tmp/dxt_bench")
+DEVICE_METRICS = ("qv_encode", "qv_decode", "dexta_decode", "dexta_encode")
+READ_LEN = 2000
+
+
+def log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# shared data prep (deterministic: both parent and chip_probe use seed 0 and
+# the same quiva-then-fasta generation order so programs share .jax_cache)
+# ---------------------------------------------------------------------------
+
+def prep_data(mb: int) -> dict:
+    from conftest import make_quiva, make_fasta
+    from dextractor_tpu.codecs.qv_codec import encode_quiva_to_dexqv
+    from dextractor_tpu.codecs.twobit_codec import encode_fasta_to_dexta
+
+    n_reads = max(8, (mb * 1_000_000) // (5 * READ_LEN))
+    rng = np.random.default_rng(0)
+    data = make_quiva(rng, n_reads=n_reads, min_len=READ_LEN - 50,
+                      max_len=READ_LEN + 50)
+    fasta = make_fasta(rng, n_reads=n_reads, min_len=READ_LEN - 50,
+                       max_len=READ_LEN + 50, width=80)
+    WORKDIR.mkdir(exist_ok=True)
+    paths = {
+        "quiva": WORKDIR / "g.quiva", "fasta": WORKDIR / "g.fasta",
+        "dexqv": WORKDIR / "g.dexqv", "dexta": WORKDIR / "g.dexta",
+    }
+    paths["quiva"].write_bytes(data)
+    paths["fasta"].write_bytes(fasta)
+    paths["dexqv"].write_bytes(encode_quiva_to_dexqv(data, device=False))
+    paths["dexta"].write_bytes(encode_fasta_to_dexta(fasta, device=False))
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# worker: device metrics, one JSON line appended per completed metric
+# ---------------------------------------------------------------------------
+
+def measure_chained(chained, dargs, label):
+    """Steady-state per-step time of a K-chained jitted program.
+
+    The tunnel runtime acks dispatches asynchronously, so per-call
+    block_until_ready under-measures.  Instead run K chained steps inside
+    one jitted fori_loop (each iteration data-depends on the last via a
+    carried checksum) and time the difference between two K values so the
+    fixed dispatch/fetch overhead cancels."""
+    import jax.numpy as jnp
+
+    def run_k(k):
+        t = time.perf_counter()
+        v = chained(*dargs, jnp.int32(k))
+        _ = int(v)                   # force full execution via fetch
+        return time.perf_counter() - t
+
+    t0 = time.perf_counter()
+    run_k(1)                         # compile + warm
+    log(f"{label}: compile+warm {time.perf_counter()-t0:.1f}s")
+    # steps are milliseconds while a result fetch costs ~0.2s through
+    # the relay: widen K until the difference clears the noise floor.
+    # Budget: very long chained device programs trip the TPU worker
+    # watchdog (which kills the worker for every later measurement),
+    # so estimate the per-step cost first and cap total device time.
+    k_lo = 2
+    t_lo = min(run_k(k_lo) for _ in range(3))
+    est = max(t_lo / k_lo, 1e-4)     # upper bound incl. fetch overhead
+    budget_s = 22.0
+    dt = None
+    last = None                      # (k_hi, t_hi) of the last rung
+    for k_hi in (12, 52, 202):
+        if est * k_hi > budget_s:
+            break
+        t_hi = min(run_k(k_hi) for _ in range(2))
+        last = (k_hi, t_hi)
+        log(f"{label}: k={k_hi}: {t_hi:.3f}s (k={k_lo}: {t_lo:.3f}s)")
+        if t_hi - t_lo > 0.4 or t_hi > 30:
+            dt = (t_hi - t_lo) / (k_hi - k_lo)
+            break
+        est = max(t_hi / k_hi, est)
+    if dt is None:
+        # slow step: k_lo alone is far above the noise floor, so
+        # difference two small K values instead of escalating
+        if est * 3 > budget_s:
+            t1 = min(run_k(1) for _ in range(2))
+            dt = max(t_lo - t1, 1e-9)
+        else:
+            k_hi = max(3, min(202, int(budget_s / est)))
+            if last is not None and last[0] == k_hi:
+                t_hi = last[1]       # the escalation already ran this k
+            else:
+                t_hi = min(run_k(k_hi) for _ in range(2))
+                log(f"{label}: k={k_hi}: {t_hi:.3f}s (capped)")
+            dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
+    return dt
+
+
+def _metric_qv_encode(paths):
+    import jax
+    import jax.numpy as jnp
+    from dextractor_tpu.formats.quiva import parse_quiva
+    from dextractor_tpu.formats.ragged import pad_rows
+    from dextractor_tpu.codecs.qv_codec import scan_quiva, create_qvcoding
+    from dextractor_tpu.ops import bitstream_jax as bj
+    from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT
+    from dextractor_tpu.parallel import qv_encode_step, null_run_luts
+
+    q = parse_quiva(paths["quiva"].read_bytes())
+    lengths = q.lengths.astype(np.int64)
+    stats = scan_quiva(q)
+    coding = create_qvcoding(stats, q.prefix, False)
+    rects = [pad_rows(q.streams[s], lengths, align=512, bucket=True)
+             for s in range(5)]
+    streams = np.stack(rects)
+    n = q.n_entries
+    n_pad = max(8, 1 << max(n - 1, 0).bit_length())
+    if n_pad != n:
+        streams = np.concatenate(
+            [streams, np.zeros((5, n_pad - n, streams.shape[2]), np.uint8)], 1)
+        lengths = np.concatenate([lengths, np.zeros(n_pad - n, np.int64)])
+
+    sym = np.stack([
+        bj.scheme_luts(coding.del_scheme),
+        bj.scheme_luts(coding.ins_scheme),
+        bj.scheme_luts(coding.mrg_scheme),
+        bj.scheme_luts(coding.sub_scheme),
+    ])
+    run = np.stack([
+        bj.scheme_luts(coding.drun_scheme, run=True)
+        if coding.drun_scheme else null_run_luts(),
+        null_run_luts(),
+        null_run_luts(),
+        bj.scheme_luts(coding.srun_scheme, run=True)
+        if coding.srun_scheme else null_run_luts(),
+    ])
+    rchars = np.array([coding.del_char, -1, -1, coding.sub_char], np.int32)
+
+    dargs = (jnp.asarray(streams), jnp.asarray(lengths.astype(np.int32)),
+             jnp.asarray(sym), jnp.asarray(run), jnp.asarray(rchars),
+             jnp.asarray(NUMBER_BASE_LUT))
+    jax.block_until_ready(dargs)
+
+    @jax.jit
+    def enc_chained(streams_, lengths_, sym_, run_, rchars_, nlut_, k):
+        # every iteration XORs the carried checksum into the symbol data so
+        # the loop body cannot be hoisted as loop-invariant; the encode cost
+        # profile is identical for arbitrary u8 symbols
+        def body(_, acc):
+            d = streams_ ^ (acc & 0xFF).astype(jnp.uint8)
+            out = qv_encode_step(d, lengths_, sym_, run_, rchars_, nlut_)
+            return acc + out[2].sum().astype(jnp.int32)
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    return measure_chained(enc_chained, dargs, "qv-encode")
+
+
+def _metric_qv_decode(paths):
+    import jax
+    import jax.numpy as jnp
+    from dextractor_tpu.codecs.qv_codec import _index_native
+    from dextractor_tpu.codecs.qv_batch import decode_tables_v2, channel_rects
+    from dextractor_tpu.formats import dexqv as dqf
+    from dextractor_tpu.formats.ragged import bucket_len
+    from dextractor_tpu.ops import decode2 as d2
+
+    enc = paths["dexqv"].read_bytes()
+    coding, coff = dqf.parse_qvcoding(memoryview(enc), 2)
+    indexed = _index_native(enc, coding, coff, True)
+    if indexed is None:
+        raise RuntimeError("native shim unavailable")
+    (_, _, _, _, _, _, eoffs, elens, coffs_t, ntoks_t) = indexed
+    n_dec = len(eoffs)
+    n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
+    dbuf = np.frombuffer(enc, np.uint8)
+    drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
+    dec_max_len = bucket_len(int(drlens.max(initial=0)), 512)
+    dec_max_sym = bucket_len(int(drlens.max(initial=0)))
+    dec_max_tokens = bucket_len(int(ntoks_t.max(initial=0)), 16)
+    rects = channel_rects(dbuf, eoffs, coffs_t, dec_max_len)
+    rects = tuple(
+        np.concatenate([r, np.zeros((n_decp - n_dec, r.shape[1]), r.dtype)])
+        for r in rects)
+    sids, f1_t, f2_t, types_t, del_mode, sub_mode, subw, lmax = \
+        decode_tables_v2(coding)
+    chan_l2 = tuple(bool(((f1_t[sids[k]] >> 20) & 1).any())
+                    for k in range(6))
+    dec_args = (*(jnp.asarray(r) for r in rects), jnp.asarray(drlens),
+                jnp.asarray(sids), jnp.asarray(f1_t), jnp.asarray(f2_t),
+                jnp.asarray(types_t), jnp.int32(coding.del_char & 0xFF),
+                jnp.int32(coding.sub_char & 0xFF))
+    jax.block_until_ready(dec_args)
+
+    @jax.jit
+    def dec_chained(rd_, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_,
+                    dc_, sc_, k):
+        # decode cost is shape-determined (fixed fori chains), so XORing
+        # the del rectangle keeps cost identical while defeating hoisting
+        def body(_, acc):
+            r = rd_ ^ acc.astype(jnp.uint32)
+            rows = d2.decode_entry_batch2(
+                r, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_, dc_,
+                sc_, max_len=dec_max_len, max_tokens=dec_max_tokens,
+                del_mode=del_mode, sub_mode=sub_mode, subw=subw, lmax=lmax,
+                chan_l2=chan_l2, max_sym=dec_max_sym)
+            return acc + rows.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    return measure_chained(dec_chained, dec_args, "qv-decode")
+
+
+def _dexta_rows(paths):
+    from dextractor_tpu.formats.dexta import read_dexta
+    from dextractor_tpu.formats.ragged import pad_rows
+
+    df = read_dexta(paths["dexta"].read_bytes())
+    frlens = (df.ends - df.begs).astype(np.int64)
+    fclens = df.payload.lengths
+    prow = pad_rows(df.payload.flat, fclens, align=128, bucket=True)
+    npad = max(8, 1 << max(len(frlens) - 1, 0).bit_length())
+    prow = np.concatenate(
+        [prow, np.zeros((npad - prow.shape[0], prow.shape[1]), np.uint8)])
+    return prow, frlens, npad
+
+
+def _metric_dexta_decode(paths):
+    import jax
+    import jax.numpy as jnp
+    from dextractor_tpu.codecs.twobit_codec import _decode_rows
+    from dextractor_tpu.ops.twobit import LOWER_LUT
+
+    prow, _, _ = _dexta_rows(paths)
+    dx_args = (jnp.asarray(prow), jnp.asarray(LOWER_LUT))
+    jax.block_until_ready(dx_args)
+
+    @jax.jit
+    def dexta_dec_chained(rows_, lut_, k):
+        def body(_, acc):
+            r = rows_ ^ (acc & 0xFF).astype(jnp.uint8)
+            sym = _decode_rows(r, lut_)
+            return acc + sym.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    return measure_chained(dexta_dec_chained, dx_args, "dexta-decode")
+
+
+def _metric_dexta_encode(paths):
+    import jax
+    import jax.numpy as jnp
+    from dextractor_tpu.codecs.twobit_codec import _decode_rows, _encode_rows
+    from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT as NLUT, LOWER_LUT
+
+    prow, frlens, npad = _dexta_rows(paths)
+    seq_rows = np.asarray(_decode_rows(jnp.asarray(prow),
+                                       jnp.asarray(LOWER_LUT)))
+    flens = np.pad(frlens, (0, npad - len(frlens))).astype(np.int32)
+    ex_args = (jnp.asarray(seq_rows), jnp.asarray(flens), jnp.asarray(NLUT))
+    jax.block_until_ready(ex_args)
+
+    @jax.jit
+    def dexta_enc_chained(rows_, lens_, lut_, k):
+        def body(_, acc):
+            # flip case bit only: stays in the LUT's alphabet, defeats hoist
+            r = rows_ ^ ((acc & 0x1) << 5).astype(jnp.uint8)
+            packed = _encode_rows(r, lens_, lut_)
+            return acc + packed.astype(jnp.int32).sum()
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    return measure_chained(dexta_enc_chained, ex_args, "dexta-encode")
+
+
+_METRIC_FNS = {
+    "qv_encode": _metric_qv_encode,
+    "qv_decode": _metric_qv_decode,
+    "dexta_decode": _metric_dexta_decode,
+    "dexta_encode": _metric_dexta_encode,
+}
+
+
+def worker_main(metrics: list[str], out_path: Path) -> None:
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    platform = jax.devices()[0].platform
+    log(f"worker platform={platform} metrics={metrics}")
+    paths = {k: WORKDIR / f"g.{k}"
+             for k in ("quiva", "fasta", "dexqv", "dexta")}
+    with open(out_path, "a") as out:
+        out.write(json.dumps({"event": "platform", "platform": platform})
+                  + "\n")
+        out.flush()
+        for m in metrics:
+            try:
+                dt = _METRIC_FNS[m](paths)
+                rec = {"metric": m, "dt": dt}
+            except Exception as e:   # crash-tolerance: record and continue —
+                # the parent retries errored metrics in a fresh process
+                rec = {"metric": m, "error": f"{type(e).__name__}: {e}"}
+                log(f"{m} FAILED: {rec['error']}")
+            out.write(json.dumps(rec) + "\n")
+            out.flush()
+
+
+# ---------------------------------------------------------------------------
+# parent: C baselines, worker supervision, final JSON
+# ---------------------------------------------------------------------------
 
 def build_ref_tools() -> Path | None:
     ref = Path("/root/reference")
@@ -61,315 +380,163 @@ def time_tool(build: Path, tool: str, args: list[str]) -> float | None:
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        r = subprocess.run([str(build / tool)] + args, capture_output=True)
+        try:
+            r = subprocess.run([str(build / tool)] + args,
+                               capture_output=True, timeout=300)
+        except subprocess.TimeoutExpired:
+            continue
         if r.returncode == 0:
             times.append(time.perf_counter() - t0)
     return min(times) if times else None
 
 
+def run_device_metrics(mb: int, budget_s: float, env: dict) -> dict:
+    """Supervise worker subprocesses until all metrics land or budget out.
+
+    ``env`` is the environment snapshot taken BEFORE the parent imported
+    tests/conftest (which forces JAX_PLATFORMS=cpu into os.environ for the
+    parent's own host-side work) — the worker must see the real device."""
+    results: dict = {}
+    out_path = WORKDIR / "device_metrics.jsonl"
+    if out_path.exists():
+        out_path.unlink()
+    deadline = time.monotonic() + budget_s
+    attempts = 0
+    err_counts: dict = {}
+    remaining = [m for m in DEVICE_METRICS]
+    while remaining and attempts < 6 and time.monotonic() < deadline:
+        attempts += 1
+        left = deadline - time.monotonic()
+        log(f"worker attempt {attempts}: metrics={remaining} "
+            f"budget_left={left/60:.1f}min")
+        cmd = [sys.executable, os.path.abspath(__file__), "--worker",
+               "--mb", str(mb), "--metrics", ",".join(remaining),
+               "--out", str(out_path)]
+        try:
+            r = subprocess.run(cmd, timeout=max(60.0, left), env=env,
+                               stdout=sys.stderr, stderr=sys.stderr)
+            rc = r.returncode
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        # harvest whatever the worker managed to append before dying
+        if out_path.exists():
+            for line in out_path.read_text().splitlines():
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("event") == "platform":
+                    results["platform"] = rec["platform"]
+                elif "dt" in rec:
+                    results[rec["metric"]] = rec["dt"]
+                elif rec.get("metric") not in results:
+                    key = (rec["metric"], rec.get("error"))
+                    err_counts[key] = err_counts.get(key, 0) + 1
+                    results.setdefault("errors", {})[rec["metric"]] = \
+                        rec.get("error")
+        # a metric failing twice with the identical error is deterministic
+        # (e.g. missing native shim), not a transient worker death: drop it
+        dead = {m for (m, _), c in err_counts.items() if c >= 2}
+        remaining = [m for m in DEVICE_METRICS
+                     if m not in results and m not in dead]
+        if remaining:
+            log(f"worker attempt {attempts} rc={rc}; "
+                f"missing {remaining}; backing off 45s "
+                f"(TPU worker recovery)")
+            if time.monotonic() + 45 < deadline:
+                time.sleep(45)
+    return results
+
+
 def main() -> None:
     mb = 16
+    budget_s = float(os.environ.get("DXT_BENCH_BUDGET_S", "4200"))
     args = sys.argv[1:]
+    worker = "--worker" in args
+    metrics: list[str] = []
+    out: Path | None = None
     for i, a in enumerate(args):
         if a == "--mb":
             mb = int(args[i + 1])
+        elif a == "--metrics":
+            metrics = args[i + 1].split(",")
+        elif a == "--out":
+            out = Path(args[i + 1])
 
-    import jax
-    import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    platform = jax.devices()[0].platform
+    if worker:
+        worker_main(metrics, out or (WORKDIR / "device_metrics.jsonl"))
+        return
 
-    from conftest import make_quiva
+    t_start = time.monotonic()
+    worker_env = dict(os.environ)    # BEFORE conftest's CPU-forcing import
+    log(f"generating {mb} MB batches + host encodes ...")
+    paths = prep_data(mb)
+
     from dextractor_tpu.formats.quiva import parse_quiva
-    from dextractor_tpu.formats.ragged import pad_rows
-    from dextractor_tpu.codecs.qv_codec import scan_quiva, create_qvcoding
-    from dextractor_tpu.ops import bitstream_jax as bj
-    from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT
-    from dextractor_tpu.parallel import qv_encode_step, null_run_luts
-
-    # ---- build a realistic batch --------------------------------------
-    read_len = 2000
-    n_reads = max(8, (mb * 1_000_000) // (5 * read_len))
-    print(f"[bench] platform={platform} generating {n_reads} reads ...",
-          file=sys.stderr, flush=True)
-    rng = np.random.default_rng(0)
-    data = make_quiva(rng, n_reads=n_reads, min_len=read_len - 50,
-                      max_len=read_len + 50)
-    workdir = Path("/tmp/dxt_bench")
-    workdir.mkdir(exist_ok=True)
-    src = workdir / "g.quiva"
-    src.write_bytes(data)
-
-    q = parse_quiva(data)
-    lengths = q.lengths.astype(np.int64)
-    stats = scan_quiva(q)
-    coding = create_qvcoding(stats, q.prefix, False)
-    rects = [pad_rows(q.streams[s], lengths, align=512, bucket=True)
-             for s in range(5)]
-    streams = np.stack(rects)
-    n = q.n_entries
-    n_pad = max(8, 1 << max(n - 1, 0).bit_length())
-    if n_pad != n:
-        streams = np.concatenate(
-            [streams, np.zeros((5, n_pad - n, streams.shape[2]), np.uint8)], 1)
-        lengths = np.concatenate([lengths, np.zeros(n_pad - n, np.int64)])
-
-    sym = np.stack([
-        bj.scheme_luts(coding.del_scheme),
-        bj.scheme_luts(coding.ins_scheme),
-        bj.scheme_luts(coding.mrg_scheme),
-        bj.scheme_luts(coding.sub_scheme),
-    ])
-    run = np.stack([
-        bj.scheme_luts(coding.drun_scheme, run=True) if coding.drun_scheme else null_run_luts(),
-        null_run_luts(),
-        null_run_luts(),
-        bj.scheme_luts(coding.srun_scheme, run=True) if coding.srun_scheme else null_run_luts(),
-    ])
-    rchars = np.array([coding.del_char, -1, -1, coding.sub_char], np.int32)
-
-    # ---- device-resident timing ---------------------------------------
-    # The tunnel runtime acks dispatches asynchronously, so per-call
-    # block_until_ready under-measures.  Instead run K chained steps inside
-    # one jitted fori_loop (each iteration data-depends on the last via a
-    # carried checksum) and time the difference between two K values so the
-    # fixed dispatch/fetch overhead cancels.
-    def measure_chained(chained, dargs, label):
-        def run_k(k):
-            t = time.perf_counter()
-            v = chained(*dargs, jnp.int32(k))
-            _ = int(v)                   # force full execution via fetch
-            return time.perf_counter() - t
-
-        t0 = time.perf_counter()
-        run_k(1)                         # compile + warm
-        print(f"[bench] {label}: compile+warm {time.perf_counter()-t0:.1f}s",
-              file=sys.stderr, flush=True)
-        # steps are milliseconds while a result fetch costs ~0.2s through
-        # the relay: widen K until the difference clears the noise floor.
-        # Budget: very long chained device programs trip the TPU worker
-        # watchdog (which kills the worker for every later measurement),
-        # so estimate the per-step cost first and cap total device time.
-        k_lo = 2
-        t_lo = min(run_k(k_lo) for _ in range(3))
-        est = max(t_lo / k_lo, 1e-4)     # upper bound incl. fetch overhead
-        budget_s = 22.0
-        dt = None
-        last = None                      # (k_hi, t_hi) of the last rung
-        for k_hi in (12, 52, 202):
-            if est * k_hi > budget_s:
-                break
-            t_hi = min(run_k(k_hi) for _ in range(2))
-            last = (k_hi, t_hi)
-            print(f"[bench] {label}: k={k_hi}: {t_hi:.3f}s "
-                  f"(k={k_lo}: {t_lo:.3f}s)", file=sys.stderr, flush=True)
-            if t_hi - t_lo > 0.4 or t_hi > 30:
-                dt = (t_hi - t_lo) / (k_hi - k_lo)
-                break
-            est = max(t_hi / k_hi, est)
-        if dt is None:
-            # slow step: k_lo alone is far above the noise floor, so
-            # difference two small K values instead of escalating
-            if est * 3 > budget_s:
-                t1 = min(run_k(1) for _ in range(2))
-                dt = max(t_lo - t1, 1e-9)
-            else:
-                k_hi = max(3, min(202, int(budget_s / est)))
-                if last is not None and last[0] == k_hi:
-                    t_hi = last[1]       # the escalation already ran this k
-                else:
-                    t_hi = min(run_k(k_hi) for _ in range(2))
-                    print(f"[bench] {label}: k={k_hi}: {t_hi:.3f}s (capped)",
-                          file=sys.stderr, flush=True)
-                dt = max(t_hi - t_lo, 1e-9) / (k_hi - k_lo)
-        return dt
-
-    print("[bench] uploading + compiling encode ...", file=sys.stderr,
-          flush=True)
-    dargs = (jnp.asarray(streams), jnp.asarray(lengths.astype(np.int32)),
-             jnp.asarray(sym), jnp.asarray(run), jnp.asarray(rchars),
-             jnp.asarray(NUMBER_BASE_LUT))
-    jax.block_until_ready(dargs)
-
-    @jax.jit
-    def enc_chained(streams_, lengths_, sym_, run_, rchars_, nlut_, k):
-        # every iteration XORs the carried checksum into the symbol data so
-        # the loop body cannot be hoisted as loop-invariant; the encode cost
-        # profile is identical for arbitrary u8 symbols
-        def body(_, acc):
-            d = streams_ ^ (acc & 0xFF).astype(jnp.uint8)
-            out = qv_encode_step(d, lengths_, sym_, run_, rchars_, nlut_)
-            return acc + out[2].sum().astype(jnp.int32)
-        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-    dt = measure_chained(enc_chained, dargs, "qv-encode")
-    payload_bytes = int(q.lengths.sum()) * 5        # the five QV streams
-    gbps = payload_bytes / dt / 1e9
-
-    # ---- device dexqv decode (gather-free fused five-channel step) -----
-    from dextractor_tpu.codecs.qv_codec import (
-        encode_quiva_to_dexqv, decode_dexqv_to_quiva, _index_native)
-    from dextractor_tpu.codecs.qv_batch import decode_tables_v2
-    from dextractor_tpu.formats import dexqv as dqf
-    from dextractor_tpu.formats.ragged import bucket_len, next_pow2
-    from dextractor_tpu.ops import decode2 as d2
-
-    from dextractor_tpu.codecs.qv_batch import channel_rects
-
-    enc = encode_quiva_to_dexqv(data, device=False)
-    (workdir / "g.dexqv").write_bytes(enc)
-    coding, coff = dqf.parse_qvcoding(memoryview(enc), 2)
-    indexed = _index_native(enc, coding, coff, True)
-    dec_gbps = None
-    if indexed is None:                  # native shim unavailable: skip the
-        pass                             # decode metric, keep the JSON line
-    else:
-        (_, _, _, _, _, _, eoffs, elens, coffs_t, ntoks_t) = indexed
-        n_dec = len(eoffs)
-        n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
-        dbuf = np.frombuffer(enc, np.uint8)
-        drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
-        dec_max_len = bucket_len(int(drlens.max(initial=0)), 512)
-        dec_max_sym = bucket_len(int(drlens.max(initial=0)))
-        dec_max_tokens = bucket_len(int(ntoks_t.max(initial=0)), 16)
-        rects = channel_rects(dbuf, eoffs, coffs_t, dec_max_len)
-        rects = tuple(
-            np.concatenate([r, np.zeros((n_decp - n_dec, r.shape[1]), r.dtype)])
-            for r in rects)
-        sids, f1_t, f2_t, types_t, del_mode, sub_mode, subw, lmax = \
-            decode_tables_v2(coding)
-        chan_l2 = tuple(bool(((f1_t[sids[k]] >> 20) & 1).any())
-                        for k in range(6))
-        dec_args = (*(jnp.asarray(r) for r in rects), jnp.asarray(drlens),
-                    jnp.asarray(sids), jnp.asarray(f1_t), jnp.asarray(f2_t),
-                    jnp.asarray(types_t), jnp.int32(coding.del_char & 0xFF),
-                    jnp.int32(coding.sub_char & 0xFF))
-        jax.block_until_ready(dec_args)
-
-        @jax.jit
-        def dec_chained(rd_, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_,
-                        dc_, sc_, k):
-            # decode cost is shape-determined (fixed fori chains), so XORing
-            # the del rectangle keeps cost identical while defeating hoisting
-            def body(_, acc):
-                r = rd_ ^ acc.astype(jnp.uint32)
-                rows = d2.decode_entry_batch2(
-                    r, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_, dc_,
-                    sc_, max_len=dec_max_len, max_tokens=dec_max_tokens,
-                    del_mode=del_mode, sub_mode=sub_mode, subw=subw, lmax=lmax,
-                    chan_l2=chan_l2, max_sym=dec_max_sym)
-                return acc + rows.astype(jnp.int32).sum()
-            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-        try:
-            ddt = measure_chained(dec_chained, dec_args, "qv-decode")
-            dec_gbps = payload_bytes / ddt / 1e9
-        except Exception as e:                        # keep the JSON line coming
-            print(f"[bench] qv-decode failed: {e}", file=sys.stderr, flush=True)
-            dec_gbps = None
-
-    # ---- device dexta encode/decode (2-bit codec) ----------------------
-    from conftest import make_fasta
-    from dextractor_tpu.codecs.twobit_codec import (
-        encode_fasta_to_dexta, _encode_rows, _decode_rows)
     from dextractor_tpu.formats.dexta import read_dexta
-    from dextractor_tpu.formats.ragged import pad_rows as _padr
-    from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT as NLUT, LOWER_LUT
+    data = paths["quiva"].read_bytes()
+    enc = paths["dexqv"].read_bytes()
+    q = parse_quiva(data)
+    payload_bytes = int(q.lengths.sum()) * 5        # the five QV streams
+    df = read_dexta(paths["dexta"].read_bytes())
+    total_bases = int((df.ends - df.begs).sum())
 
-    fasta = make_fasta(rng, n_reads=n_reads, min_len=read_len - 50,
-                       max_len=read_len + 50, width=80)
-    fsrc = workdir / "g.fasta"
-    fsrc.write_bytes(fasta)
-    denc = encode_fasta_to_dexta(fasta, device=False)
-    (workdir / "g.dexta").write_bytes(denc)
-    df = read_dexta(denc)
-    frlens = (df.ends - df.begs).astype(np.int64)
-    fclens = df.payload.lengths
-    prow = _padr(df.payload.flat, fclens, align=128, bucket=True)
-    npad = max(8, 1 << max(len(frlens) - 1, 0).bit_length())
-    prow = np.concatenate(
-        [prow, np.zeros((npad - prow.shape[0], prow.shape[1]), np.uint8)])
-    total_bases = int(frlens.sum())
+    # ---- device metrics via supervised worker subprocesses -------------
+    dev = run_device_metrics(mb, budget_s - (time.monotonic() - t_start)
+                             - 240.0, worker_env)   # reserve tail time
 
-    # decode: payload rows -> ascii rows
-    dx_args = (jnp.asarray(prow), jnp.asarray(LOWER_LUT))
-    jax.block_until_ready(dx_args)
+    def gbps_of(metric, payload):
+        dt = dev.get(metric)
+        return (payload / dt / 1e9, dt) if dt else (None, None)
 
-    @jax.jit
-    def dexta_dec_chained(rows_, lut_, k):
-        def body(_, acc):
-            r = rows_ ^ (acc & 0xFF).astype(jnp.uint8)
-            sym = _decode_rows(r, lut_)
-            return acc + sym.astype(jnp.int32).sum()
-        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+    gbps, dt = gbps_of("qv_encode", payload_bytes)
+    dec_gbps, _ = gbps_of("qv_decode", payload_bytes)
+    dexta_dec_gbps, _ = gbps_of("dexta_decode", total_bases)
+    dexta_enc_gbps, _ = gbps_of("dexta_encode", total_bases)
 
-    try:
-        xddt = measure_chained(dexta_dec_chained, dx_args, "dexta-decode")
-        dexta_dec_gbps = total_bases / xddt / 1e9
-    except Exception as e:
-        print(f"[bench] dexta-decode failed: {e}", file=sys.stderr, flush=True)
-        dexta_dec_gbps = None
-
-    # encode: ascii rows -> packed payload
-    seq_rows = np.asarray(_decode_rows(jnp.asarray(prow),
-                                       jnp.asarray(LOWER_LUT)))
-    flens = np.pad(frlens, (0, npad - len(frlens))).astype(np.int32)
-    ex_args = (jnp.asarray(seq_rows), jnp.asarray(flens), jnp.asarray(NLUT))
-    jax.block_until_ready(ex_args)
-
-    @jax.jit
-    def dexta_enc_chained(rows_, lens_, lut_, k):
-        def body(_, acc):
-            # flip case bit only: stays in the LUT's alphabet, defeats hoist
-            r = rows_ ^ ((acc & 0x1) << 5).astype(jnp.uint8)
-            packed = _encode_rows(r, lens_, lut_)
-            return acc + packed.astype(jnp.int32).sum()
-        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-
-    try:
-        xedt = measure_chained(dexta_enc_chained, ex_args, "dexta-encode")
-        dexta_enc_gbps = total_bases / xedt / 1e9
-    except Exception as e:
-        print(f"[bench] dexta-encode failed: {e}", file=sys.stderr, flush=True)
-        dexta_enc_gbps = None
-
-    # ---- C baselines ---------------------------------------------------
-    build = build_ref_tools()
+    # ---- C baselines ----------------------------------------------------
     base_dt = c_undexqv = c_dexta = c_undexta = None
+    try:
+        build = build_ref_tools()
+    except Exception as e:
+        log(f"reference build failed: {e}")
+        build = None
     if build is not None:
-        base_dt = time_tool(build, "dexqv", ["-k", str(src)])
-        c_undexqv = time_tool(build, "undexqv",
-                              ["-k", str(workdir / "g.dexqv")])
-        c_dexta = time_tool(build, "dexta", ["-k", str(fsrc)])
-        c_undexta = time_tool(build, "undexta",
-                              ["-k", str(workdir / "g.dexta")])
+        base_dt = time_tool(build, "dexqv", ["-k", str(paths["quiva"])])
+        c_undexqv = time_tool(build, "undexqv", ["-k", str(paths["dexqv"])])
+        c_dexta = time_tool(build, "dexta", ["-k", str(paths["fasta"])])
+        c_undexta = time_tool(build, "undexta", ["-k", str(paths["dexta"])])
     base_gbps = payload_bytes / base_dt / 1e9 if base_dt else None
-    vs = (gbps / base_gbps) if base_gbps else None
+    vs = (gbps / base_gbps) if (base_gbps and gbps) else None
     c_undexqv_gbps = payload_bytes / c_undexqv / 1e9 if c_undexqv else None
     c_dexta_gbps = total_bases / c_dexta / 1e9 if c_dexta else None
     c_undexta_gbps = total_bases / c_undexta / 1e9 if c_undexta else None
 
-    # decode throughput via the native entry-chain walker (host side)
-    decode_dexqv_to_quiva(enc)               # warm page/arena reuse
-    t0 = time.perf_counter()
-    dec = decode_dexqv_to_quiva(enc)
-    dec_dt = time.perf_counter() - t0
-    dec_ok = dec == data
-    dec_mbps = len(data) / dec_dt / 1e6
+    # ---- native host decode (correctness witness, no device) ------------
+    dec_mbps = dec_ok = None
+    try:
+        from dextractor_tpu.codecs.qv_codec import decode_dexqv_to_quiva
+        decode_dexqv_to_quiva(enc)               # warm page/arena reuse
+        t0 = time.perf_counter()
+        dec = decode_dexqv_to_quiva(enc)
+        dec_dt = time.perf_counter() - t0
+        dec_ok = dec == data
+        dec_mbps = round(len(data) / dec_dt / 1e6, 1)
+    except Exception as e:
+        log(f"native decode failed: {e}")
 
     def rnd(x, p=4):
         return round(x, p) if x is not None else None
 
     print(json.dumps({
         "metric": "dexqv_encode_throughput",
-        "value": round(gbps, 4),
+        "value": rnd(gbps),
         "unit": "GB/s",
-        "vs_baseline": round(vs, 3) if vs else None,
+        "vs_baseline": rnd(vs, 3),
         "detail": {
-            "platform": platform,
+            "platform": dev.get("platform"),
             "payload_MB": round(payload_bytes / 1e6, 1),
-            "step_s": round(dt, 4),
+            "step_s": rnd(dt),
             "c_ref_s": rnd(base_dt, 3),
             "c_ref_GBps": rnd(base_gbps),
             "dexqv_decode_throughput": {
@@ -387,12 +554,13 @@ def main() -> None:
                 "vs_baseline": rnd(dexta_enc_gbps / c_dexta_gbps, 3)
                 if (c_dexta_gbps and dexta_enc_gbps) else None,
                 "c_dexta_GBps": rnd(c_dexta_gbps)},
-            "decode_native_MBps": round(dec_mbps, 1),
-            "decode_roundtrip_ok": bool(dec_ok),
+            "decode_native_MBps": dec_mbps,
+            "decode_roundtrip_ok": dec_ok,
+            "device_metric_errors": dev.get("errors") or None,
             "note": "device-resident steady-state steps; host link here is "
                     "a ~10-40MB/s TCP relay, not production DMA",
         },
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -239,15 +239,16 @@ def encode_quiva_to_dexqv(data: bytes, lossy: bool = False,
     device=True  -> batched TPU/XLA pipeline;
     device=False -> native C channel encoder (falls back to the per-entry
                     NumPy path);
-    device=None  -> auto: device pipeline when an accelerator backend is
-                    active, native otherwise.
+    device=None  -> the written policy (utils/dispatch.device_default):
+                    DXT_DEVICE env override, else device iff an
+                    accelerator backend is active.
     """
     q = qv.parse_quiva(data)
     stats = scan_quiva(q)
     coding = create_qvcoding(stats, q.prefix, lossy)
     if device is None:
-        import jax
-        device = jax.default_backend() != "cpu"
+        from ..utils.dispatch import device_default
+        device = device_default()
     if device:
         return _encode_entries_device(q, coding, lossy)
     out = _encode_entries_native(q, coding, lossy)
@@ -698,13 +699,15 @@ def _decode_entries_device(data: bytes, coding: dq.QVCoding, off: int,
 
 def decode_dexqv_to_quiva(data: bytes, upper: bool = False,
                           native: bool = True,
-                          device: bool | None = False, mesh=None) -> bytes:
+                          device: bool | None = None, mesh=None) -> bytes:
     """Decode a .dexqv image to .quiva text (undexqv.c:101-208).
 
     device=True -> entry boundaries via the native lens-only walk, stream
     content via the batched TPU decoder (optionally shard_map'd over
-    ``mesh``); device=False/None -> fully native sequential walk; flip or
-    missing native shim falls back to the Python walker.
+    ``mesh``); device=False -> fully native sequential walk; device=None
+    -> the written policy (utils/dispatch.device_default), same as the
+    encoder.  Flip or a missing native shim falls back to the Python
+    walker.
     """
     import struct as _struct
 
@@ -717,8 +720,8 @@ def decode_dexqv_to_quiva(data: bytes, upper: bool = False,
     newv = key in (dq.CONTAINER_KEY, 0xAA55)
 
     if device is None:
-        import jax
-        device = jax.default_backend() != "cpu"
+        from ..utils.dispatch import device_default
+        device = device_default()
     if device and not coding.flip:
         res = _decode_entries_device(data, coding, off, newv, mesh=mesh)
         if res is not None:

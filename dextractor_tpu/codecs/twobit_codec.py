@@ -179,8 +179,8 @@ def _unpack_batch(payload, clens, rlens, letter_lut, device: bool):
 
 def _auto(device):
     if device is None:
-        import jax
-        return jax.default_backend() != "cpu"
+        from ..utils.dispatch import device_default
+        return device_default()
     return device
 
 

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from .huffman import HScheme
+from ..utils.dispatch import pallas_ok
 
 
 def scheme_luts(scheme: HScheme, run: bool = False) -> np.ndarray:
@@ -326,7 +327,7 @@ def _lane_pad(data):
 
 @jax.jit
 def encode_plain_rows(data, lengths, luts):
-    if jax.default_backend() != "cpu":
+    if pallas_ok():
         from .emit_pallas import encode_plain_pallas
 
         words, t, lg = encode_plain_pallas(
@@ -341,7 +342,7 @@ def encode_plain_rows(data, lengths, luts):
 
 @jax.jit
 def encode_run_rows(data, lengths, rchar, sym_luts, run_luts):
-    if jax.default_backend() != "cpu":
+    if pallas_ok():
         from .emit_pallas import encode_run_pallas
 
         words, t, lg = encode_run_pallas(

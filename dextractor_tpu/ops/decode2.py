@@ -41,6 +41,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.dispatch import pallas_ok
+
 _FORCE_OH = os.environ.get("DEXTRACTOR_DECODE2_OH", "") == "1"
 
 
@@ -333,7 +335,7 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
     # the conveyor keeps each chain's whole stream resident in VMEM
     # ((K*8, 128) i32 per column group) — beyond K=2048 words (~10 kb
     # reads) it cannot fit, and the windowed XLA chain below takes over
-    if (jax.default_backend() != "cpu" and rect.shape[1] <= 2048
+    if (pallas_ok() and rect.shape[1] <= 2048
             and (not subw or f2_rows <= 16)):
         from .decode_conveyor import plain_chain_conveyor
 
@@ -395,7 +397,7 @@ def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
     ml = max_len if max_sym is None else min(max_len, max_sym)
     f2_rows = (f2.shape[0] + 127) // 128
     singles = []
-    if jax.default_backend() != "cpu":
+    if pallas_ok():
         from .decode_conveyor import plain_chains_conveyor
 
         by_sw: dict = {}
@@ -434,7 +436,7 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
     decode_jax.decode_run_batch.  On accelerator backends the chains run
     in the VMEM conveyor kernel (ops/decode_conveyor)."""
     f2_rows = (f2.shape[0] + 127) // 128
-    if (jax.default_backend() != "cpu" and rect.shape[1] <= 2048
+    if (pallas_ok() and rect.shape[1] <= 2048
             and (not subw or f2_rows <= 16)):
         from .decode_conveyor import run_chain_conveyor
 
@@ -506,11 +508,11 @@ def _expand_dispatch(runs, lits, rchar, *, max_len: int):
     (no per-round HBM barriers); the XLA formulation stays the CPU path
     and the fallback.  Chip-validated byte-exact and a 1.045x step win
     under the merged-chain decode (tools/chip_probe.py A/B), so ON by
-    default on accelerators; env DXT_EXPAND_PALLAS=0 forces the XLA
-    network."""
+    default on TPU (the Mosaic kernel is TPU-only — a GPU backend takes
+    the XLA network); env DXT_EXPAND_PALLAS=0 forces the XLA network."""
     import os
 
-    if (jax.default_backend() != "cpu"
+    if (jax.default_backend() == "tpu"
             and os.environ.get("DXT_EXPAND_PALLAS", "1") == "1"):
         from .expand_pallas import expand_runs_pallas
 

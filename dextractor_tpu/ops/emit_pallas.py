@@ -52,7 +52,9 @@ def fused_ok(width: int, any_backend: bool = False) -> bool:
 
     if width % 512 != 0:
         return False
-    return any_backend or jax.default_backend() != "cpu"
+    from ..utils.dispatch import pallas_ok
+
+    return any_backend or pallas_ok()
 
 _NEG = np.int32(-(1 << 30))
 

@@ -31,6 +31,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..ops import bitstream_jax as bj
+from ..utils.dispatch import pallas_ok
 from .mesh import DATA_AXIS
 
 
@@ -67,7 +68,7 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
     rdata = jnp.stack([streams[0], streams[4]])
     pdata = jnp.stack([streams[2], streams[3]])
 
-    if jax.default_backend() != "cpu":
+    if pallas_ok():
         # fused in-VMEM kernels: symbols -> packed words in one pass
         from ..ops import emit_pallas as ep
 
