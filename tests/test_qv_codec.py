@@ -299,3 +299,90 @@ def test_corrupt_rlen_rejected_without_huge_alloc():
     enc[coff + 1 + 7] = 0x7F                 # end ~ 2^30
     with pytest.raises(FormatError):
         decode_dexqv_to_quiva(bytes(enc), device=False)
+
+
+# ---------------------------------------------------------------------------
+# native encoder defensive fallbacks: schemes beyond the pair-table bounds
+# (foreign files; self-built schemes stay <= HUFF_CUTOFF=16) must route
+# through the exact scalar emitter, matching the Python oracle bit for bit
+# ---------------------------------------------------------------------------
+
+def _unary_scheme(max_len: int, stype: int = 0):
+    """Prefix-free unary-ish scheme: symbol k -> 1^k 0, len k+1 (k < max)."""
+    from dextractor_tpu.ops.huffman import HScheme
+    lens = np.zeros(256, np.int32)
+    bits = np.zeros(256, np.uint32)
+    for k in range(max_len):
+        lens[k] = k + 1
+        bits[k] = ((1 << k) - 1) << 1
+    return HScheme(stype, lens, bits)
+
+
+def _shim_ptr(a):
+    import ctypes
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def test_native_plain_encoder_long_code_fallback():
+    from dextractor_tpu.native import qv_encode_shim
+    from dextractor_tpu.ops import bitstream as bs
+
+    try:
+        lib = qv_encode_shim()
+    except OSError:
+        pytest.skip("native shim unavailable")
+    scheme = _unary_scheme(30)          # len 30 > 24: pair tables refuse
+    rng = np.random.default_rng(5)
+    entries = [rng.integers(0, 12, size=int(rng.integers(0, 200))
+                            ).astype(np.uint8) for _ in range(9)]
+    expected = b"".join(bs.encode_stream(scheme, e).tobytes()
+                        for e in entries)
+    data = np.concatenate([np.zeros(0, np.uint8)] + entries)
+    offs = np.zeros(len(entries) + 1, np.int64)
+    np.cumsum([len(e) for e in entries], out=offs[1:])
+    out = np.empty(len(expected) * 2 + 1024, np.uint8)
+    out_lens = np.zeros(len(entries), np.int64)
+    r = lib.dxt_encode_plain(
+        _shim_ptr(data), _shim_ptr(offs), len(entries),
+        _shim_ptr(np.ascontiguousarray(scheme.codebits.astype(np.uint32))),
+        _shim_ptr(np.ascontiguousarray(scheme.codelens.astype(np.int32))),
+        scheme.type, _shim_ptr(out), len(out), _shim_ptr(out_lens))
+    assert r == len(expected)
+    assert out[:r].tobytes() == expected
+
+
+def test_native_run_encoder_long_code_fallback():
+    from dextractor_tpu.native import qv_encode_shim
+    from dextractor_tpu.ops import bitstream as bs
+
+    try:
+        lib = qv_encode_shim()
+    except OSError:
+        pytest.skip("native shim unavailable")
+    neme = _unary_scheme(12)
+    reme = _unary_scheme(20)            # run code len 20 > 16: fast path off
+    rchar = 3
+    rng = np.random.default_rng(6)
+    entries = []
+    for _ in range(7):
+        n = int(rng.integers(0, 300))
+        e = rng.integers(0, 10, size=n).astype(np.uint8)
+        e[rng.random(n) < 0.6] = rchar
+        entries.append(e)
+    expected = b"".join(bs.encode_run_stream(neme, reme, e, rchar).tobytes()
+                        for e in entries)
+    data = np.concatenate([np.zeros(0, np.uint8)] + entries)
+    offs = np.zeros(len(entries) + 1, np.int64)
+    np.cumsum([len(e) for e in entries], out=offs[1:])
+    out = np.empty(len(expected) * 2 + 1024, np.uint8)
+    out_lens = np.zeros(len(entries), np.int64)
+    r = lib.dxt_encode_run(
+        _shim_ptr(data), _shim_ptr(offs), len(entries),
+        _shim_ptr(np.ascontiguousarray(neme.codebits.astype(np.uint32))),
+        _shim_ptr(np.ascontiguousarray(neme.codelens.astype(np.int32))),
+        neme.type,
+        _shim_ptr(np.ascontiguousarray(reme.codebits.astype(np.uint32))),
+        _shim_ptr(np.ascontiguousarray(reme.codelens.astype(np.int32))),
+        rchar, _shim_ptr(out), len(out), _shim_ptr(out_lens))
+    assert r == len(expected)
+    assert out[:r].tobytes() == expected
