@@ -81,6 +81,23 @@ def channel_rects(buf: np.ndarray, starts: np.ndarray, coffs: np.ndarray,
     return rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub
 
 
+def span_buckets(coffs) -> np.ndarray:
+    """Per-entry pow2 rect-width bucket key from the lens walk's channel
+    offsets — the rect width the entry's widest channel needs (== what
+    channel_rects picks for a batch of just this entry).  Entries sharing
+    a key decode in one launch at that conveyor geometry."""
+    coffs_a = np.asarray(coffs, np.int64)
+    if len(coffs_a) == 0:
+        return np.zeros(0, np.int64)
+    spans = np.maximum.reduce([
+        coffs_a[:, 0],
+        coffs_a[:, 2] - coffs_a[:, 1],
+        coffs_a[:, 3] - coffs_a[:, 2],
+        coffs_a[:, 4] - coffs_a[:, 3]])
+    return np.maximum(64, 2 ** np.ceil(
+        np.log2(np.maximum(spans // 4 + 12, 1))).astype(np.int64))
+
+
 def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
                          rlens: np.ndarray, coffs: np.ndarray,
                          ntoks: np.ndarray, coding, mesh=None):
@@ -90,19 +107,27 @@ def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
     laid out as a dense word-aligned rectangle host-side (memcpy speed),
     so the chip fetches only the channel being decoded and never
     random-accesses the container image; run chains are bounded by the
-    lens walk's exact token counts.  Returns (5, N, max_len) u8 rows."""
+    lens walk's exact token counts.
+
+    Entries are split into compressed-length buckets (one launch per
+    bucket) so a realistic PacBio length mix decodes each read at its
+    own bucket's geometry — a single 60 kb read no longer demotes the
+    whole batch off the conveyor or inflates every short read's padded
+    plane width (round-2 long-read cliff).  Returns (5, N, max_len) u8
+    rows with max_len the global bucket."""
     import jax.numpy as jnp
     from ..ops import decode2 as d2
 
     rlens = np.asarray(rlens, np.int32)
+    starts = np.asarray(starts, np.int64)
+    coffs_a = np.asarray(coffs, np.int64)
+    ntoks_a = np.asarray(ntoks)
+    n = len(starts)
     # quarter-octave buckets (not pow2): every (N, max_len) plane op —
     # expand network, tag route, masks, the output stack — pays the full
     # padded width, and pow2 made that up to 2x the data (chip ablation:
     # max_len 4096 vs longest read 2050 at bench shapes)
-    max_len = bucket_len(int(rlens.max(initial=0)), 512)
-    max_sym = bucket_len(int(rlens.max(initial=0)))
-    max_tokens = bucket_len(int(np.asarray(ntoks).max(initial=0)), 16)
-    rects = channel_rects(buf, starts, coffs, max_len)
+    gmax_len = bucket_len(int(rlens.max(initial=0)), 512)
     sids, f1, f2, types, del_mode, sub_mode, subw, lmax = \
         decode_tables_v2(coding)
     chan_l2 = tuple(bool(((f1[sids[k]] >> 20) & 1).any())
@@ -110,20 +135,40 @@ def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
     args_rep = (jnp.asarray(sids), jnp.asarray(f1), jnp.asarray(f2),
                 jnp.asarray(types), jnp.int32(coding.del_char & 0xFF),
                 jnp.int32(coding.sub_char & 0xFF))
-    statics = dict(max_len=max_len, max_tokens=max_tokens,
-                   del_mode=del_mode, sub_mode=sub_mode, subw=subw,
-                   lmax=lmax, chan_l2=chan_l2, max_sym=max_sym)
-    if mesh is None:
-        return d2.decode_entry_batch2(
-            *(jnp.asarray(r) for r in rects), jnp.asarray(rlens),
-            *args_rep, **statics)
-    from ..parallel.pipeline import sharded_decode_entry
-    fn = sharded_decode_entry(mesh, **statics)
-    n = len(starts)
-    pad = (-n) % mesh.devices.size
-    rows = fn(*(jnp.asarray(np.pad(r, ((0, pad), (0, 0)))) for r in rects),
-              jnp.asarray(np.pad(rlens, (0, pad))), *args_rep)
-    return rows[:, :n]
+
+    def launch(sel):
+        rl_b = rlens[sel]
+        max_len = bucket_len(int(rl_b.max(initial=0)), 512)
+        max_sym = bucket_len(int(rl_b.max(initial=0)))
+        max_tokens = bucket_len(int(ntoks_a[sel].max(initial=0)), 16)
+        rects = channel_rects(buf, starts[sel], coffs_a[sel], max_len)
+        statics = dict(max_len=max_len, max_tokens=max_tokens,
+                       del_mode=del_mode, sub_mode=sub_mode, subw=subw,
+                       lmax=lmax, chan_l2=chan_l2, max_sym=max_sym)
+        if mesh is None:
+            rows = d2.decode_entry_batch2(
+                *(jnp.asarray(r) for r in rects), jnp.asarray(rl_b),
+                *args_rep, **statics)
+            return rows, max_len
+        from ..parallel.pipeline import sharded_decode_entry
+        fn = sharded_decode_entry(mesh, **statics)
+        pad = (-len(sel)) % mesh.devices.size
+        rows = fn(*(jnp.asarray(np.pad(r, ((0, pad), (0, 0))))
+                    for r in rects),
+                  jnp.asarray(np.pad(rl_b, (0, pad))), *args_rep)
+        return rows[:, : len(sel)], max_len
+
+    kws = span_buckets(coffs_a)
+    uniq = np.unique(kws)
+    if len(uniq) <= 1:
+        rows, _ = launch(np.arange(n))
+        return rows
+    out = np.zeros((5, n, gmax_len), np.uint8)
+    for kw in uniq:
+        sel = np.flatnonzero(kws == kw)
+        rows, ml = launch(sel)
+        out[:, sel, :ml] = np.asarray(rows)
+    return out
 
 
 def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
@@ -191,11 +236,16 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
     starts = np.asarray(starts, np.int64)
     out = np.empty((5, n, max_len), np.uint8)
 
-    # accelerator single-device path: per-scheme conveyor chains over
-    # dense channel rectangles (the per-read scheme ids of a multi-cell
-    # DB group naturally — one kernel launch per live scheme)
-    import jax as _jax
-    use_conveyor = mesh is None and _jax.default_backend() != "cpu"
+    # accelerator path: per-scheme conveyor chains over dense channel
+    # rectangles (the per-read scheme ids of a multi-cell DB group
+    # naturally — one kernel launch per live scheme).  With a mesh the
+    # same conveyor runs per shard under shard_map — per-shard
+    # rectangles are ordinary device arrays, so per-read decode cost
+    # must not depend on partitioning (DB.c:2575-2621 consumption).
+    from ..ops.decode2 import conveyor_mode
+
+    cmode = conveyor_mode()
+    use_conveyor = cmode is not None
     if use_conveyor:
         from ..ops.decode2 import scheme_tables2, build_entry_rect
         from ..ops import decode_conveyor as dcv
@@ -207,30 +257,80 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
         # per-entry byte span bounds any channel's stream length
         entry_ends = np.concatenate([starts[1:], np.array([len(buf)])])
         f2_j = jnp.asarray(f2_t) if use_conveyor else None
+        interp = cmode == "interpret"
 
     def _rect_k(spans):
         k = int(np.max(spans, initial=0) // 4) + 16
         return 1 << max(k - 1, 63).bit_length()
+
+    def _kw_buckets(sel, spans):
+        """Split a scheme group by pow2 rect width so long entries get
+        their own conveyor geometry and short ones keep full speed;
+        entries past the conveyor ceiling fall back to the XLA chains."""
+        from ..ops.decode_conveyor import MAX_CONV_WORDS
+
+        kws = np.maximum(64, 2 ** np.ceil(np.log2(np.maximum(
+            spans // 4 + 16, 1))).astype(np.int64))
+        for kw in np.unique(kws):
+            yield sel[kws == kw], int(kw), int(kw) > MAX_CONV_WORDS
+
+    def _shmap(fn, n_extra_out: int):
+        """shard_map a conveyor call: rect + chains over the data axis,
+        tables replicated.  Shards see plain device arrays, so the
+        Pallas kernel runs unchanged per shard."""
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        from ..parallel.mesh import DATA_AXIS
+
+        return shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS, None),) * (1 + n_extra_out)
+            + (P(DATA_AXIS),) * 2,
+            check_vma=False)       # pallas_call out_shapes carry no vma
+
+    def _conv_dispatch(rect, rl, kern):
+        """Run ``kern(rect, rl)`` directly or shard_map'd over ``mesh``
+        (chains padded to the device count)."""
+        if mesh is None:
+            return kern(jnp.asarray(rect), jnp.asarray(rl))
+        nsh = mesh.devices.size
+        pad = (-len(rl)) % nsh
+        outs = _shmap(kern, 1 if kern.__name__ == "_run" else 0)(
+            jnp.asarray(np.pad(rect, ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(rl, (0, pad))))
+        return tuple(o[: len(rl)] for o in outs)
 
     def _conv_plain(starts_b, rl, sym_ids):
         o = np.zeros((len(starts_b), max_len), np.uint8)
         bits = np.zeros(len(starts_b), np.int64)
         lg = np.zeros(len(starts_b), np.int64)
         for sid in np.unique(sym_ids):
-            sel = np.flatnonzero(sym_ids == sid)
+            gsel = np.flatnonzero(sym_ids == sid)
             # the channel start lies inside its entry; the entry end
             # bounds the channel's stream length
-            eidx = np.searchsorted(starts, starts_b[sel], "right") - 1
-            spans = entry_ends[eidx] - starts_b[sel]
-            rect = build_entry_rect(buf, starts_b[sel], _rect_k(spans))
+            eidx = np.searchsorted(starts, starts_b[gsel], "right") - 1
+            gspans = entry_ends[eidx] - starts_b[gsel]
             sig = 255 if types_np[sid] == 2 else 256
-            rows, b, g = dcv.plain_chain_conveyor(
-                jnp.asarray(rect), jnp.asarray(rl[sel]),
-                jnp.asarray(f1_t[sid]), f2_j, jnp.int32(sig),
-                max_len=max_sym, subw=subw_t, lmax=lmax_t)
-            o[sel, :max_sym] = np.asarray(rows)
-            bits[sel] = np.asarray(b)
-            lg[sel] = np.asarray(g)
+            f1_j = jnp.asarray(f1_t[sid])
+
+            def _plain(rect_, rl_):
+                return dcv.plain_chain_conveyor(
+                    rect_, rl_, f1_j, f2_j, jnp.int32(sig),
+                    max_len=max_sym, subw=subw_t, lmax=lmax_t,
+                    interpret=interp)
+
+            for sel, kw, too_wide in _kw_buckets(gsel, gspans):
+                if too_wide:       # past the conveyor ceiling: XLA chain
+                    ob, b, g = _xla_plain(starts_b[sel], rl[sel],
+                                          sym_ids[sel])
+                    o[sel] = np.asarray(ob)
+                else:
+                    rect = build_entry_rect(buf, starts_b[sel], kw)
+                    rows, b, g = _conv_dispatch(rect, rl[sel], _plain)
+                    o[sel, :max_sym] = np.asarray(rows)
+                bits[sel] = np.asarray(b)
+                lg[sel] = np.asarray(g)
         return o, bits, lg
 
     def _conv_run(starts_b, rl, sym_ids, run_ids):
@@ -240,30 +340,37 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
         lg = np.zeros(len(starts_b), np.int64)
         keys = sym_ids.astype(np.int64) * 1000 + run_ids
         for key in np.unique(keys):
-            sel = np.flatnonzero(keys == key)
-            sid, rid = int(sym_ids[sel[0]]), int(run_ids[sel[0]])
-            eidx = np.searchsorted(starts, starts_b[sel], "right") - 1
-            spans = entry_ends[eidx] - starts_b[sel]
-            rect = build_entry_rect(buf, starts_b[sel], _rect_k(spans))
+            gsel = np.flatnonzero(keys == key)
+            sid, rid = int(sym_ids[gsel[0]]), int(run_ids[gsel[0]])
+            eidx = np.searchsorted(starts, starts_b[gsel], "right") - 1
+            gspans = entry_ends[eidx] - starts_b[gsel]
             sig = 255 if types_np[sid] == 2 else 256
-            r_, l_, b, g = dcv.run_chain_conveyor(
-                jnp.asarray(rect), jnp.asarray(rl[sel]),
-                jnp.asarray(f1_t[rid]), jnp.asarray(f1_t[sid]), f2_j,
-                jnp.int32(sig), max_tokens=max_sym, subw=subw_t,
-                lmax=lmax_t)
-            t = min(max_len, r_.shape[1])
-            runs[sel, :t] = np.asarray(r_)[:, :t]
-            lits[sel, :t] = np.asarray(l_)[:, :t]
-            bits[sel] = np.asarray(b)
-            lg[sel] = np.asarray(g)
+            f1r_j, f1s_j = jnp.asarray(f1_t[rid]), jnp.asarray(f1_t[sid])
+
+            def _run(rect_, rl_):
+                return dcv.run_chain_conveyor(
+                    rect_, rl_, f1r_j, f1s_j, f2_j, jnp.int32(sig),
+                    max_tokens=max_sym, subw=subw_t, lmax=lmax_t,
+                    interpret=interp)
+
+            for sel, kw, too_wide in _kw_buckets(gsel, gspans):
+                if too_wide:
+                    r_, l_, _, b, g = _xla_run(starts_b[sel], rl[sel],
+                                               sym_ids[sel], run_ids[sel])
+                else:
+                    rect = build_entry_rect(buf, starts_b[sel], kw)
+                    r_, l_, b, g = _conv_dispatch(rect, rl[sel], _run)
+                t = min(max_len, np.asarray(r_).shape[1])
+                runs[sel, :t] = np.asarray(r_)[:, :t]
+                lits[sel, :t] = np.asarray(l_)[:, :t]
+                bits[sel] = np.asarray(b)
+                lg[sel] = np.asarray(g)
         return runs, lits, None, bits, lg
 
     def _pad(a):
         return jnp.asarray(np.pad(a, (0, (-len(a)) % nsh)))
 
-    def _plain(starts_b, rl, sym_ids):
-        if use_conveyor:
-            return _conv_plain(starts_b, rl, sym_ids)
+    def _xla_plain(starts_b, rl, sym_ids):
         if mesh is None:
             return dj.decode_plain_batch(
                 bufd, jnp.asarray(starts_b), jnp.asarray(rl),
@@ -274,9 +381,7 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
         m = len(starts_b)
         return o[:m], b[:m], lg[:m]
 
-    def _run(starts_b, rl, sym_ids, run_ids):
-        if use_conveyor:
-            return _conv_run(starts_b, rl, sym_ids, run_ids)
+    def _xla_run(starts_b, rl, sym_ids, run_ids):
         if mesh is None:
             return dj.decode_run_batch(
                 bufd, jnp.asarray(starts_b), jnp.asarray(rl),
@@ -287,6 +392,16 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
             lookups, lens_t, types)
         m = len(starts_b)
         return runs[:m], lits[:m], em[:m], b[:m], lg[:m]
+
+    def _plain(starts_b, rl, sym_ids):
+        if use_conveyor:
+            return _conv_plain(starts_b, rl, sym_ids)
+        return _xla_plain(starts_b, rl, sym_ids)
+
+    def _run(starts_b, rl, sym_ids, run_ids):
+        if use_conveyor:
+            return _conv_run(starts_b, rl, sym_ids, run_ids)
+        return _xla_run(starts_b, rl, sym_ids, run_ids)
 
     def channel(starts_b, key, run_key, rchars):
         """Decode one channel for all reads; returns (rows, words)."""

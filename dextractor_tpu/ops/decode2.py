@@ -50,6 +50,19 @@ def _use_gather() -> bool:
     return (not _FORCE_OH) and jax.default_backend() == "cpu"
 
 
+def conveyor_mode() -> str | None:
+    """May the VMEM conveyor kernels dispatch, and how?
+
+    "tpu" -> real Mosaic kernels; "interpret" -> pallas interpret mode
+    (env DXT_CONVEYOR_INTERPRET=1 — CPU tests exercising the conveyor
+    code path, incl. under shard_map); None -> XLA chains."""
+    if pallas_ok():
+        return "tpu"
+    if os.environ.get("DXT_CONVEYOR_INTERPRET") == "1":
+        return "interpret"
+    return None
+
+
 # ---------------------------------------------------------------------------
 # host-side table + rectangle preparation
 # ---------------------------------------------------------------------------
@@ -332,16 +345,18 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
     # serial group-steps below the padded row width — pow2 row bucketing
     # alone would run up to 2x dead steps past every chain's end
     ml = max_len if max_sym is None else min(max_len, max_sym)
-    # the conveyor keeps each chain's whole stream resident in VMEM
-    # ((K*8, 128) i32 per column group) — beyond K=2048 words (~10 kb
-    # reads) it cannot fit, and the windowed XLA chain below takes over
-    if (pallas_ok() and rect.shape[1] <= 2048
+    # the conveyor keeps each chain's whole stream resident in VMEM —
+    # beyond 2048 words it drops sublane groups (G = 4/2/1, proportional
+    # chains-per-step) up to 16384 words (~60-130 kb reads); only past
+    # that does the windowed XLA chain below take over
+    cmode = conveyor_mode()
+    if (cmode and rect.shape[1] <= 16384
             and (not subw or f2_rows <= 16)):
         from .decode_conveyor import plain_chain_conveyor
 
         out = plain_chain_conveyor(rect, rlens, f1c, f2, signal,
-                                   max_len=ml, subw=subw,
-                                   lmax=lmax)[0]
+                                   max_len=ml, subw=subw, lmax=lmax,
+                                   interpret=cmode == "interpret")[0]
         if ml < max_len:
             out = jnp.pad(out, ((0, 0), (0, max_len - ml)))
         return out
@@ -397,12 +412,13 @@ def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
     ml = max_len if max_sym is None else min(max_len, max_sym)
     f2_rows = (f2.shape[0] + 127) // 128
     singles = []
-    if pallas_ok():
+    cmode = conveyor_mode()
+    if cmode:
         from .decode_conveyor import plain_chains_conveyor
 
         by_sw: dict = {}
         for key, rect, f1c, sg, sw_k in specs:
-            if rect.shape[1] <= 2048 and (not sw_k or f2_rows <= 16):
+            if rect.shape[1] <= 16384 and (not sw_k or f2_rows <= 16):
                 by_sw.setdefault(sw_k, []).append((key, rect, f1c, sg))
             else:
                 singles.append((key, rect, f1c, sg, sw_k))
@@ -412,7 +428,8 @@ def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
                 continue
             res = plain_chains_conveyor(
                 [g[1] for g in grp], rlens, [g[2] for g in grp], f2,
-                [g[3] for g in grp], max_len=ml, subw=sw_k, lmax=lmax)
+                [g[3] for g in grp], max_len=ml, subw=sw_k, lmax=lmax,
+                interpret=cmode == "interpret")
             for (key, *_), (syms, _, _) in zip(grp, res):
                 if ml < max_len:
                     syms = jnp.pad(syms, ((0, 0), (0, max_len - ml)))
@@ -436,13 +453,15 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
     decode_jax.decode_run_batch.  On accelerator backends the chains run
     in the VMEM conveyor kernel (ops/decode_conveyor)."""
     f2_rows = (f2.shape[0] + 127) // 128
-    if (pallas_ok() and rect.shape[1] <= 2048
+    cmode = conveyor_mode()
+    if (cmode and rect.shape[1] <= 16384
             and (not subw or f2_rows <= 16)):
         from .decode_conveyor import run_chain_conveyor
 
         return run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal,
                                   max_tokens=max_tokens, subw=subw,
-                                  lmax=lmax)[:2]
+                                  lmax=lmax,
+                                  interpret=cmode == "interpret")[:2]
     n = rlens.shape[0]
     group_sz = 3
     groups = (max_tokens + group_sz - 1) // group_sz
@@ -513,7 +532,11 @@ def _expand_dispatch(runs, lits, rchar, *, max_len: int):
     import os
 
     if (jax.default_backend() == "tpu"
+            and max(max_len, runs.shape[1]) <= 16384
             and os.environ.get("DXT_EXPAND_PALLAS", "1") == "1"):
+        # width cap: the VMEM kernel holds (B, width) i32 planes and its
+        # roll network is chip-validated to bench widths; long-read
+        # buckets (wider planes, few rows) take the XLA network
         from .expand_pallas import expand_runs_pallas
 
         return expand_runs_pallas(runs, lits, rchar, max_len=max_len)

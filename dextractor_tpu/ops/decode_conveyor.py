@@ -68,19 +68,56 @@ W_PLAIN = 16                # window words: ceil(16*24/32) + 2
 G_RUN = 8
 W_RUN = 17                  # ceil(8*56/32) + 3
 CHAINS = 1024               # 8 sublane groups x 128 lanes per grid step
+MAX_CONV_WORDS = 16384      # 1-group geometry ceiling (8 MB scratch)
+
+
+def _geometry(k: int) -> int:
+    """Sublane groups per chain set for stream width k words.
+
+    The conveyor scratch is (k*G, 128*sets) i32 under an 8 MB ceiling,
+    so longer streams trade chains-per-step for stream capacity: G=8
+    (1024 chains/set) to 2048 words, then G=1 with wide lanes (sets =
+    4/2/1 for 4096/8192/16384 words) — the long-read tail of a PacBio
+    length distribution decodes at a proportional fraction of full
+    speed instead of falling off the ~8.6x XLA-chain cliff (round-2
+    verdict).  G=1 rather than 4/2 sublane groups because the advance
+    select must otherwise condition every word slice separately (O(K)
+    traced ops — compile-time poison); at G=1 the per-chain delta is a
+    pure lane value, sublane-broadcast from a scratch ref in O(1) ops
+    per round (tools/mosaic_probe.py p5/p6).  Chip-probed: rolls,
+    slices and select-sums lower at (1, L); lane-gathers run two-high
+    (_taka)."""
+    if k <= 2048:
+        return 8
+    if k <= MAX_CONV_WORDS:
+        return 1
+    raise ValueError(f"stream width {k} words exceeds the conveyor "
+                     f"ceiling {MAX_CONV_WORDS}")
+
+
+def _taka(tbl, idx):
+    """take_along_axis that tolerates single-sublane shapes: Mosaic's
+    dynamic lane-gather rejects (1, 128) operands (tools/mosaic_probe.py
+    p1_gather_1), so those run two-high and keep row 0."""
+    if idx.shape[0] == 1:
+        t2 = jnp.concatenate([tbl, tbl], axis=0)
+        i2 = jnp.concatenate([idx, idx], axis=0)
+        return jnp.take_along_axis(t2, i2, axis=1)[0:1]
+    return jnp.take_along_axis(tbl, idx, axis=1)
 
 
 def _gather128(row, idx):
-    """row (1, 128) ref-loaded table; idx (8, L) -> gathered (8, L).
+    """row (1, 128) ref-loaded table; idx (G, L) -> gathered (G, L).
 
     The hardware dynamic lane-gather works per 128-lane VREG with
     lane-local indices, so wider planes gather slice-by-slice (the
     slices are VREG-aligned; concat is a layout no-op)."""
-    tbl = jnp.broadcast_to(row, (8, 128))
+    g = idx.shape[0]
+    tbl = jnp.broadcast_to(row, (g, 128))
     lanes = idx.shape[1]
     if lanes == 128:
-        return jnp.take_along_axis(tbl, idx, axis=1)
-    outs = [jnp.take_along_axis(tbl, idx[:, q * 128:(q + 1) * 128], axis=1)
+        return _taka(tbl, idx)
+    outs = [_taka(tbl, idx[:, q * 128:(q + 1) * 128])
             for q in range(lanes // 128)]
     return jnp.concatenate(outs, axis=1)
 
@@ -102,8 +139,8 @@ def _lut2_gather_slots(f1lo, f1hi, idx):
     for q in range(lanes // 128):
         sl = slice(q * 128, (q + 1) * 128)
         i = idx[:, sl]
-        lo = jnp.take_along_axis(f1lo[:, sl], i & 127, axis=1)
-        hi = jnp.take_along_axis(f1hi[:, sl], i & 127, axis=1)
+        lo = _taka(f1lo[:, sl], i & 127)
+        hi = _taka(f1hi[:, sl], i & 127)
         outs.append(jnp.where(i < 128, lo, hi))
     return jnp.concatenate(outs, axis=1)
 
@@ -142,19 +179,32 @@ def _entry_lookup_slots(cw, f1lo, f1hi, f2_ref, subw: int, lmax: int,
     return e1
 
 
-def _advance(conv, delta, max_bits: int):
+def _advance(conv, delta, max_bits: int, g: int = 8, bcast_ref=None):
     """Roll each chain's conveyor up by delta words.
 
-    conv (K*8, 128) interleaved; delta (8, 128) per chain group — the
-    (8,128) condition applies uniformly to every word slice."""
-    k8 = conv.shape[0]
+    conv (K*G, lanes) interleaved; delta (G, lanes) per chain group —
+    the condition applies uniformly to every word slice.  g=8: the
+    (8, lanes) condition selects per word slice (O(K) traced selects —
+    fine at K <= 2048).  g=1: delta is a pure lane value; it round-trips
+    through ``bcast_ref`` (computed (1, L) values cannot sublane-
+    broadcast, ref-loaded ones can) and broadcasts over the whole
+    conveyor, so each round is ONE roll + ONE select regardless of K."""
+    kg = conv.shape[0]
+    if g == 1:
+        bcast_ref[:] = delta
+        d = jnp.broadcast_to(bcast_ref[:], conv.shape)
+        for b in range(max_bits):
+            step = 1 << b
+            rolled = pltpu.roll(conv, kg - step, axis=0)
+            conv = jnp.where(((d >> b) & 1) == 1, rolled, conv)
+        return conv
     for b in range(max_bits):
         step = 1 << b
         cond = ((delta >> b) & 1) == 1
-        rolled = pltpu.roll(conv, k8 - 8 * step, axis=0)
-        outs = [jnp.where(cond, rolled[c * 8:(c + 1) * 8],
-                          conv[c * 8:(c + 1) * 8])
-                for c in range(k8 // 8)]
+        rolled = pltpu.roll(conv, kg - g * step, axis=0)
+        outs = [jnp.where(cond, rolled[c * g:(c + 1) * g],
+                          conv[c * g:(c + 1) * g])
+                for c in range(kg // g)]
         conv = jnp.concatenate(outs, axis=0)
     return conv
 
@@ -171,16 +221,16 @@ def _tree_sum(terms):
     return terms[0]
 
 
-def _window(conv, wpos, w_words: int):
+def _window(conv, wpos, w_words: int, g: int = 8):
     """64-bit window (a, b) at word offset wpos[chain] of the conveyor.
 
-    wpos (8, 128); returns (8, 128) u32 words per chain.  Each candidate
+    wpos (G, 128); returns (G, 128) u32 words per chain.  Each candidate
     slice is one select — exactly one contributes per chain, so i32 sums
     are exact (Mosaic cannot reduce u32)."""
-    w_words = min(w_words, conv.shape[0] // 8)
+    w_words = min(w_words, conv.shape[0] // g)
     ta, tb = [], []
     for c in range(w_words):
-        sl = conv[c * 8:(c + 1) * 8]
+        sl = conv[c * g:(c + 1) * g]
         ta.append(jnp.where(wpos == c, sl, 0))
         tb.append(jnp.where(wpos + 1 == c, sl, 0))
     return (_tree_sum(ta).astype(jnp.uint32),
@@ -188,12 +238,18 @@ def _window(conv, wpos, w_words: int):
 
 
 def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
-                          f2r: int, lanes: int, interpret: bool = False):
+                          f2r: int, lanes: int, interpret: bool = False,
+                          gg: int = 8):
     def kernel(rectT_ref, rlen_ref, f1_ref, f2_ref, prm_ref, out_ref,
-               stats_ref, conv_ref, pos_ref, base_ref, last_ref, dma_sem):
+               stats_ref, *scr):
+        if gg == 1:
+            conv_ref, pos_ref, base_ref, last_ref, bc_ref, dma_sem = scr
+        else:
+            conv_ref, pos_ref, base_ref, last_ref, dma_sem = scr
+            bc_ref = None
         j = pl.program_id(0)
         g = pl.program_id(1)
-        rlen = rlen_ref[:]                           # (8, lanes) per chain
+        rlen = rlen_ref[:]                           # (gg, lanes) per chain
 
         @pl.when(g == 0)
         def _init():
@@ -219,7 +275,8 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         base = base_ref[:]
         last = last_ref[:]
         delta = (pos >> 5) - base
-        conv = _advance(conv_ref[:], delta, max_bits=4)
+        conv = _advance(conv_ref[:], delta, max_bits=4, g=gg,
+                        bcast_ref=bc_ref)
         conv_ref[:] = conv
         base = base + delta
         syms = []
@@ -230,7 +287,7 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             # and symbol s has consumed <= 24*s bits since, so only the
             # first (24*s)//32 + 2 words can hold its window
             sw_a, sw_b = _window(conv, wpos, min((24 * s) // 32 + 2,
-                                                 W_PLAIN))
+                                                 W_PLAIN), gg)
             p = (pos & 31).astype(jnp.uint32)
             cw = _entry_lookup(_peek16(sw_a, sw_b, p), f1, f2_ref,
                                subw, lmax, f2r)
@@ -250,23 +307,29 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
 
         @pl.when(g == n_groups - 1)
         def _fin():
-            stats_ref[0:8, :] = pos
-            stats_ref[8:16, :] = last
+            stats_ref[0:gg, :] = pos
+            stats_ref[gg:2 * gg, :] = last
 
     return kernel
 
 
 def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                                 f2r: int, lanes: int,
-                                interpret: bool = False):
+                                interpret: bool = False, gg: int = 8):
     """Plain-chain kernel with per-slot L1 tables and signals: one launch
     decodes chains of several channels (schemes) at once — the serial
     per-symbol dependency chain is walked ONCE for all of them instead of
     once per channel (the chains are latency-bound; see module docstring).
-    f1 arrives as (16, lanes): rows 0-7 the lo half, 8-15 the hi half of
-    each slot's 256-entry table; prm as (8, lanes) per-slot signals."""
+    f1 arrives as (2*gg, lanes): rows [0, gg) the lo half, [gg, 2gg) the
+    hi half of each slot's 256-entry table; prm as (gg, lanes) per-slot
+    signals."""
     def kernel(rectT_ref, rlen_ref, f1_ref, f2_ref, prm_ref, out_ref,
-               stats_ref, conv_ref, pos_ref, base_ref, last_ref, dma_sem):
+               stats_ref, *scr):
+        if gg == 1:
+            conv_ref, pos_ref, base_ref, last_ref, bc_ref, dma_sem = scr
+        else:
+            conv_ref, pos_ref, base_ref, last_ref, dma_sem = scr
+            bc_ref = None
         j = pl.program_id(0)
         g = pl.program_id(1)
         rlen = rlen_ref[:]
@@ -285,14 +348,15 @@ def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             base_ref[:] = rlen * 0
             last_ref[:] = rlen * 0
 
-        f1lo = f1_ref[0:8, :]
-        f1hi = f1_ref[8:16, :]
+        f1lo = f1_ref[0:gg, :]
+        f1hi = f1_ref[gg:2 * gg, :]
         signal = prm_ref[:]
         pos = pos_ref[:]
         base = base_ref[:]
         last = last_ref[:]
         delta = (pos >> 5) - base
-        conv = _advance(conv_ref[:], delta, max_bits=4)
+        conv = _advance(conv_ref[:], delta, max_bits=4, g=gg,
+                        bcast_ref=bc_ref)
         conv_ref[:] = conv
         base = base + delta
         syms = []
@@ -300,7 +364,7 @@ def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             active = (g * G_PLAIN + s) < rlen
             wpos = (pos >> 5) - base
             sw_a, sw_b = _window(conv, wpos, min((24 * s) // 32 + 2,
-                                                 W_PLAIN))
+                                                 W_PLAIN), gg)
             p = (pos & 31).astype(jnp.uint32)
             cw = _entry_lookup_slots(_peek16(sw_a, sw_b, p), f1lo, f1hi,
                                      f2_ref, subw, lmax, f2r)
@@ -320,27 +384,28 @@ def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
 
         @pl.when(g == n_groups - 1)
         def _fin():
-            stats_ref[0:8, :] = pos
-            stats_ref[8:16, :] = last
+            stats_ref[0:gg, :] = pos
+            stats_ref[gg:2 * gg, :] = last
 
     return kernel
 
 
 def _pick_sets_multi(r: int, k: int):
-    """(sets, npad) minimizing (grid steps, padded chains) under the
+    """(g, sets, npad) minimizing (grid steps, padded chains) under the
     conveyor scratch ceiling.  Unlike _pick_sets, sets need not be a
     power of two — a merged multi-channel batch is rarely pow2-sized."""
+    g = _geometry(k)
     best = None
     for sets in range(1, 9):
-        if k * 8 * 128 * sets * 4 > (8 << 20):
+        if k * g * 128 * sets * 4 > (8 << 20) and sets > 1:
             break
-        block = CHAINS * sets
+        block = g * 128 * sets
         npad = _round_up(max(r, block), block)
         score = (npad // block, npad, sets)
         if best is None or score < best:
             best = score
     steps, npad, sets = best
-    return sets, npad
+    return g, sets, npad
 
 
 def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
@@ -364,15 +429,15 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
     rl = jnp.pad(rlens.astype(jnp.int32), (0, npc - n))
     rlall = jnp.concatenate([rl] * C)
     r_tot = C * npc
-    sets, npad = _pick_sets_multi(r_tot, k)
+    gg, sets, npad = _pick_sets_multi(r_tot, k)
     lanes = 128 * sets
     if npad != r_tot:
         rect = jnp.pad(rect, ((0, npad - r_tot), (0, 0)))
         rlall = jnp.pad(rlall, (0, npad - r_tot))
     rectT = jax.lax.bitcast_convert_type(
-        _interleave_rect(rect, npad), jnp.int32)
-    rlen8 = _chain_plane(rlall, npad)
-    ncols = npad // CHAINS * 128
+        _interleave_rect(rect, npad, gg), jnp.int32)
+    rlen8 = _chain_plane(rlall, npad, gg)
+    ncols = npad // gg
 
     # per-slot table/signal planes: slot g*8+s sits at [s, g*128:(g+1)*128]
     slot_channel = np.minimum(
@@ -382,9 +447,9 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
     sig_stack = jnp.stack([jnp.asarray(s, jnp.int32).reshape(())
                            for s in signals])
 
-    def plane(x):                             # (nslots, 128) -> (8, ncols)
+    def plane(x):                             # (nslots, 128) -> (gg, ncols)
         ng = ncols // 128
-        return x.reshape(ng, 8, 128).transpose(1, 0, 2).reshape(8, ncols)
+        return x.reshape(ng, gg, 128).transpose(1, 0, 2).reshape(gg, ncols)
 
     f1p = jnp.concatenate([plane(f1_stack[sel, :128]),
                            plane(f1_stack[sel, 128:])])
@@ -397,49 +462,56 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
     groups = (max_len + G_PLAIN - 1) // G_PLAIN
     lp = groups * G_PLAIN
     kern = _plain_slots_kernel_factory(k, groups, subw, lmax, f2r_used,
-                                       lanes, interpret)
+                                       lanes, interpret, gg)
     outT, stats = pl.pallas_call(
         kern,
         grid=(ncols // lanes, groups),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, lanes), lambda j, g: (0, j),
+            pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, lanes), lambda j, g: (0, j),
+            pl.BlockSpec((2 * gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f2p.shape[0], 128), lambda j, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, lanes), lambda j, g: (0, j),
+            pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G_PLAIN * 8, lanes), lambda j, g: (g, j),
+            pl.BlockSpec((G_PLAIN * gg, lanes), lambda j, g: (g, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, lanes), lambda j, g: (0, j),
+            pl.BlockSpec((2 * gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((lp * 8, ncols), jnp.int32),
-            jax.ShapeDtypeStruct((16, ncols), jnp.int32),
+            jax.ShapeDtypeStruct((lp * gg, ncols), jnp.int32),
+            jax.ShapeDtypeStruct((2 * gg, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * 8, lanes), jnp.int32)]
-        + [pltpu.VMEM((8, lanes), jnp.int32)] * 3
+        scratch_shapes=[pltpu.VMEM((k * gg, lanes), jnp.int32)]
+        + [pltpu.VMEM((gg, lanes), jnp.int32)] * 3
+        + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
         + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(rectT, rlen8, f1p, f2p, prm)
-    syms_all = _unrows(outT, lp, npad, max_len).astype(jnp.uint8)
-    bits_all = _unplane(stats[0:8], npad)
-    last_all = _unplane(stats[8:16], npad)
+    syms_all = _unrows(outT, lp, npad, max_len, gg).astype(jnp.uint8)
+    bits_all = _unplane(stats[0:gg], npad)
+    last_all = _unplane(stats[gg:2 * gg], npad)
     return [(syms_all[c * npc:c * npc + n],
              bits_all[c * npc:c * npc + n],
              last_all[c * npc:c * npc + n]) for c in range(C)]
 
 
 def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
-                        f2r: int, lanes: int, interpret: bool = False):
+                        f2r: int, lanes: int, interpret: bool = False,
+                        gg: int = 8):
     def kernel(rectT_ref, rlen_ref, f1r_ref, f1s_ref, f2_ref, prm_ref,
-               runs_ref, lits_ref, stats_ref, conv_ref, pos_ref, base_ref,
-               em_ref, last_ref, dma_sem):
+               runs_ref, lits_ref, stats_ref, *scr):
+        if gg == 1:
+            (conv_ref, pos_ref, base_ref, em_ref, last_ref, bc_ref,
+             dma_sem) = scr
+        else:
+            conv_ref, pos_ref, base_ref, em_ref, last_ref, dma_sem = scr
+            bc_ref = None
         j = pl.program_id(0)
         g = pl.program_id(1)
         rlen = rlen_ref[:]
@@ -467,7 +539,8 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         emitted = em_ref[:]
         last = last_ref[:]
         delta = (pos >> 5) - base
-        conv = _advance(conv_ref[:], delta, max_bits=4)
+        conv = _advance(conv_ref[:], delta, max_bits=4, g=gg,
+                        bcast_ref=bc_ref)
         conv_ref[:] = conv
         base = base + delta
         rcols, lcols = [], []
@@ -477,7 +550,7 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             # growing window: token s has consumed <= 56*s bits since the
             # group's word-aligned start
             sw_a, sw_b = _window(conv, wpos, min((56 * s) // 32 + 2,
-                                                 W_RUN))
+                                                 W_RUN), gg)
             p = (pos & 31).astype(jnp.uint32)
             e = _entry_lookup(_peek16(sw_a, sw_b, p), f1r, f2_ref,
                               subw, lmax, f2r)
@@ -494,7 +567,7 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             need_sym = active & (emitted1 < rlen)
             wpos = (pos >> 5) - base
             sw_a, sw_b = _window(conv, wpos, min((56 * s + 48) // 32 + 2,
-                                                 W_RUN))
+                                                 W_RUN), gg)
             p = (pos & 31).astype(jnp.uint32)
             e2 = _entry_lookup(_peek16(sw_a, sw_b, p), f1s, f2_ref,
                                subw, lmax, f2r)
@@ -521,8 +594,8 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
 
         @pl.when(g == n_groups - 1)
         def _fin():
-            stats_ref[0:8, :] = pos
-            stats_ref[8:16, :] = last
+            stats_ref[0:gg, :] = pos
+            stats_ref[gg:2 * gg, :] = last
 
     return kernel
 
@@ -531,47 +604,55 @@ def _round_up(x, mult):
     return (x + mult - 1) // mult * mult
 
 
-def _pick_sets(n: int, k: int) -> int:
-    """Chain sets per grid step: more sets hide more of the serial
-    per-symbol latency, but the conveyor scratch is (k*8, 128*sets) i32
-    (8 MB ceiling) and the batch is padded to 1024*sets chains (cap the
-    padding waste at ~33%)."""
+def _pick_sets(n: int, k: int) -> tuple:
+    """(g, sets) per grid step: more sets hide more of the serial
+    per-symbol latency, but the conveyor scratch is (k*G, 128*sets) i32
+    (8 MB ceiling) and the batch is padded to G*128*sets chains (at g=8
+    cap the padding waste at ~33%; at g=1 dead padded chains cost no
+    grid time, so sets is set by the scratch ceiling alone)."""
+    g = _geometry(k)
+    if g == 1:
+        for sets in (4, 2):
+            if k * 128 * sets * 4 <= (8 << 20):
+                return 1, sets
+        return 1, 1
     for sets in (4, 2):
-        vmem = k * 8 * 128 * sets * 4
-        waste_ok = n > CHAINS * sets // 2
+        vmem = k * g * 128 * sets * 4
+        waste_ok = n > g * 128 * sets // 2
         if vmem <= (8 << 20) and waste_ok:
-            return sets
-    return 1
+            return g, sets
+    return g, 1
 
 
-def _interleave_rect(rect, npad):
-    """rect (Np, K) u32 -> (K*8, Ng*128) conveyor planes.
+def _interleave_rect(rect, npad, g: int = 8):
+    """rect (Np, K) u32 -> (K*G, Ng*128) conveyor planes.
 
-    Chain c = g*1024 + s*128 + l lives at [k*8 + s, g*128 + l]."""
-    ng = npad // CHAINS
+    Chain c = q*(G*128) + s*128 + l lives at [k*G + s, q*128 + l]."""
+    ng = npad // (g * 128)
     k = rect.shape[1]
-    r = rect.reshape(ng, 8, 128, k)
-    return r.transpose(3, 1, 0, 2).reshape(k * 8, ng * 128)
+    r = rect.reshape(ng, g, 128, k)
+    return r.transpose(3, 1, 0, 2).reshape(k * g, ng * 128)
 
 
-def _chain_plane(vec, npad):
-    """(Np,) per-chain values -> (8, Ng*128) sublane-group planes."""
-    ng = npad // CHAINS
-    return (vec.reshape(ng, 8, 128).transpose(1, 0, 2)
-            .reshape(8, ng * 128))
+def _chain_plane(vec, npad, g: int = 8):
+    """(Np,) per-chain values -> (G, Ng*128) sublane-group planes."""
+    ng = npad // (g * 128)
+    return (vec.reshape(ng, g, 128).transpose(1, 0, 2)
+            .reshape(g, ng * 128))
 
 
 def _unplane(plane, n):
-    """(8, Ng*128) -> (Np,) -> first n."""
+    """(G, Ng*128) -> (Np,) -> first n."""
+    g = plane.shape[0]
     ng = plane.shape[1] // 128
-    return plane.reshape(8, ng, 128).transpose(1, 0, 2).reshape(-1)[:n]
+    return plane.reshape(g, ng, 128).transpose(1, 0, 2).reshape(-1)[:n]
 
 
-def _unrows(outT, lp, n, width):
-    """(Lp*8, Ng*128) -> (Np, Lp) -> (n, width)."""
+def _unrows(outT, lp, n, width, g: int = 8):
+    """(Lp*G, Ng*128) -> (Np, Lp) -> (n, width)."""
     ng = outT.shape[1] // 128
-    r = outT.reshape(lp, 8, ng, 128)
-    return r.transpose(2, 1, 3, 0).reshape(ng * CHAINS, lp)[:n, :width]
+    r = outT.reshape(lp, g, ng, 128)
+    return r.transpose(2, 1, 3, 0).reshape(ng * g * 128, lp)[:n, :width]
 
 
 @functools.partial(jax.jit, static_argnames=("max_len", "subw", "lmax",
@@ -584,58 +665,59 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
     (syms (N, max_len) u8, bits (N,) i32, last_gran (N,) i32).
     """
     n, k = rect.shape
-    sets = _pick_sets(n, k)
+    gg, sets = _pick_sets(n, k)
     lanes = 128 * sets
-    block = CHAINS * sets
+    block = gg * 128 * sets
     npad = _round_up(max(n, block), block)
     if npad != n:
         rect = jnp.pad(rect, ((0, npad - n), (0, 0)))
         rlens = jnp.pad(rlens, (0, npad - n))
     rectT = jax.lax.bitcast_convert_type(
-        _interleave_rect(rect, npad), jnp.int32)
-    rlen8 = _chain_plane(rlens.astype(jnp.int32), npad)
+        _interleave_rect(rect, npad, gg), jnp.int32)
+    rlen8 = _chain_plane(rlens.astype(jnp.int32), npad, gg)
     f1t = f1c.reshape(2, 128)
     f2r = _round_up(max(f2.shape[0], 128), 128) // 128
     f2p = jnp.pad(f2, (0, f2r * 128 - f2.shape[0])).reshape(f2r, 128)
     f2r_used = f2r if subw else 0
     prm = jnp.broadcast_to(
-        jnp.asarray(signal, jnp.int32).reshape(1, 1), (8, 128))
+        jnp.asarray(signal, jnp.int32).reshape(1, 1), (gg, 128))
     groups = (max_len + G_PLAIN - 1) // G_PLAIN
     lp = groups * G_PLAIN
     kern = _plain_kernel_factory(k, groups, subw, lmax, f2r_used, lanes,
-                                 interpret)
-    ncols = npad // CHAINS * 128
+                                 interpret, gg)
+    ncols = npad // gg
     outT, stats = pl.pallas_call(
         kern,
         grid=(ncols // lanes, groups),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, lanes), lambda j, g: (0, j),
+            pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda j, g: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f2p.shape[0], 128), lambda j, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda j, g: (0, 0),
+            pl.BlockSpec((gg, 128), lambda j, g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G_PLAIN * 8, lanes), lambda j, g: (g, j),
+            pl.BlockSpec((G_PLAIN * gg, lanes), lambda j, g: (g, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, lanes), lambda j, g: (0, j),
+            pl.BlockSpec((2 * gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((lp * 8, ncols), jnp.int32),
-            jax.ShapeDtypeStruct((16, ncols), jnp.int32),
+            jax.ShapeDtypeStruct((lp * gg, ncols), jnp.int32),
+            jax.ShapeDtypeStruct((2 * gg, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * 8, lanes), jnp.int32)]
-        + [pltpu.VMEM((8, lanes), jnp.int32)] * 3
+        scratch_shapes=[pltpu.VMEM((k * gg, lanes), jnp.int32)]
+        + [pltpu.VMEM((gg, lanes), jnp.int32)] * 3
+        + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
         + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(rectT, rlen8, f1t, f2p, prm)
-    syms = _unrows(outT, lp, n, max_len).astype(jnp.uint8)
-    return syms, _unplane(stats[0:8], n), _unplane(stats[8:16], n)
+    syms = _unrows(outT, lp, n, max_len, gg).astype(jnp.uint8)
+    return syms, _unplane(stats[0:gg], n), _unplane(stats[gg:2 * gg], n)
 
 
 @functools.partial(jax.jit, static_argnames=("max_tokens", "subw", "lmax",
@@ -648,34 +730,34 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
     Returns (runs (N, Tp) i32, lits (N, Tp) i32, bits (N,) i32,
     last_gran (N,) i32)."""
     n, k = rect.shape
-    sets = _pick_sets(n, k)
+    gg, sets = _pick_sets(n, k)
     lanes = 128 * sets
-    block = CHAINS * sets
+    block = gg * 128 * sets
     npad = _round_up(max(n, block), block)
     if npad != n:
         rect = jnp.pad(rect, ((0, npad - n), (0, 0)))
         rlens = jnp.pad(rlens, (0, npad - n))
     rectT = jax.lax.bitcast_convert_type(
-        _interleave_rect(rect, npad), jnp.int32)
-    rlen8 = _chain_plane(rlens.astype(jnp.int32), npad)
+        _interleave_rect(rect, npad, gg), jnp.int32)
+    rlen8 = _chain_plane(rlens.astype(jnp.int32), npad, gg)
     f1rt = f1r.reshape(2, 128)
     f1st = f1s.reshape(2, 128)
     f2r = _round_up(max(f2.shape[0], 128), 128) // 128
     f2p = jnp.pad(f2, (0, f2r * 128 - f2.shape[0])).reshape(f2r, 128)
     f2r_used = f2r if subw else 0
     prm = jnp.broadcast_to(
-        jnp.asarray(nsignal, jnp.int32).reshape(1, 1), (8, 128))
+        jnp.asarray(nsignal, jnp.int32).reshape(1, 1), (gg, 128))
     groups = (max_tokens + G_RUN - 1) // G_RUN
     tp = groups * G_RUN
     kern = _run_kernel_factory(k, groups, subw, lmax, f2r_used, lanes,
-                               interpret)
-    ncols = npad // CHAINS * 128
+                               interpret, gg)
+    ncols = npad // gg
     runsT, litsT, stats = pl.pallas_call(
         kern,
         grid=(ncols // lanes, groups),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((8, lanes), lambda j, g: (0, j),
+            pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda j, g: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -683,27 +765,28 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f2p.shape[0], 128), lambda j, g: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda j, g: (0, 0),
+            pl.BlockSpec((gg, 128), lambda j, g: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G_RUN * 8, lanes), lambda j, g: (g, j),
+            pl.BlockSpec((G_RUN * gg, lanes), lambda j, g: (g, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G_RUN * 8, lanes), lambda j, g: (g, j),
+            pl.BlockSpec((G_RUN * gg, lanes), lambda j, g: (g, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, lanes), lambda j, g: (0, j),
+            pl.BlockSpec((2 * gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((tp * 8, ncols), jnp.int32),
-            jax.ShapeDtypeStruct((tp * 8, ncols), jnp.int32),
-            jax.ShapeDtypeStruct((16, ncols), jnp.int32),
+            jax.ShapeDtypeStruct((tp * gg, ncols), jnp.int32),
+            jax.ShapeDtypeStruct((tp * gg, ncols), jnp.int32),
+            jax.ShapeDtypeStruct((2 * gg, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * 8, lanes), jnp.int32)]
-        + [pltpu.VMEM((8, lanes), jnp.int32)] * 4
+        scratch_shapes=[pltpu.VMEM((k * gg, lanes), jnp.int32)]
+        + [pltpu.VMEM((gg, lanes), jnp.int32)] * 4
+        + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
         + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(rectT, rlen8, f1rt, f1st, f2p, prm)
-    runs = _unrows(runsT, tp, n, tp)
-    lits = _unrows(litsT, tp, n, tp)
-    return runs, lits, _unplane(stats[0:8], n), _unplane(stats[8:16], n)
+    runs = _unrows(runsT, tp, n, tp, gg)
+    lits = _unrows(litsT, tp, n, tp, gg)
+    return runs, lits, _unplane(stats[0:gg], n), _unplane(stats[gg:2 * gg], n)

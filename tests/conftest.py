@@ -215,18 +215,23 @@ def bgzf_compress(data: bytes, block: int = 0xFF00) -> bytes:
 
 
 def make_quiva(rng, n_reads=12, min_len=0, max_len=400, movie=b"m130205_1210_42",
-               del_run=True, sub_heavy=False, spread=30):
+               del_run=True, sub_heavy=False, spread=30, lengths=None):
     """A synthetic .quiva image: header + 5 equal-length QV/tag streams.
 
     delTag contains 'n' exactly where delQV equals one designated char so the
     delChar discovery in the scan matches real instrument output.
+    ``lengths`` overrides the uniform [min_len, max_len] draw with explicit
+    per-read lengths (e.g. a log-normal PacBio mix).
     """
     del_char = ord("f")
     lines = []
     well = 0
+    if lengths is not None:
+        n_reads = len(lengths)
     for i in range(n_reads):
         well += int(rng.integers(0, 3))
-        rlen = int(rng.integers(min_len, max_len + 1))
+        rlen = (int(lengths[i]) if lengths is not None
+                else int(rng.integers(min_len, max_len + 1)))
         beg = int(rng.integers(0, 50))
         end = beg + rlen
         qv = int(rng.integers(0, 1000))

@@ -194,3 +194,93 @@ def test_run_conveyor_matches_xla(long_runs):
     for i in range(n):
         r = int(rlens[i])
         assert (rows[i, :r] == datas[i]).all(), f"row {i} roundtrip"
+
+
+def _pad_rect(rect, k_words):
+    return np.concatenate(
+        [rect, np.zeros((rect.shape[0], k_words - rect.shape[1]),
+                        rect.dtype)], axis=1)
+
+
+@pytest.mark.parametrize("k_words", [4096, 8192, 16384])
+def test_plain_conveyor_long_stream_geometry(k_words):
+    """K > 2048 words drops sublane groups (G = 4/2/1) instead of falling
+    back to the XLA chain (round-2 long-read cliff).  Wide rects force
+    the geometry; escape-heavy streams (24 bits/symbol) force multi-word
+    conveyor advances through the G-granular roll network."""
+    rng = np.random.default_rng(57)
+    # type-2 scheme where most symbols escape: hist concentrated on few
+    # symbols plus a tail that gets folded into the escape class
+    hist = np.zeros(256, np.int64)
+    hist[:4] = rng.integers(50_000, 200_000, 4)
+    hist[4:200] = 1
+    scheme = make_scheme(hist)
+    n, max_len = 5, 64
+    rlens = rng.integers(0, max_len + 1, n).astype(np.int32)
+    rlens[0] = max_len
+    rlens[1] = 0
+    datas = [rng.integers(0, 200, r).astype(np.uint8) for r in rlens]
+    streams = [bs.encode_stream(scheme, d).tobytes() for d in datas]
+    rect = _pad_rect(_rect_from_streams(streams), k_words)
+    assert dc._geometry(k_words) == 1
+    assert dc._pick_sets(5, k_words) == \
+        (1, {4096: 4, 8192: 2, 16384: 1}[k_words])
+
+    f1, f2, subw, lmax = d2.scheme_tables2([scheme])
+    signal = 255 if scheme.type == 2 else 256
+    got, bits, lastg = dc.plain_chain_conveyor(
+        jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[0]),
+        jnp.asarray(f2), jnp.int32(signal), max_len=max_len, subw=subw,
+        lmax=lmax, interpret=True)
+    got = np.asarray(got)
+    for i in range(n):
+        r = int(rlens[i])
+        assert (got[i, :r] == datas[i]).all(), f"row {i}"
+    from dextractor_tpu.ops.decode_jax import stream_word_counts
+    words = stream_word_counts(np.asarray(bits).astype(np.int64),
+                               np.asarray(lastg).astype(np.int64))
+    for i in range(n):
+        assert 4 * int(words[i]) == len(streams[i]), f"row {i} stats"
+
+
+def test_run_conveyor_long_stream_geometry():
+    """Run-token kernel at G=2 (K=8192): escape-heavy literals, runs
+    crossing word boundaries."""
+    rng = np.random.default_rng(61)
+    hist = np.zeros(256, np.int64)
+    hist[:4] = 100_000
+    hist[4:200] = 1
+    scheme = make_scheme(hist)
+    run_scheme = make_scheme(np.ones(256, np.int64))
+    rchar = 2
+    n, max_len = 4, 48
+    rlens = rng.integers(1, max_len + 1, n).astype(np.int32)
+    rlens[0] = max_len
+    datas = []
+    for r in rlens:
+        d = np.full(r, rchar, np.uint8)
+        lit = rng.random(r) < 0.4
+        d[lit] = rng.integers(0, 200, lit.sum()).astype(np.uint8)
+        datas.append(d)
+    streams = [bs.encode_run_stream(scheme, run_scheme, d, rchar).tobytes()
+               for d in datas]
+    rect = _pad_rect(_rect_from_streams(streams), 8192)
+
+    f1, f2, subw, lmax = d2.scheme_tables2([scheme, run_scheme])
+    nsignal = 255 if scheme.type == 2 else 256
+    max_tokens = max_len + 2
+    gr, gl, gbits, glast = (np.asarray(x) for x in dc.run_chain_conveyor(
+        jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[1]),
+        jnp.asarray(f1[0]), jnp.asarray(f2), jnp.int32(nsignal),
+        max_tokens=max_tokens, subw=subw, lmax=lmax, interpret=True))
+    rows = np.asarray(d2.expand_runs2(
+        jnp.asarray(gr), jnp.asarray(gl), jnp.uint8(rchar),
+        max_len=max_len))
+    for i in range(n):
+        r = int(rlens[i])
+        assert (rows[i, :r] == datas[i]).all(), f"row {i} roundtrip"
+    from dextractor_tpu.ops.decode_jax import stream_word_counts
+    words = stream_word_counts(gbits.astype(np.int64),
+                               glast.astype(np.int64))
+    for i in range(n):
+        assert 4 * int(words[i]) == len(streams[i]), f"row {i} stats"

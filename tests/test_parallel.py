@@ -232,3 +232,67 @@ def test_sharded_twobit_matches_single_device():
         jnp.asarray(packed), jnp.frombuffer(b"acgt", np.uint8)))
     for i, l in enumerate(lens):
         np.testing.assert_array_equal(sym[i, :l], ascii_rows[i, :l])
+
+
+def test_sharded_conveyor_decode_matches_single(monkeypatch):
+    """The Pallas conveyor (interpret mode on CPU) must produce identical
+    decode output per shard under shard_map as single-device — the
+    round-2 verdict found sharded decode silently dropped to the ~8x
+    slower XLA chains (qv_batch gate).  Covers both the raw-container
+    fused path and the multi-coding DB path."""
+    from conftest import make_quiva
+    from dextractor_tpu.codecs.qv_codec import (
+        encode_quiva_to_dexqv, decode_dexqv_to_quiva)
+
+    rng = np.random.default_rng(17)
+    quiva = make_quiva(rng, n_reads=17, min_len=5, max_len=120)
+    enc = encode_quiva_to_dexqv(quiva, device=False)
+
+    monkeypatch.setenv("DXT_CONVEYOR_INTERPRET", "1")
+    mesh = make_mesh(8)
+    single = decode_dexqv_to_quiva(enc, device=True)
+    sharded = decode_dexqv_to_quiva(enc, device=True, mesh=mesh)
+    assert single == quiva
+    assert sharded == quiva
+
+
+def test_sharded_conveyor_db_decode_matches_single(monkeypatch):
+    """Multi-coding batch decode (qv_batch.batch_decode_entries) through
+    the shard_map'd conveyor — two codings, mixed schemes per read."""
+    from conftest import make_quiva
+    from dextractor_tpu.formats import dexqv as dqf
+    from dextractor_tpu.codecs.qv_codec import (
+        encode_quiva_to_dexqv, _index_native)
+    from dextractor_tpu.codecs.qv_batch import batch_decode_entries
+
+    rng = np.random.default_rng(23)
+    quiva_a = make_quiva(rng, n_reads=9, min_len=5, max_len=100)
+    quiva_b = make_quiva(rng, n_reads=8, min_len=5, max_len=100,
+                         del_run=False)
+    parts = []
+    for q in (quiva_a, quiva_b):
+        enc = encode_quiva_to_dexqv(q, device=False)
+        coding, coff = dqf.parse_qvcoding(memoryview(enc), 2)
+        res = _index_native(enc, coding, coff, True)
+        if res is None:
+            pytest.skip("native shim unavailable")
+        eoffs, elens = res[6], res[7]
+        parts.append((np.frombuffer(enc, np.uint8), eoffs,
+                      elens.astype(np.int32), coding))
+
+    # concatenate the two containers into one logical batch
+    off = len(parts[0][0])
+    buf = np.concatenate([parts[0][0], parts[1][0]])
+    starts = np.concatenate([parts[0][1], parts[1][1] + off])
+    rlens = np.concatenate([parts[0][2], parts[1][2]])
+    codings = [parts[0][3], parts[1][3]]
+    table = np.concatenate([np.zeros(len(parts[0][1]), np.int64),
+                            np.ones(len(parts[1][1]), np.int64)])
+
+    monkeypatch.setenv("DXT_CONVEYOR_INTERPRET", "1")
+    rows_single, _ = batch_decode_entries(buf, starts, rlens, codings, table)
+    mesh = make_mesh(8)
+    rows_sharded, _ = batch_decode_entries(buf, starts, rlens, codings,
+                                           table, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(rows_single),
+                                  np.asarray(rows_sharded))

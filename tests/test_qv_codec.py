@@ -386,3 +386,33 @@ def test_native_run_encoder_long_code_fallback():
         rchar, _shim_ptr(out), len(out), _shim_ptr(out_lens))
     assert r == len(expected)
     assert out[:r].tobytes() == expected
+
+
+def test_device_decode_long_read_mix_buckets(monkeypatch):
+    """A batch mixing ~0..20 kb reads must decode exactly AND split into
+    compressed-length buckets (one fused launch per bucket) — round 2's
+    cliff demoted the whole batch to the slow path on one long read."""
+    from dextractor_tpu.codecs.qv_codec import (
+        encode_quiva_to_dexqv, decode_dexqv_to_quiva)
+    from dextractor_tpu.ops import decode2 as d2
+
+    rng = np.random.default_rng(29)
+    data = make_quiva(rng, n_reads=40, min_len=0, max_len=20000)
+    enc = encode_quiva_to_dexqv(data, device=False)
+
+    launches = []
+    orig = d2.decode_entry_batch2
+
+    def spy(*a, **k):
+        launches.append(k.get("max_len"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(d2, "decode_entry_batch2", spy)
+    dec = decode_dexqv_to_quiva(enc, device=True)
+    assert dec == data
+    assert len(launches) >= 2, f"expected bucketed launches, got {launches}"
+    assert len(set(launches)) >= 2      # buckets get their own plane width
+
+    # device encode over the same long-row rectangles must stay byte-exact
+    enc_dev = encode_quiva_to_dexqv(data, device=True)
+    assert enc_dev == enc

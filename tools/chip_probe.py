@@ -1,19 +1,26 @@
-"""Chip validation probe for kernels landed while the TPU was down.
+"""Chip validation probe — the round's machine-readable proof of which
+kernels were byte-exact on hardware and when (committed as CHIP_rNN.json).
 
 Validates, on the real accelerator, byte-exactness of:
-  1. the fused .dexqv device decode (gather-based tag kernel, adaptive
-     2/4 chain sets, max_sym group-step cap) against the host encoder,
+  1. the fused .dexqv device decode (merged plain chains, collapsed
+     delTag, quarter-octave widths) against the host encoder,
   2. the fused .dexqv device encode (quarter-octave row buckets),
   3. the 2-bit dexta device encode/decode,
-  4. the VMEM Pallas run expansion (DXT_EXPAND_PALLAS=1 A/B) — both
-     correctness and a chained-step timing A/B so the gate decision is
-     data-driven.
+  4. the VMEM Pallas run expansion — BOTH gates (DXT_EXPAND_PALLAS=0/1)
+     every run, with a chained-step timing A/B so the default stays
+     data-driven (the XLA network is the miscompile workaround path and
+     must not rot),
+  5. long-read decode: the log-normal ~10kb/60kb batch bench.py uses,
+     decoded per compressed-length bucket through the g=1 wide-lane
+     conveyor geometries, byte-exact + per-bucket step timings,
+  6. the conveyor under shard_map on the chip (1-device mesh).
 
 Uses the exact data construction bench.py uses (seed 0, --mb sized) so
 compiled programs land in the shared .jax_cache and bench.py reuses them.
 
-Run: python tools/chip_probe.py [--mb 16] [--skip-ab]
-Writes a JSON summary to stdout (one line, prefixed PROBE:).
+Run: python tools/chip_probe.py [--mb 16] [--skip-ab] [--out FILE]
+Writes a JSON summary to stdout (one line, prefixed PROBE:) and, with
+--out, to FILE with a timestamp and the current git head.
 """
 
 from __future__ import annotations
@@ -43,12 +50,15 @@ T0 = time.perf_counter()
 def main():
     mb = 16
     skip_ab = False
+    out_path = None
     args = sys.argv[1:]
     for i, a in enumerate(args):
         if a == "--mb":
             mb = int(args[i + 1])
         if a == "--skip-ab":
             skip_ab = True
+        if a == "--out":
+            out_path = args[i + 1]
 
     import jax
     import jax.numpy as jnp
@@ -192,9 +202,62 @@ def main():
         results["decode_step_ms_pallas_expand"] = round(dt_pal * 1e3, 3)
         results["pallas_expand_speedup"] = round(dt_xla / dt_pal, 3)
 
+    # 5. long-read decode: bench-identical log-normal batch, bucketed
+    from bench import lognormal_lengths, measure_chained, _qv_dec_setup
+    from dextractor_tpu.codecs.qv_codec import _index_native
+    from dextractor_tpu.codecs.qv_batch import span_buckets
+    from dextractor_tpu.formats import dexqv as dqf2
+
+    rng_l = np.random.default_rng(2)
+    data_long = make_quiva(rng_l, lengths=lognormal_lengths(mb))
+    enc_long = encode_quiva_to_dexqv(data_long, device=False)
+    log(f"long batch: {len(data_long)/1e6:.1f} MB quiva, "
+        f"{len(enc_long)/1e6:.1f} MB dexqv")
+    t = time.perf_counter()
+    dec_long = decode_dexqv_to_quiva(enc_long, device=True)
+    results["dexqv_decode_longreads_ok"] = dec_long == data_long
+    log(f"long-read device decode: ok={results['dexqv_decode_longreads_ok']} "
+        f"({time.perf_counter()-t:.1f}s incl compile)")
+
+    coding_l, coff_l = dqf2.parse_qvcoding(memoryview(enc_long), 2)
+    idx_l = _index_native(enc_long, coding_l, coff_l, True)
+    kws = span_buckets(idx_l[8])
+    payload_long = int(idx_l[7].sum()) * 5
+    total_dt = 0.0
+    bucket_ms = {}
+    for kw in np.unique(kws):
+        sel = np.flatnonzero(kws == kw)
+        fn, dec_args = _qv_dec_setup(enc_long, sel)
+        dt = measure_chained(fn, dec_args,
+                             f"long-bucket k={int(kw)} n={len(sel)}")
+        bucket_ms[str(int(kw))] = round(dt * 1e3, 3)
+        total_dt += dt
+    results["longreads_bucket_step_ms"] = bucket_ms
+    results["longreads_step_ms_total"] = round(total_dt * 1e3, 3)
+    results["longreads_GBps"] = round(payload_long / total_dt / 1e9, 3)
+    log(f"long-read buckets: {bucket_ms} total "
+        f"{total_dt*1e3:.2f} ms = {results['longreads_GBps']} GB/s")
+
+    # 6. conveyor under shard_map on the chip (1-device mesh)
+    from dextractor_tpu.parallel import make_mesh
+
+    t = time.perf_counter()
+    dec_sm = decode_dexqv_to_quiva(enc_host, device=True,
+                                   mesh=make_mesh(1))
+    results["dexqv_decode_shardmap_ok"] = dec_sm == data
+    log(f"shard_map device decode: ok={results['dexqv_decode_shardmap_ok']} "
+        f"({time.perf_counter()-t:.1f}s incl compile)")
+
     ok = all(v for k, v in results.items() if k.endswith("_ok"))
     results["all_ok"] = ok
     print("PROBE: " + json.dumps(results), flush=True)
+    if out_path:
+        import subprocess as sp
+        head = sp.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                      capture_output=True, text=True).stdout.strip()
+        rec = {"when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+               "git_head": head, "mb": mb, **results}
+        Path(out_path).write_text(json.dumps(rec, indent=1) + "\n")
 
 
 if __name__ == "__main__":
