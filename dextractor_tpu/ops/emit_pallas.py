@@ -24,6 +24,7 @@ row, so one launch encodes a whole channel group.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -36,7 +37,16 @@ from .vmem_lanes import cummax_lanes
 from .vmem_lanes import shl_fill as _shl_fill
 from .vmem_lanes import shr_fill as _shr_fill
 
-B = 8                       # rows per grid step
+# rows per grid step.  Env-overridable for chip experiments: if the
+# shift networks are round-latency-bound rather than VPU-throughput-
+# bound, taller tiles add ILP the same way more conveyor chains did for
+# decode (DXT_EMIT_B=16/32 A/B via tools/encode_ablate.py).
+B = int(os.environ.get("DXT_EMIT_B", "8"))
+
+# DXT_EMIT_ABLATE=nopack replaces the word-packing phase with an
+# elementwise combine — WRONG output, identical emission-phase cost —
+# so chip timings attribute the step between emissions and packing.
+_ABLATE = os.environ.get("DXT_EMIT_ABLATE", "")
 
 
 def fused_ok(width: int, any_backend: bool = False) -> bool:
@@ -249,7 +259,8 @@ def _plain_kernel(data_ref, len_ref, lut_ref, words_ref, stats_ref):
     pad = mp - l
     vp = jnp.pad(v, ((0, 0), (0, pad)))
     np_ = jnp.pad(n, ((0, 0), (0, pad)))
-    words_ref[0] = _pack_slots(vp, np_)
+    words_ref[0] = (vp ^ np_) if _ABLATE == "nopack" else \
+        _pack_slots(vp, np_)
 
     scol = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
     stats_ref[0] = jnp.where(scol == 0, t, jnp.where(scol == 1, lg, 0))
@@ -306,7 +317,8 @@ def _run_kernel(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
                      keepdims=True)
     lg = jnp.where(has_trail, tg1, jnp.where(last_lit >= 0, lg_lit, 0))
 
-    words_ref[0] = _pack_slots(vp, np_)
+    words_ref[0] = (vp ^ np_) if _ABLATE == "nopack" else \
+        _pack_slots(vp, np_)
     scol = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
     stats_ref[0] = jnp.where(scol == 0, t, jnp.where(scol == 1, lg, 0))
 

@@ -199,3 +199,23 @@ def test_pack2bit_kernel_matches_xla():
         jnp.asarray(rows), jnp.asarray(lengths),
         jnp.asarray(NUMBER_BASE_LUT), interpret=True))
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("tile_b", [16, 32])
+def test_plain_kernel_taller_tiles(tile_b, monkeypatch):
+    """DXT_EMIT_B=16/32 (chip ILP experiment) must not change output —
+    B is pure tiling."""
+    monkeypatch.setattr(ep, "B", tile_b)
+    rng = np.random.default_rng(41)
+    n_reads, l = 40, 256                 # non-multiple of B: pad path
+    scheme = _mk_scheme(rng, True)
+    data = rng.integers(0, 256, (n_reads, l)).astype(np.uint8)
+    lengths = rng.integers(0, l + 1, n_reads).astype(np.int32)
+    wx, tx, lgx = _xla_plain(data, lengths, scheme)
+    luts = jnp.asarray(bj.scheme_luts(scheme)[None])
+    wp, tp, lgp = ep.encode_plain_pallas(
+        jnp.asarray(data[None]), jnp.asarray(lengths), luts, interpret=True)
+    wp, tp, lgp = np.asarray(wp[0]), np.asarray(tp[0]), np.asarray(lgp[0])
+    assert (tp == tx).all()
+    assert (lgp == lgx).all()
+    _compare_words(wp, wx, (tx + 31) >> 5)

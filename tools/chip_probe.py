@@ -83,181 +83,209 @@ def main():
 
     results = {}
 
+    from contextlib import contextmanager
+
+    def _flush():
+        if out_path:
+            import subprocess as sp
+            head = sp.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                          capture_output=True, text=True).stdout.strip()
+            rec = {"when": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                         time.gmtime()),
+                   "git_head": head, "mb": mb, **results}
+            Path(out_path).write_text(json.dumps(rec, indent=1) + "\n")
+
+    @contextmanager
+    def section(name):
+        """Crash tolerance: a TPU worker death mid-section records the
+        failure and still flushes the partial artifact (the round-2
+        bench lesson: never lose the whole record to one crash)."""
+        try:
+            yield
+        except Exception as e:
+            results[f"{name}_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+            log(f"section {name} FAILED: {str(e)[:300]}")
+        _flush()
+
     # host ground truth (CPU paths are golden-tested vs the C oracles)
     enc_host = encode_quiva_to_dexqv(data, device=False)
     denc_host = encode_fasta_to_dexta(fasta, device=False)
     log("host encodes done")
 
     # 1. device .dexqv decode (XLA expand path, gate off)
-    os.environ["DXT_EXPAND_PALLAS"] = "0"
-    t = time.perf_counter()
-    dec = decode_dexqv_to_quiva(enc_host, device=True)
-    results["dexqv_decode_device_ok"] = dec == data
-    log(f"dexqv device decode (xla expand): ok={results['dexqv_decode_device_ok']} "
-        f"({time.perf_counter()-t:.1f}s incl compile)")
+    with section("dexqv_decode"):
+        os.environ["DXT_EXPAND_PALLAS"] = "0"
+        t = time.perf_counter()
+        dec = decode_dexqv_to_quiva(enc_host, device=True)
+        results["dexqv_decode_device_ok"] = dec == data
+        log(f"dexqv device decode (xla expand): "
+            f"ok={results['dexqv_decode_device_ok']} "
+            f"({time.perf_counter()-t:.1f}s incl compile)")
 
     # 2. device .dexqv encode (quarter-octave buckets)
-    t = time.perf_counter()
-    enc_dev = encode_quiva_to_dexqv(data, device=True)
-    results["dexqv_encode_device_ok"] = enc_dev == enc_host
-    log(f"dexqv device encode: ok={results['dexqv_encode_device_ok']} "
-        f"({time.perf_counter()-t:.1f}s incl compile)")
+    with section("dexqv_encode"):
+        t = time.perf_counter()
+        enc_dev = encode_quiva_to_dexqv(data, device=True)
+        results["dexqv_encode_device_ok"] = enc_dev == enc_host
+        log(f"dexqv device encode: ok={results['dexqv_encode_device_ok']} "
+            f"({time.perf_counter()-t:.1f}s incl compile)")
 
     # 3. dexta device round trip
-    t = time.perf_counter()
-    denc_dev = encode_fasta_to_dexta(fasta, device=True)
-    results["dexta_encode_device_ok"] = denc_dev == denc_host
-    log(f"dexta device encode: ok={results['dexta_encode_device_ok']} "
-        f"({time.perf_counter()-t:.1f}s incl compile)")
-    t = time.perf_counter()
-    fdec = decode_dexta_to_fasta(denc_host, device=True, width=80)
-    results["dexta_decode_device_ok"] = fdec == fasta
-    log(f"dexta device decode: ok={results['dexta_decode_device_ok']} "
-        f"({time.perf_counter()-t:.1f}s incl compile)")
+    with section("dexta"):
+        t = time.perf_counter()
+        denc_dev = encode_fasta_to_dexta(fasta, device=True)
+        results["dexta_encode_device_ok"] = denc_dev == denc_host
+        log(f"dexta device encode: ok={results['dexta_encode_device_ok']} "
+            f"({time.perf_counter()-t:.1f}s incl compile)")
+        t = time.perf_counter()
+        fdec = decode_dexta_to_fasta(denc_host, device=True, width=80)
+        results["dexta_decode_device_ok"] = fdec == fasta
+        log(f"dexta device decode: ok={results['dexta_decode_device_ok']} "
+            f"({time.perf_counter()-t:.1f}s incl compile)")
 
     # 4. Pallas run expansion A/B: correctness + chained timing
     if not skip_ab:
-        os.environ["DXT_EXPAND_PALLAS"] = "1"
-        t = time.perf_counter()
-        dec_p = decode_dexqv_to_quiva(enc_host, device=True)
-        results["dexqv_decode_pallas_expand_ok"] = dec_p == data
-        log(f"dexqv device decode (pallas expand): "
-            f"ok={results['dexqv_decode_pallas_expand_ok']} "
-            f"({time.perf_counter()-t:.1f}s incl compile)")
+      with section("expand_ab"):
+            os.environ["DXT_EXPAND_PALLAS"] = "1"
+            t = time.perf_counter()
+            dec_p = decode_dexqv_to_quiva(enc_host, device=True)
+            results["dexqv_decode_pallas_expand_ok"] = dec_p == data
+            log(f"dexqv device decode (pallas expand): "
+                f"ok={results['dexqv_decode_pallas_expand_ok']} "
+                f"({time.perf_counter()-t:.1f}s incl compile)")
 
-        # chained decode-step timing under both gates (bench-identical
-        # program shapes so bench.py reuses whichever wins from the cache)
-        from dextractor_tpu.codecs.qv_codec import _index_native
-        from dextractor_tpu.codecs.qv_batch import (
-            decode_tables_v2, channel_rects)
-        from dextractor_tpu.formats import dexqv as dqf
-        from dextractor_tpu.formats.ragged import bucket_len, next_pow2
-        from dextractor_tpu.ops import decode2 as d2
+            # chained decode-step timing under both gates (bench-identical
+            # program shapes so bench.py reuses whichever wins from the cache)
+            from dextractor_tpu.codecs.qv_codec import _index_native
+            from dextractor_tpu.codecs.qv_batch import (
+                decode_tables_v2, channel_rects)
+            from dextractor_tpu.formats import dexqv as dqf
+            from dextractor_tpu.formats.ragged import bucket_len, next_pow2
+            from dextractor_tpu.ops import decode2 as d2
 
-        coding, coff = dqf.parse_qvcoding(memoryview(enc_host), 2)
-        indexed = _index_native(enc_host, coding, coff, True)
-        (_, _, _, _, _, _, eoffs, elens, coffs_t, ntoks_t) = indexed
-        n_dec = len(eoffs)
-        n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
-        dbuf = np.frombuffer(enc_host, np.uint8)
-        drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
-        dec_max_len = bucket_len(int(drlens.max(initial=0)), 512)
-        dec_max_sym = bucket_len(int(drlens.max(initial=0)))
-        dec_max_tokens = bucket_len(int(ntoks_t.max(initial=0)), 16)
-        rects = channel_rects(dbuf, eoffs, coffs_t, dec_max_len)
-        rects = tuple(
-            np.concatenate([r, np.zeros((n_decp - n_dec, r.shape[1]), r.dtype)])
-            for r in rects)
-        sids, f1_t, f2_t, types_t, del_mode, sub_mode, subw, lmax = \
-            decode_tables_v2(coding)
-        chan_l2 = tuple(bool(((f1_t[sids[k]] >> 20) & 1).any())
-                        for k in range(6))
-        dec_args = (*(jnp.asarray(r) for r in rects), jnp.asarray(drlens),
-                    jnp.asarray(sids), jnp.asarray(f1_t), jnp.asarray(f2_t),
-                    jnp.asarray(types_t), jnp.int32(coding.del_char & 0xFF),
-                    jnp.int32(coding.sub_char & 0xFF))
-        jax.block_until_ready(dec_args)
-        payload_bytes = int(elens.sum()) * 5
+            coding, coff = dqf.parse_qvcoding(memoryview(enc_host), 2)
+            indexed = _index_native(enc_host, coding, coff, True)
+            (_, _, _, _, _, _, eoffs, elens, coffs_t, ntoks_t) = indexed
+            n_dec = len(eoffs)
+            n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
+            dbuf = np.frombuffer(enc_host, np.uint8)
+            drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
+            dec_max_len = bucket_len(int(drlens.max(initial=0)), 512)
+            dec_max_sym = bucket_len(int(drlens.max(initial=0)))
+            dec_max_tokens = bucket_len(int(ntoks_t.max(initial=0)), 16)
+            rects = channel_rects(dbuf, eoffs, coffs_t, dec_max_len)
+            rects = tuple(
+                np.concatenate([r, np.zeros((n_decp - n_dec, r.shape[1]), r.dtype)])
+                for r in rects)
+            sids, f1_t, f2_t, types_t, del_mode, sub_mode, subw, lmax = \
+                decode_tables_v2(coding)
+            chan_l2 = tuple(bool(((f1_t[sids[k]] >> 20) & 1).any())
+                            for k in range(6))
+            dec_args = (*(jnp.asarray(r) for r in rects), jnp.asarray(drlens),
+                        jnp.asarray(sids), jnp.asarray(f1_t), jnp.asarray(f2_t),
+                        jnp.asarray(types_t), jnp.int32(coding.del_char & 0xFF),
+                        jnp.int32(coding.sub_char & 0xFF))
+            jax.block_until_ready(dec_args)
+            payload_bytes = int(elens.sum()) * 5
 
-        def make_chained():
-            @jax.jit
-            def dec_chained(rd_, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_,
-                            ty_, dc_, sc_, k):
-                def body(_, acc):
-                    r = rd_ ^ acc.astype(jnp.uint32)
-                    rows = d2.decode_entry_batch2(
-                        r, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_,
-                        dc_, sc_, max_len=dec_max_len,
-                        max_tokens=dec_max_tokens, del_mode=del_mode,
-                        sub_mode=sub_mode, subw=subw, lmax=lmax,
-                        chan_l2=chan_l2, max_sym=dec_max_sym)
-                    return acc + rows.astype(jnp.int32).sum()
-                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-            return dec_chained
+            def make_chained():
+                @jax.jit
+                def dec_chained(rd_, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_,
+                                ty_, dc_, sc_, k):
+                    def body(_, acc):
+                        r = rd_ ^ acc.astype(jnp.uint32)
+                        rows = d2.decode_entry_batch2(
+                            r, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_,
+                            dc_, sc_, max_len=dec_max_len,
+                            max_tokens=dec_max_tokens, del_mode=del_mode,
+                            sub_mode=sub_mode, subw=subw, lmax=lmax,
+                            chan_l2=chan_l2, max_sym=dec_max_sym)
+                        return acc + rows.astype(jnp.int32).sum()
+                    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+                return dec_chained
 
-        def measure(label):
-            fn = make_chained()
+            def measure(label):
+                fn = make_chained()
 
-            def run_k(k):
-                t = time.perf_counter()
-                v = fn(*dec_args, jnp.int32(k))
-                _ = int(v)
-                return time.perf_counter() - t
+                def run_k(k):
+                    t = time.perf_counter()
+                    v = fn(*dec_args, jnp.int32(k))
+                    _ = int(v)
+                    return time.perf_counter() - t
 
-            t0 = time.perf_counter()
-            run_k(1)
-            log(f"{label}: compile+warm {time.perf_counter()-t0:.1f}s")
-            t2 = min(run_k(2) for _ in range(3))
-            t22 = min(run_k(22) for _ in range(2))
-            dt = (t22 - t2) / 20
-            log(f"{label}: k=2 {t2:.3f}s k=22 {t22:.3f}s -> "
-                f"{dt*1e3:.2f} ms/step = {payload_bytes/dt/1e9:.2f} GB/s")
-            return dt
+                t0 = time.perf_counter()
+                run_k(1)
+                log(f"{label}: compile+warm {time.perf_counter()-t0:.1f}s")
+                t2 = min(run_k(2) for _ in range(3))
+                t22 = min(run_k(22) for _ in range(2))
+                dt = (t22 - t2) / 20
+                log(f"{label}: k=2 {t2:.3f}s k=22 {t22:.3f}s -> "
+                    f"{dt*1e3:.2f} ms/step = {payload_bytes/dt/1e9:.2f} GB/s")
+                return dt
 
-        os.environ["DXT_EXPAND_PALLAS"] = "0"
-        dt_xla = measure("decode-xla-expand")
-        os.environ["DXT_EXPAND_PALLAS"] = "1"
-        dt_pal = measure("decode-pallas-expand")
-        results["decode_step_ms_xla_expand"] = round(dt_xla * 1e3, 3)
-        results["decode_step_ms_pallas_expand"] = round(dt_pal * 1e3, 3)
-        results["pallas_expand_speedup"] = round(dt_xla / dt_pal, 3)
+            os.environ["DXT_EXPAND_PALLAS"] = "0"
+            dt_xla = measure("decode-xla-expand")
+            os.environ["DXT_EXPAND_PALLAS"] = "1"
+            dt_pal = measure("decode-pallas-expand")
+            results["decode_step_ms_xla_expand"] = round(dt_xla * 1e3, 3)
+            results["decode_step_ms_pallas_expand"] = round(dt_pal * 1e3, 3)
+            results["pallas_expand_speedup"] = round(dt_xla / dt_pal, 3)
 
     # 5. long-read decode: bench-identical log-normal batch, bucketed
-    from bench import lognormal_lengths, measure_chained, _qv_dec_setup
-    from dextractor_tpu.codecs.qv_codec import _index_native
-    from dextractor_tpu.codecs.qv_batch import span_buckets
-    from dextractor_tpu.formats import dexqv as dqf2
+    with section("longreads"):
+        from bench import lognormal_lengths, measure_chained, _qv_dec_setup
+        from dextractor_tpu.codecs.qv_codec import _index_native
+        from dextractor_tpu.codecs.qv_batch import span_buckets
+        from dextractor_tpu.formats import dexqv as dqf2
 
-    rng_l = np.random.default_rng(2)
-    data_long = make_quiva(rng_l, lengths=lognormal_lengths(mb))
-    enc_long = encode_quiva_to_dexqv(data_long, device=False)
-    log(f"long batch: {len(data_long)/1e6:.1f} MB quiva, "
-        f"{len(enc_long)/1e6:.1f} MB dexqv")
-    t = time.perf_counter()
-    dec_long = decode_dexqv_to_quiva(enc_long, device=True)
-    results["dexqv_decode_longreads_ok"] = dec_long == data_long
-    log(f"long-read device decode: ok={results['dexqv_decode_longreads_ok']} "
-        f"({time.perf_counter()-t:.1f}s incl compile)")
+        rng_l = np.random.default_rng(2)
+        data_long = make_quiva(rng_l, lengths=lognormal_lengths(mb))
+        enc_long = encode_quiva_to_dexqv(data_long, device=False)
+        log(f"long batch: {len(data_long)/1e6:.1f} MB quiva, "
+            f"{len(enc_long)/1e6:.1f} MB dexqv")
+        t = time.perf_counter()
+        dec_long = decode_dexqv_to_quiva(enc_long, device=True)
+        results["dexqv_decode_longreads_ok"] = dec_long == data_long
+        log(f"long-read device decode: "
+            f"ok={results['dexqv_decode_longreads_ok']} "
+            f"({time.perf_counter()-t:.1f}s incl compile)")
 
-    coding_l, coff_l = dqf2.parse_qvcoding(memoryview(enc_long), 2)
-    idx_l = _index_native(enc_long, coding_l, coff_l, True)
-    kws = span_buckets(idx_l[8])
-    payload_long = int(idx_l[7].sum()) * 5
-    total_dt = 0.0
-    bucket_ms = {}
-    for kw in np.unique(kws):
-        sel = np.flatnonzero(kws == kw)
-        fn, dec_args = _qv_dec_setup(enc_long, sel)
-        dt = measure_chained(fn, dec_args,
-                             f"long-bucket k={int(kw)} n={len(sel)}")
-        bucket_ms[str(int(kw))] = round(dt * 1e3, 3)
-        total_dt += dt
-    results["longreads_bucket_step_ms"] = bucket_ms
-    results["longreads_step_ms_total"] = round(total_dt * 1e3, 3)
-    results["longreads_GBps"] = round(payload_long / total_dt / 1e9, 3)
-    log(f"long-read buckets: {bucket_ms} total "
-        f"{total_dt*1e3:.2f} ms = {results['longreads_GBps']} GB/s")
+        coding_l, coff_l = dqf2.parse_qvcoding(memoryview(enc_long), 2)
+        idx_l = _index_native(enc_long, coding_l, coff_l, True)
+        kws = span_buckets(idx_l[8])
+        payload_long = int(idx_l[7].sum()) * 5
+        total_dt = 0.0
+        bucket_ms = {}
+        for kw in np.unique(kws):
+            sel = np.flatnonzero(kws == kw)
+            fn, dec_args = _qv_dec_setup(enc_long, sel)
+            dt = measure_chained(fn, dec_args,
+                                 f"long-bucket k={int(kw)} n={len(sel)}")
+            bucket_ms[str(int(kw))] = round(dt * 1e3, 3)
+            total_dt += dt
+        results["longreads_bucket_step_ms"] = bucket_ms
+        results["longreads_step_ms_total"] = round(total_dt * 1e3, 3)
+        results["longreads_GBps"] = round(payload_long / total_dt / 1e9, 3)
+        log(f"long-read buckets: {bucket_ms} total "
+            f"{total_dt*1e3:.2f} ms = {results['longreads_GBps']} GB/s")
 
     # 6. conveyor under shard_map on the chip (1-device mesh)
-    from dextractor_tpu.parallel import make_mesh
+    with section("shardmap"):
+        from dextractor_tpu.parallel import make_mesh
 
-    t = time.perf_counter()
-    dec_sm = decode_dexqv_to_quiva(enc_host, device=True,
-                                   mesh=make_mesh(1))
-    results["dexqv_decode_shardmap_ok"] = dec_sm == data
-    log(f"shard_map device decode: ok={results['dexqv_decode_shardmap_ok']} "
-        f"({time.perf_counter()-t:.1f}s incl compile)")
+        t = time.perf_counter()
+        dec_sm = decode_dexqv_to_quiva(enc_host, device=True,
+                                       mesh=make_mesh(1))
+        results["dexqv_decode_shardmap_ok"] = dec_sm == data
+        log(f"shard_map device decode: "
+            f"ok={results['dexqv_decode_shardmap_ok']} "
+            f"({time.perf_counter()-t:.1f}s incl compile)")
 
-    ok = all(v for k, v in results.items() if k.endswith("_ok"))
+    ok = all(v for k, v in results.items() if k.endswith("_ok")) \
+        and not any(k.endswith("_error") for k in results)
     results["all_ok"] = ok
     print("PROBE: " + json.dumps(results), flush=True)
-    if out_path:
-        import subprocess as sp
-        head = sp.run(["git", "rev-parse", "HEAD"], cwd=REPO,
-                      capture_output=True, text=True).stdout.strip()
-        rec = {"when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-               "git_head": head, "mb": mb, **results}
-        Path(out_path).write_text(json.dumps(rec, indent=1) + "\n")
+    _flush()
 
 
 if __name__ == "__main__":
