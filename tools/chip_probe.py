@@ -112,6 +112,61 @@ def main():
     denc_host = encode_fasta_to_dexta(fasta, device=False)
     log("host encodes done")
 
+    # 0. long-read decode FIRST: bench-identical log-normal batch,
+    # bucketed.  Runs before any other device work — the remote compile
+    # helper reproducibly 500s on these programs when the process has
+    # already run the 2 kb sections (fresh-process runs always pass),
+    # so order is load-bearing; a one-shot retry covers transient 500s.
+    with section("longreads"):
+        from bench import lognormal_lengths, measure_chained, _qv_dec_setup
+        from dextractor_tpu.codecs.qv_codec import _index_native
+        from dextractor_tpu.codecs.qv_batch import span_buckets
+        from dextractor_tpu.formats import dexqv as dqf2
+
+        rng_l = np.random.default_rng(2)
+        data_long = make_quiva(rng_l, lengths=lognormal_lengths(mb))
+        enc_long = encode_quiva_to_dexqv(data_long, device=False)
+        log(f"long batch: {len(data_long)/1e6:.1f} MB quiva, "
+            f"{len(enc_long)/1e6:.1f} MB dexqv")
+        t = time.perf_counter()
+        # the remote compile helper 500s intermittently on these program
+        # sizes; every completed compile lands in the persistent cache,
+        # so retries RATCHET forward through the bucket programs
+        for attempt in range(8):
+            try:
+                dec_long = decode_dexqv_to_quiva(enc_long, device=True)
+                break
+            except Exception as e:
+                log(f"long decode attempt {attempt + 1} failed "
+                    f"({str(e)[:120]}); retrying in 20s")
+                if attempt == 7:
+                    raise
+                time.sleep(20)
+        results["dexqv_decode_longreads_ok"] = dec_long == data_long
+        log(f"long-read device decode: "
+            f"ok={results['dexqv_decode_longreads_ok']} "
+            f"({time.perf_counter()-t:.1f}s incl compile)")
+
+        coding_l, coff_l = dqf2.parse_qvcoding(memoryview(enc_long), 2)
+        idx_l = _index_native(enc_long, coding_l, coff_l, True)
+        kws = span_buckets(idx_l[8])
+        payload_long = int(idx_l[7].sum()) * 5
+        total_dt = 0.0
+        bucket_ms = {}
+        for kw in np.unique(kws):
+            sel = np.flatnonzero(kws == kw)
+            fn, dec_args = _qv_dec_setup(enc_long, sel)
+            dt = measure_chained(fn, dec_args,
+                                 f"long-bucket k={int(kw)} n={len(sel)}")
+            bucket_ms[str(int(kw))] = round(dt * 1e3, 3)
+            total_dt += dt
+        results["longreads_bucket_step_ms"] = bucket_ms
+        results["longreads_step_ms_total"] = round(total_dt * 1e3, 3)
+        results["longreads_GBps"] = round(payload_long / total_dt / 1e9, 3)
+        log(f"long-read buckets: {bucket_ms} total "
+            f"{total_dt*1e3:.2f} ms = {results['longreads_GBps']} GB/s")
+
+
     # 1. device .dexqv decode (XLA expand path, gate off)
     with section("dexqv_decode"):
         os.environ["DXT_EXPAND_PALLAS"] = "0"
@@ -230,44 +285,6 @@ def main():
             results["decode_step_ms_xla_expand"] = round(dt_xla * 1e3, 3)
             results["decode_step_ms_pallas_expand"] = round(dt_pal * 1e3, 3)
             results["pallas_expand_speedup"] = round(dt_xla / dt_pal, 3)
-
-    # 5. long-read decode: bench-identical log-normal batch, bucketed
-    with section("longreads"):
-        from bench import lognormal_lengths, measure_chained, _qv_dec_setup
-        from dextractor_tpu.codecs.qv_codec import _index_native
-        from dextractor_tpu.codecs.qv_batch import span_buckets
-        from dextractor_tpu.formats import dexqv as dqf2
-
-        rng_l = np.random.default_rng(2)
-        data_long = make_quiva(rng_l, lengths=lognormal_lengths(mb))
-        enc_long = encode_quiva_to_dexqv(data_long, device=False)
-        log(f"long batch: {len(data_long)/1e6:.1f} MB quiva, "
-            f"{len(enc_long)/1e6:.1f} MB dexqv")
-        t = time.perf_counter()
-        dec_long = decode_dexqv_to_quiva(enc_long, device=True)
-        results["dexqv_decode_longreads_ok"] = dec_long == data_long
-        log(f"long-read device decode: "
-            f"ok={results['dexqv_decode_longreads_ok']} "
-            f"({time.perf_counter()-t:.1f}s incl compile)")
-
-        coding_l, coff_l = dqf2.parse_qvcoding(memoryview(enc_long), 2)
-        idx_l = _index_native(enc_long, coding_l, coff_l, True)
-        kws = span_buckets(idx_l[8])
-        payload_long = int(idx_l[7].sum()) * 5
-        total_dt = 0.0
-        bucket_ms = {}
-        for kw in np.unique(kws):
-            sel = np.flatnonzero(kws == kw)
-            fn, dec_args = _qv_dec_setup(enc_long, sel)
-            dt = measure_chained(fn, dec_args,
-                                 f"long-bucket k={int(kw)} n={len(sel)}")
-            bucket_ms[str(int(kw))] = round(dt * 1e3, 3)
-            total_dt += dt
-        results["longreads_bucket_step_ms"] = bucket_ms
-        results["longreads_step_ms_total"] = round(total_dt * 1e3, 3)
-        results["longreads_GBps"] = round(payload_long / total_dt / 1e9, 3)
-        log(f"long-read buckets: {bucket_ms} total "
-            f"{total_dt*1e3:.2f} ms = {results['longreads_GBps']} GB/s")
 
     # 6. conveyor under shard_map on the chip (1-device mesh)
     with section("shardmap"):
