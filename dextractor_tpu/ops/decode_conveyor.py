@@ -179,25 +179,14 @@ def _entry_lookup_slots(cw, f1lo, f1hi, f2_ref, subw: int, lmax: int,
     return e1
 
 
-def _advance(conv, delta, max_bits: int, g: int = 8, bcast_ref=None):
+def _advance(conv, delta, max_bits: int, g: int = 8):
     """Roll each chain's conveyor up by delta words.
 
     conv (K*G, lanes) interleaved; delta (G, lanes) per chain group —
-    the condition applies uniformly to every word slice.  g=8: the
-    (8, lanes) condition selects per word slice (O(K) traced selects —
-    fine at K <= 2048).  g=1: delta is a pure lane value; it round-trips
-    through ``bcast_ref`` (computed (1, L) values cannot sublane-
-    broadcast, ref-loaded ones can) and broadcasts over the whole
-    conveyor, so each round is ONE roll + ONE select regardless of K."""
+    the (G, lanes) condition selects per word slice (O(K) traced
+    selects — fine at K <= 2048; the g=1 long-read geometry uses the
+    in-place ref advance instead, see _advance_ref_g1)."""
     kg = conv.shape[0]
-    if g == 1:
-        bcast_ref[:] = delta
-        d = jnp.broadcast_to(bcast_ref[:], conv.shape)
-        for b in range(max_bits):
-            step = 1 << b
-            rolled = pltpu.roll(conv, kg - step, axis=0)
-            conv = jnp.where(((d >> b) & 1) == 1, rolled, conv)
-        return conv
     for b in range(max_bits):
         step = 1 << b
         cond = ((delta >> b) & 1) == 1
@@ -207,6 +196,35 @@ def _advance(conv, delta, max_bits: int, g: int = 8, bcast_ref=None):
                 for c in range(kg // g)]
         conv = jnp.concatenate(outs, axis=0)
     return conv
+
+
+def _advance_ref_g1(conv_ref, k: int, delta, bc_ref, max_bits: int = 4,
+                    ch: int = 1024):
+    """In-place g=1 conveyor advance on the scratch ref.
+
+    The value-level advance materializes ~3 conveyor-sized temporaries
+    (conv + rolled + broadcast mask) on the VMEM stack — an 18 MB scoped
+    allocation at K=4096/384 lanes that the compiler rejects (16 MB
+    limit).  This variant rewrites the ref chunk by chunk: chunk [a,
+    a+ch) reads its shifted source [a+step, a+step+ch) before storing
+    (ascending order never reads a row written earlier in the same
+    round), so peak extra VMEM is ~3 chunk-sized values.  The conveyor
+    scratch carries 8 pad rows past k so shifted loads never wrap —
+    the wrapped rows of the old rotate held consumed-word garbage the
+    windows never read anyway.  delta is a pure lane value at g=1: it
+    round-trips through ``bc_ref`` (ref-loaded (1, L) values sublane-
+    broadcast; computed ones cannot — tools/mosaic_probe.py p5/p6)."""
+    lanes = bc_ref.shape[1]
+    ch = min(ch, k)
+    assert k % ch == 0, "conveyor width must be a chunk multiple"
+    bc_ref[:] = delta
+    for b in range(max_bits):
+        step = 1 << b
+        for a in range(0, k, ch):
+            src = conv_ref[a + step: a + step + ch]
+            cur = conv_ref[a: a + ch]
+            m = jnp.broadcast_to(bc_ref[:], (ch, lanes))
+            conv_ref[a: a + ch] = jnp.where(((m >> b) & 1) == 1, src, cur)
 
 
 def _tree_sum(terms):
@@ -237,6 +255,19 @@ def _window(conv, wpos, w_words: int, g: int = 8):
             _tree_sum(tb).astype(jnp.uint32))
 
 
+def _window_ref_g1(conv_ref, wpos, w_words: int):
+    """_window reading (1, lanes) slices straight from the scratch ref —
+    at g=1 the conveyor stays in the ref (in-place advance), so no
+    conveyor-sized value is ever live."""
+    ta, tb = [], []
+    for c in range(w_words):
+        sl = conv_ref[c:c + 1]
+        ta.append(jnp.where(wpos == c, sl, 0))
+        tb.append(jnp.where(wpos + 1 == c, sl, 0))
+    return (_tree_sum(ta).astype(jnp.uint32),
+            _tree_sum(tb).astype(jnp.uint32))
+
+
 def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                           f2r: int, lanes: int, interpret: bool = False,
                           gg: int = 8):
@@ -258,13 +289,15 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             # double-buffered VMEM input block — halves the VMEM high
             # water, which is what bounds chain sets per grid step
             if interpret:                 # no DMA engine in interpret
-                conv_ref[:] = rectT_ref[:, pl.ds(j * lanes, lanes)]
+                conv_ref[0:k * gg] = rectT_ref[:, pl.ds(j * lanes, lanes)]
             else:
                 cp = pltpu.make_async_copy(
-                    rectT_ref.at[:, pl.ds(j * lanes, lanes)], conv_ref,
-                    dma_sem)
+                    rectT_ref.at[:, pl.ds(j * lanes, lanes)],
+                    conv_ref.at[0:k * gg], dma_sem)
                 cp.start()
                 cp.wait()
+            if gg == 1:                   # zero the shifted-load pad rows
+                conv_ref[k * gg:] = jnp.zeros((8, lanes), jnp.int32)
             pos_ref[:] = rlen * 0
             base_ref[:] = rlen * 0
             last_ref[:] = rlen * 0
@@ -275,10 +308,19 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         base = base_ref[:]
         last = last_ref[:]
         delta = (pos >> 5) - base
-        conv = _advance(conv_ref[:], delta, max_bits=4, g=gg,
-                        bcast_ref=bc_ref)
-        conv_ref[:] = conv
+        if gg == 1:
+            _advance_ref_g1(conv_ref, k, delta, bc_ref)
+            conv = None
+        else:
+            conv = _advance(conv_ref[:], delta, max_bits=4, g=gg)
+            conv_ref[:] = conv
         base = base + delta
+
+        def window(wpos, w):
+            if gg == 1:
+                return _window_ref_g1(conv_ref, wpos, w)
+            return _window(conv, wpos, w, gg)
+
         syms = []
         for s in range(G_PLAIN):
             active = (g * G_PLAIN + s) < rlen
@@ -286,8 +328,7 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             # growing window: the group starts word-aligned (wpos == 0)
             # and symbol s has consumed <= 24*s bits since, so only the
             # first (24*s)//32 + 2 words can hold its window
-            sw_a, sw_b = _window(conv, wpos, min((24 * s) // 32 + 2,
-                                                 W_PLAIN), gg)
+            sw_a, sw_b = window(wpos, min((24 * s) // 32 + 2, W_PLAIN))
             p = (pos & 31).astype(jnp.uint32)
             cw = _entry_lookup(_peek16(sw_a, sw_b, p), f1, f2_ref,
                                subw, lmax, f2r)
@@ -337,13 +378,15 @@ def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         @pl.when(g == 0)
         def _init():
             if interpret:
-                conv_ref[:] = rectT_ref[:, pl.ds(j * lanes, lanes)]
+                conv_ref[0:k * gg] = rectT_ref[:, pl.ds(j * lanes, lanes)]
             else:
                 cp = pltpu.make_async_copy(
-                    rectT_ref.at[:, pl.ds(j * lanes, lanes)], conv_ref,
-                    dma_sem)
+                    rectT_ref.at[:, pl.ds(j * lanes, lanes)],
+                    conv_ref.at[0:k * gg], dma_sem)
                 cp.start()
                 cp.wait()
+            if gg == 1:                   # zero the shifted-load pad rows
+                conv_ref[k * gg:] = jnp.zeros((8, lanes), jnp.int32)
             pos_ref[:] = rlen * 0
             base_ref[:] = rlen * 0
             last_ref[:] = rlen * 0
@@ -355,16 +398,24 @@ def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         base = base_ref[:]
         last = last_ref[:]
         delta = (pos >> 5) - base
-        conv = _advance(conv_ref[:], delta, max_bits=4, g=gg,
-                        bcast_ref=bc_ref)
-        conv_ref[:] = conv
+        if gg == 1:
+            _advance_ref_g1(conv_ref, k, delta, bc_ref)
+            conv = None
+        else:
+            conv = _advance(conv_ref[:], delta, max_bits=4, g=gg)
+            conv_ref[:] = conv
         base = base + delta
+
+        def window(wpos, w):
+            if gg == 1:
+                return _window_ref_g1(conv_ref, wpos, w)
+            return _window(conv, wpos, w, gg)
+
         syms = []
         for s in range(G_PLAIN):
             active = (g * G_PLAIN + s) < rlen
             wpos = (pos >> 5) - base
-            sw_a, sw_b = _window(conv, wpos, min((24 * s) // 32 + 2,
-                                                 W_PLAIN), gg)
+            sw_a, sw_b = window(wpos, min((24 * s) // 32 + 2, W_PLAIN))
             p = (pos & 31).astype(jnp.uint32)
             cw = _entry_lookup_slots(_peek16(sw_a, sw_b, p), f1lo, f1hi,
                                      f2_ref, subw, lmax, f2r)
@@ -487,7 +538,8 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
             jax.ShapeDtypeStruct((lp * gg, ncols), jnp.int32),
             jax.ShapeDtypeStruct((2 * gg, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * gg, lanes), jnp.int32)]
+        scratch_shapes=[pltpu.VMEM((k * gg + (8 if gg == 1 else 0),
+                                    lanes), jnp.int32)]
         + [pltpu.VMEM((gg, lanes), jnp.int32)] * 3
         + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
         + [pltpu.SemaphoreType.DMA],
@@ -519,13 +571,15 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         @pl.when(g == 0)
         def _init():
             if interpret:
-                conv_ref[:] = rectT_ref[:, pl.ds(j * lanes, lanes)]
+                conv_ref[0:k * gg] = rectT_ref[:, pl.ds(j * lanes, lanes)]
             else:
                 cp = pltpu.make_async_copy(
-                    rectT_ref.at[:, pl.ds(j * lanes, lanes)], conv_ref,
-                    dma_sem)
+                    rectT_ref.at[:, pl.ds(j * lanes, lanes)],
+                    conv_ref.at[0:k * gg], dma_sem)
                 cp.start()
                 cp.wait()
+            if gg == 1:                   # zero the shifted-load pad rows
+                conv_ref[k * gg:] = jnp.zeros((8, lanes), jnp.int32)
             pos_ref[:] = rlen * 0
             base_ref[:] = rlen * 0
             em_ref[:] = rlen * 0
@@ -539,18 +593,26 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
         emitted = em_ref[:]
         last = last_ref[:]
         delta = (pos >> 5) - base
-        conv = _advance(conv_ref[:], delta, max_bits=4, g=gg,
-                        bcast_ref=bc_ref)
-        conv_ref[:] = conv
+        if gg == 1:
+            _advance_ref_g1(conv_ref, k, delta, bc_ref)
+            conv = None
+        else:
+            conv = _advance(conv_ref[:], delta, max_bits=4, g=gg)
+            conv_ref[:] = conv
         base = base + delta
+
+        def window(wpos, w):
+            if gg == 1:
+                return _window_ref_g1(conv_ref, wpos, w)
+            return _window(conv, wpos, w, gg)
+
         rcols, lcols = [], []
         for s in range(G_RUN):
             active = emitted < rlen
             wpos = (pos >> 5) - base
             # growing window: token s has consumed <= 56*s bits since the
             # group's word-aligned start
-            sw_a, sw_b = _window(conv, wpos, min((56 * s) // 32 + 2,
-                                                 W_RUN), gg)
+            sw_a, sw_b = window(wpos, min((56 * s) // 32 + 2, W_RUN))
             p = (pos & 31).astype(jnp.uint32)
             e = _entry_lookup(_peek16(sw_a, sw_b, p), f1r, f2_ref,
                               subw, lmax, f2r)
@@ -566,8 +628,7 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
 
             need_sym = active & (emitted1 < rlen)
             wpos = (pos >> 5) - base
-            sw_a, sw_b = _window(conv, wpos, min((56 * s + 48) // 32 + 2,
-                                                 W_RUN), gg)
+            sw_a, sw_b = window(wpos, min((56 * s + 48) // 32 + 2, W_RUN))
             p = (pos & 31).astype(jnp.uint32)
             e2 = _entry_lookup(_peek16(sw_a, sw_b, p), f1s, f2_ref,
                                subw, lmax, f2r)
@@ -710,7 +771,8 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
             jax.ShapeDtypeStruct((lp * gg, ncols), jnp.int32),
             jax.ShapeDtypeStruct((2 * gg, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * gg, lanes), jnp.int32)]
+        scratch_shapes=[pltpu.VMEM((k * gg + (8 if gg == 1 else 0),
+                                    lanes), jnp.int32)]
         + [pltpu.VMEM((gg, lanes), jnp.int32)] * 3
         + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
         + [pltpu.SemaphoreType.DMA],
@@ -781,7 +843,8 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
             jax.ShapeDtypeStruct((tp * gg, ncols), jnp.int32),
             jax.ShapeDtypeStruct((2 * gg, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * gg, lanes), jnp.int32)]
+        scratch_shapes=[pltpu.VMEM((k * gg + (8 if gg == 1 else 0),
+                                    lanes), jnp.int32)]
         + [pltpu.VMEM((gg, lanes), jnp.int32)] * 4
         + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
         + [pltpu.SemaphoreType.DMA],
