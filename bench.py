@@ -291,28 +291,70 @@ def _metric_qv_decode(paths):
     return measure_chained(fn, dec_args, "qv-decode")
 
 
-def _metric_qv_decode_long(paths):
-    """Realistic-lengths decode: the fused step runs once per
-    compressed-length bucket (exactly what fused_decode_entries does),
-    so the metric is the SUM of per-bucket steady-state step times for
-    the whole log-normal batch."""
-    from dextractor_tpu.codecs.qv_codec import _index_native
-    from dextractor_tpu.codecs.qv_batch import span_buckets
+def qv_dec_long_parts(enc: bytes):
+    """(chained_fn, dec_args, label) per segs-per-read bucket of the
+    checkpoint-segmented decode — each read runs as short chains from
+    the native walker's checkpoints, so long reads decode at the proven
+    short-chain conveyor geometry.  Shared with tools/chip_probe.py."""
+    import jax
+    import jax.numpy as jnp
+    from dextractor_tpu.codecs.qv_codec import (
+        _index_native, _index_checkpoints)
+    from dextractor_tpu.codecs.qv_batch import (
+        seg_read_buckets, build_seg_launch, decode_tables_v2)
     from dextractor_tpu.formats import dexqv as dqf
+    from dextractor_tpu.ops import decode2 as d2
 
-    enc = paths["dexqv_long"].read_bytes()
     coding, coff = dqf.parse_qvcoding(memoryview(enc), 2)
-    indexed = _index_native(enc, coding, coff, True)
-    if indexed is None:
+    idx = _index_native(enc, coding, coff, True)
+    if idx is None:
         raise RuntimeError("native shim unavailable")
-    coffs_t = indexed[8]
-    kws = span_buckets(coffs_t)
+    eoffs, elens, coffs_t, ntoks_t = idx[6], idx[7], idx[8], idx[9]
+    ck = _index_checkpoints(enc, coding, coff, True, idx)
+    if ck is None:
+        raise RuntimeError("no long reads in the batch")
+    buf = np.frombuffer(enc, np.uint8)
+    rlens = elens.astype(np.int32)
+    sids, f1, f2, types, del_mode, sub_mode, subw, lmax = \
+        decode_tables_v2(coding)
+    chan_l2 = tuple(bool(((f1[sids[k]] >> 20) & 1).any())
+                    for k in range(6))
+    args_rep = (jnp.asarray(sids), jnp.asarray(f1), jnp.asarray(f2),
+                jnp.asarray(types), jnp.int32(coding.del_char & 0xFF),
+                jnp.int32(coding.sub_char & 0xFF))
+    parts = []
+    for sel in seg_read_buckets(rlens, ck[0]):
+        args, statics = build_seg_launch(buf, eoffs, rlens, coffs_t,
+                                         ntoks_t, coding, ck, sel)
+        statics.update(subw=subw, lmax=lmax, chan_l2=chan_l2)
+        dargs = tuple(jnp.asarray(a) for a in args) + args_rep
+
+        def make(statics):
+            @jax.jit
+            def chained(rd_, tg_, ri_, rm_, rs_, rl_, srl_, p0_, cr_,
+                        sids_, f1_, f2_, ty_, dc_, sc_, k):
+                def body(_, acc):
+                    r = rd_ ^ acc.astype(jnp.uint32)
+                    rows = d2.decode_entry_batch_seg(
+                        r, tg_, ri_, rm_, rs_, rl_, srl_, p0_, cr_,
+                        sids_, f1_, f2_, ty_, dc_, sc_, **statics)
+                    return acc + rows.astype(jnp.int32).sum()
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+            return chained
+
+        parts.append((make(dict(statics)), dargs,
+                      f"qv-decode-long s={statics['s_per']} n={len(sel)}"))
+    return parts
+
+
+def _metric_qv_decode_long(paths):
+    """Realistic-lengths decode: sum of per-bucket steady-state step
+    times of the checkpoint-segmented fused step over the whole
+    log-normal batch."""
+    enc = paths["dexqv_long"].read_bytes()
     total = 0.0
-    for kw in np.unique(kws):
-        sel = np.flatnonzero(kws == kw)
-        fn, dec_args = _qv_dec_setup(enc, sel)
-        total += measure_chained(fn, dec_args,
-                                 f"qv-decode-long k={int(kw)} n={len(sel)}")
+    for fn, dargs, label in qv_dec_long_parts(enc):
+        total += measure_chained(fn, dargs, label)
     return total
 
 

@@ -476,3 +476,178 @@ def batch_decode_entries(buf: np.ndarray, starts: np.ndarray,
     elif ascii_mode == 0:
         out[1] = tb.NUMBER_BASE_LUT[out[1]]
     return out, rlens.astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# segmented decode (long reads at short-chain speed)
+# ---------------------------------------------------------------------------
+
+def build_seg_launch(buf, starts, rlens, coffs, ntoks, coding, ck, sel):
+    """Device args + statics for decode2.decode_entry_batch_seg over the
+    reads ``sel`` (one segs-per-read bucket).
+
+    Each read becomes s_per = ceil(bucket_max_rlen / seg) segment chains
+    (dead tails for shorter reads); segment k >= 1 of a channel starts at
+    the walker checkpoint's bit offset (rect row sliced at that word,
+    pos0 = bit & 31).  Returns (args tuple, statics dict, s_per)."""
+    from ..ops.decode2 import build_entry_rect
+
+    seg, ck_offs, ckb, ckt, ckc = ck
+    starts = np.asarray(starts, np.int64)[sel]
+    coffs_a = np.asarray(coffs, np.int64)[sel]
+    ntoks_a = np.asarray(ntoks)[sel]
+    rl = np.asarray(rlens, np.int64)[sel]
+    cko = np.asarray(ck_offs, np.int64)[sel]
+    btot = ckb.shape[1]
+    n = len(sel)
+    s_per = max(1, int(-(-int(rl.max(initial=1)) // seg)))
+    max_len = bucket_len(int(rl.max(initial=0)), 512)
+    seg_w = seg if s_per > 1 else min(seg, max_len)
+    ns = n * s_per
+    kk = np.arange(s_per)
+    # checkpoint index of segment (r, k): k=0 has no checkpoint
+    cidx = np.minimum(cko[:, None] + kk[None, :] - 1, btot - 1)
+    cidx = np.maximum(cidx, 0)
+    live_ck = (kk[None, :] >= 1) & (kk[None, :] * seg < rl[:, None])
+    live_seg = kk[None, :] * seg < rl[:, None]
+    seg_rlens = np.clip(rl[:, None] - kk[None, :] * seg, 0,
+                        seg).astype(np.int32).reshape(ns)
+
+    chan_beg = np.stack([np.zeros(n, np.int64), coffs_a[:, 1],
+                         coffs_a[:, 2], coffs_a[:, 3]])
+    chan_end = np.stack([coffs_a[:, 0], coffs_a[:, 2], coffs_a[:, 3],
+                         coffs_a[:, 4]])
+    rects, pos0 = [], []
+    for c in range(4):
+        bits = np.where(live_ck, ckb[c][cidx], 0).astype(np.int64)
+        base = starts[:, None] + chan_beg[c][:, None]
+        sbyte = base + (bits >> 5) * 4
+        p0 = (bits & 31).astype(np.int32)
+        # per-segment compressed span bounds the rect width: to the next
+        # checkpoint (or the channel end) + window slack
+        end_bits = np.concatenate(
+            [bits[:, 1:], ((chan_end[c] - chan_beg[c]) * 8)[:, None]],
+            axis=1)
+        # a live segment's end is the NEXT LIVE checkpoint (or the
+        # channel end for the read's last live segment); dead padding
+        # segments must not inflate the rect width to the whole channel
+        last_live = live_seg & ~np.concatenate(
+            [live_seg[:, 1:], np.zeros((n, 1), bool)], axis=1)
+        end_bits = np.where(
+            last_live, ((chan_end[c] - chan_beg[c]) * 8)[:, None],
+            end_bits)
+        end_bits = np.maximum(end_bits, bits)
+        span_w = ((end_bits - (bits & ~np.int64(31))) + 31) // 32
+        span_w = np.where(live_seg, span_w, 1)
+        kw = int(next_pow2(int(span_w.max(initial=1)) + 16))
+        rects.append(build_entry_rect(buf, sbyte.reshape(ns), kw))
+        pos0.append(p0.reshape(ns))
+    pos0 = np.stack(pos0)
+
+    del_run = coding.del_char >= 0
+    sub_run = coding.sub_char >= 0
+    carr = np.full((2, ns), -1, np.int32)
+    if del_run:
+        carr[0] = np.where(live_ck, ckc[0][cidx], -1).reshape(ns)
+    if sub_run:
+        carr[1] = np.where(live_ck, ckc[1][cidx], -1).reshape(ns)
+
+    # per-segment token budget + tag codes (run-del): literal index t0
+    t0d = np.where(live_ck, ckt[0][cidx], 0).astype(np.int64)
+    t0s = np.where(live_ck, ckt[1][cidx], 0).astype(np.int64)
+    spans = []
+    for t0, on, tk in ((t0d, del_run, 0), (t0s, sub_run, 1)):
+        if not on:
+            continue
+        t1 = np.concatenate([t0[:, 1:], ntoks_a[:, tk:tk + 1]], axis=1)
+        last_live = live_seg & ~np.concatenate(
+            [live_seg[:, 1:], np.zeros((n, 1), bool)], axis=1)
+        t1 = np.where(last_live, ntoks_a[:, tk:tk + 1], t1)
+        tok_span = np.where(live_seg, np.maximum(t1 - t0, 0), 0)
+        spans.append(int(tok_span.max(initial=1)) + 2)
+    max_tokens = bucket_len(max(spans, default=8), 16)
+
+    if del_run:
+        # tag codes t0..t0+Tt of each segment from the packed tag bytes
+        tag_base = starts + coffs_a[:, 0]          # packed tag byte start
+        idx = t0d.reshape(ns)[:, None] + np.arange(max_tokens)
+        byte = buf[np.minimum(tag_base.repeat(s_per)[:, None]
+                              + (idx >> 2), len(buf) - 1)]
+        tag_in = ((byte >> (6 - 2 * (idx & 3))) & 3).astype(np.int32)
+    else:
+        tb = max(max_len // 4, 1)
+        bidx = (starts + coffs_a[:, 0])[:, None] + np.arange(tb)
+        tag_in = buf[np.minimum(bidx, len(buf) - 1)]
+
+    args = (rects[0], tag_in, rects[1], rects[2], rects[3],
+            np.asarray(rlens, np.int32)[sel], seg_rlens, pos0, carr)
+    statics = dict(seg=seg_w, s_per=s_per, max_len=max_len,
+                   max_tokens=max_tokens,
+                   del_mode="run" if del_run else "plain",
+                   sub_mode="run" if sub_run else "plain")
+    return args, statics
+
+
+def seg_read_buckets(rlens, seg: int, launch_cost: int = 2048):
+    """Partition reads into segments-per-read buckets by a small DP.
+
+    Every read in a launch is padded to the bucket's max segment count
+    (dead chains), and every launch pays a fixed floor (~0.6 ms of
+    dispatch + five-channel machinery on chip — the 13-launch quarter-
+    octave scheme spent ~8 of 10.7 ms on floors).  The DP over the
+    sorted distinct segment counts minimizes
+        sum over buckets [ n_b * S_b(max) + launch_cost ]
+    (padded-chain units; launch_cost ~= the chain-equivalents of one
+    launch floor), so dense counts get tight buckets and sparse tails
+    merge."""
+    rl = np.asarray(rlens, np.int64)
+    segs = np.maximum(-(-rl // seg), 1)
+    vals, counts = np.unique(segs, return_counts=True)
+    m = len(vals)
+    csum = np.concatenate([[0], np.cumsum(counts)])
+    best = np.full(m + 1, np.inf)
+    best[0] = 0.0
+    choice = np.zeros(m + 1, np.int64)
+    for i in range(1, m + 1):
+        for j in range(i):
+            cost = best[j] + (csum[i] - csum[j]) * vals[i - 1] + launch_cost
+            if cost < best[i]:
+                best[i] = cost
+                choice[i] = j
+    sels = []
+    i = m
+    while i > 0:
+        j = int(choice[i])
+        lo, hi = vals[j], vals[i - 1]
+        sels.append(np.flatnonzero((segs >= lo) & (segs <= hi)))
+        i = j
+    return sels[::-1]
+
+
+def fused_decode_entries_seg(buf, starts, rlens, coffs, ntoks, coding, ck):
+    """Checkpoint-segmented batch decode: every read runs as short chains
+    (decode2.decode_entry_batch_seg), bucketed by segments-per-read.
+    Returns (5, N, gmax_len) u8 numpy rows."""
+    import jax.numpy as jnp
+    from ..ops import decode2 as d2
+
+    rlens = np.asarray(rlens, np.int32)
+    n = len(starts)
+    gmax_len = bucket_len(int(rlens.max(initial=0)), 512)
+    sids, f1, f2, types, del_mode, sub_mode, subw, lmax = \
+        decode_tables_v2(coding)
+    chan_l2 = tuple(bool(((f1[sids[k]] >> 20) & 1).any())
+                    for k in range(6))
+    args_rep = (jnp.asarray(sids), jnp.asarray(f1), jnp.asarray(f2),
+                jnp.asarray(types), jnp.int32(coding.del_char & 0xFF),
+                jnp.int32(coding.sub_char & 0xFF))
+    out = np.zeros((5, n, gmax_len), np.uint8)
+    for sel in seg_read_buckets(rlens, ck[0]):
+        args, statics = build_seg_launch(buf, starts, rlens, coffs, ntoks,
+                                         coding, ck, sel)
+        rows = d2.decode_entry_batch_seg(
+            *(jnp.asarray(a) for a in args), *args_rep,
+            subw=subw, lmax=lmax, chan_l2=chan_l2, **statics)
+        ml = statics["max_len"]
+        out[:, sel, :ml] = np.asarray(rows)
+    return out

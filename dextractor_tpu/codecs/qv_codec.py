@@ -570,7 +570,8 @@ def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
         ptr(sid), coding.del_char, coding.sub_char, int(newv),
         cap_entries, 1 << 62,
         ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
-        ptr(elens), None, 0, ptr(coffs), ptr(ntoks))
+        ptr(elens), None, 0, ptr(coffs), ptr(ntoks),
+        0, 0, None, None, None, None)
     if ne < 0:
         raise FormatError(f"corrupt .dexqv stream (native walker: {ne})")
     ne = int(ne)
@@ -578,6 +579,57 @@ def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
     return (lib, ctx, wells[:ne], begs[:ne], ends_[:ne], qvs[:ne],
             eoffs[:ne], elens[:ne], coffs[: 5 * ne].reshape(ne, 5),
             ntoks[: 2 * ne].reshape(ne, 2))
+
+
+SEG_DECODE = 2048
+
+
+def _index_checkpoints(data: bytes, coding: dq.QVCoding, off: int,
+                       newv: bool, idx, seg: int = SEG_DECODE):
+    """Second lens-only walk recording per-channel segment checkpoints
+    (bit offsets / run-literal indices / run carries at every ``seg``
+    symbols) so long reads decode as MANY short full-speed device chains
+    instead of one slow long one.  Returns (seg, ck_offs (ne+1,) i64,
+    ckb (4, B) i32, ckt (2, B) i32, ckc (2, B) i32), or None when no
+    read crosses ``seg`` (the common short-read case: zero extra cost).
+    """
+    import ctypes
+
+    lib, ctx = idx[0], idx[1]
+    elens = idx[7]
+    lookups, lens, types, sid = ctx
+    ne = len(elens)
+    nb = np.maximum((elens.astype(np.int64) + seg - 1) // seg - 1, 0)
+    btot = int(nb.sum())
+    if btot == 0:
+        return None
+    ck_offs = np.zeros(ne + 1, np.int64)
+    np.cumsum(nb, out=ck_offs[1:])
+    ckb = np.zeros(4 * btot, np.int32)
+    ckt = np.zeros(2 * btot, np.int32)
+    ckc = np.full(2 * btot, -1, np.int32)
+    buf = np.frombuffer(data, np.uint8)
+    w2 = np.zeros(ne, np.int32)
+    b2 = np.zeros(ne, np.int32)
+    e2 = np.zeros(ne, np.int32)
+    q2 = np.zeros(ne, np.int32)
+    eo2 = np.zeros(ne, np.int64)
+    el2 = np.zeros(ne, np.int64)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    ne2 = lib.dxt_qv_walk(
+        ptr(buf), len(buf), off, ptr(lookups), ptr(lens), ptr(types),
+        ptr(sid), coding.del_char, coding.sub_char, int(newv),
+        ne, 1 << 62,
+        ptr(w2), ptr(b2), ptr(e2), ptr(q2), ptr(eo2), ptr(el2),
+        None, 0, None, None,
+        seg, btot, ptr(ck_offs), ptr(ckb), ptr(ckt), ptr(ckc))
+    if int(ne2) != ne:
+        raise FormatError("checkpoint walk entry-count mismatch")
+    return (seg, ck_offs, ckb.reshape(4, btot), ckt.reshape(2, btot),
+            ckc.reshape(2, btot))
 
 
 def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
@@ -649,7 +701,8 @@ def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
             ptr(sid), coding.del_char, coding.sub_char, int(newv),
             cap_entries, cap_total,
             ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
-            ptr(elens), ptr(out), 1, None, None)
+            ptr(elens), ptr(out), 1, None, None,
+            0, 0, None, None, None, None)
         if ne == -3:
             if cap_total >= cap_limit:
                 raise FormatError(
@@ -684,14 +737,29 @@ def _decode_entries_device(data: bytes, coding: dq.QVCoding, off: int,
     from .qv_batch import fused_decode_entries
     from ..formats.ragged import rows_to_flat
 
+    import os as _os
+
     res = _index_native(data, coding, off, newv)
     if res is None:
         return None
     _, _, wells, begs, ends_, qvs, eoffs, elens, coffs, ntoks = res
     buf = np.frombuffer(data, np.uint8)
     rlens = elens.astype(np.int64)
-    rows = fused_decode_entries(buf, eoffs, elens.astype(np.int32),
-                                coffs, ntoks, coding, mesh=mesh)
+    # long reads: a second lens walk records segment checkpoints so each
+    # read decodes as SHORT chains (conveyor costs scale with stream
+    # residency); None when no read crosses the segment size (the common
+    # short-read case).  DXT_SEG_DECODE=0 forces per-read chains.
+    ck = None
+    if mesh is None and _os.environ.get("DXT_SEG_DECODE", "1") == "1":
+        ck = _index_checkpoints(data, coding, off, newv, res)
+    if ck is not None:
+        from .qv_batch import fused_decode_entries_seg
+        rows = fused_decode_entries_seg(buf, eoffs,
+                                        elens.astype(np.int32), coffs,
+                                        ntoks, coding, ck)
+    else:
+        rows = fused_decode_entries(buf, eoffs, elens.astype(np.int32),
+                                    coffs, ntoks, coding, mesh=mesh)
     streams = np.stack([rows_to_flat(np.asarray(rows[s]), rlens)
                         for s in range(5)])
     return wells, begs, ends_, qvs, rlens, streams

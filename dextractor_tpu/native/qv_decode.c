@@ -130,19 +130,28 @@ static inline int64_t stream_words(int64_t total, int last)
 }
 
 /* plain stream: decode rlen symbols, return words consumed (or -1) */
+/* seg/ck: when ck != NULL, record b->pos (bit offset within this channel
+ * stream) immediately BEFORE symbols seg, 2*seg, ... — the device decodes
+ * each segment as an independent chain from its checkpoint.  seg must be
+ * a power of two; the two-symbol pair fast path is suppressed across
+ * boundaries so checkpoints land exactly. */
 static int64_t dec_plain(BitRead *b, const FusedTab *tab,
-                         int type, uint8_t *out, int64_t rlen)
+                         int type, uint8_t *out, int64_t rlen,
+                         int64_t seg, int32_t *ck)
 { int     signal = (type == 2) ? 255 : 256;
   int     last = 0;
   int64_t j;
+  int64_t m = seg - 1;
   Win     w;
 
   win_init(&w);
   for (j = 0; j < rlen; j++)
     { int c, n;
       uint32_t e;
+      if (ck != NULL && j != 0 && (j & m) == 0)
+        ck[(j >> __builtin_ctzll((uint64_t) seg)) - 1] = (int32_t) b->pos;
       win_fill(&w, b);                /* >= 24 bits: code + escape literal */
-      if (j + 1 < rlen)
+      if (j + 1 < rlen && !(ck != NULL && ((j + 1) & m) == 0))
         { uint32_t pr = tab->pair[WPEEK16(w) >> (16 - PAIR_BITS)];
           if (pr != 0)                /* two escape-free codes at once */
             { n = (int) (pr & 31);
@@ -179,13 +188,26 @@ static int64_t dec_plain(BitRead *b, const FusedTab *tab,
 
 /* RLE stream: decode rlen expanded symbols; *ntok (NULL-able) counts
  * (run, literal) token pairs — the batch decoder's chain-length unit */
+/* seg/ck_*: when ck_bits != NULL, record a checkpoint for every symbol
+ * boundary k*seg (k >= 1): the bit position the device segment chain
+ * starts from, the literal (token) index t0 its tag codes start at, and
+ * the run carry.  A boundary crossed by run emission (j < k*seg <= j+c)
+ * checkpoints AT THIS PAIR'S LITERAL with carry = leftover rchars to
+ * prepend; a boundary right after a literal checkpoints at the next run
+ * code with carry = -1 ("start normally").  The device run chain clamps
+ * emission at its segment rlen (emitted1 = min(...)), so the upstream
+ * segment needs no change to stop mid-run. */
 static int64_t dec_run(BitRead *b, const FusedTab *ntab, int ntype,
                        const FusedTab *rtab,
-                       uint8_t *out, int64_t rlen, int rchar, int64_t *ntok)
+                       uint8_t *out, int64_t rlen, int rchar, int64_t *ntok,
+                       int64_t seg, int32_t *ck_bits, int32_t *ck_tok,
+                       int32_t *ck_carry)
 { int     nsignal = (ntype == 2) ? 255 : 256;
   int     last = 0;
   int64_t j = 0;
   int64_t toks = 0;
+  int64_t lits = 0;
+  int64_t next = seg;
   Win     w;
 
   win_init(&w);
@@ -209,6 +231,14 @@ static int64_t dec_run(BitRead *b, const FusedTab *ntab, int ntype,
       { int64_t e = j + c;
         if (e > rlen)
           e = rlen;
+        if (ck_bits != NULL)
+          while (next <= e && next < rlen)
+            { int64_t k = next / seg - 1;
+              ck_bits[k] = (int32_t) b->pos;      /* at this pair's literal */
+              ck_tok[k] = (int32_t) lits;
+              ck_carry[k] = (int32_t) (e - next); /* leftover rchars */
+              next += seg;
+            }
         if (out != NULL)
           memset(out + j, rchar, (size_t) (e - j));
         j = e;
@@ -231,6 +261,14 @@ static int64_t dec_run(BitRead *b, const FusedTab *ntab, int ntype,
           if (out != NULL)
             out[j] = (uint8_t) s;
           j += 1;
+          lits += 1;
+          if (ck_bits != NULL && j == next && next < rlen)
+            { int64_t k = next / seg - 1;
+              ck_bits[k] = (int32_t) b->pos;      /* at the next run code */
+              ck_tok[k] = (int32_t) lits;
+              ck_carry[k] = -1;                   /* start normally */
+              next += seg;
+            }
         }
     }
   if (ntok != NULL)
@@ -284,6 +322,13 @@ long long dxt_quiva_text(
  *                        del and sub RLE chains (0 when plain) — a tight
  *                        static bound for the device run chains
  */
+/* Checkpoint outputs (all may be NULL): with seg a power of two and
+ * ck_offs the caller-computed prefix sums of per-entry boundary counts
+ * nb_i = max(ceil(rlen_i/seg) - 1, 0) (known from a prior walk), the
+ * walker records per-channel segment checkpoints: ckb holds 4 planes of
+ * btot bit offsets (del, ins, mrg, sub), ckt/ckc hold 2 planes each of
+ * literal-token indices / run carries (del, sub; run-coded channels
+ * only).  Long reads then decode on the device as many short chains. */
 long long dxt_qv_walk(
     const uint8_t *buf, long long size, long long off0,
     const int32_t *lookups, const uint8_t *lens, const uint8_t *types,
@@ -291,7 +336,9 @@ long long dxt_qv_walk(
     long long cap_entries, long long cap_total,
     int32_t *wells, int32_t *begs, int32_t *ends, int32_t *qvs,
     long long *eoffs, long long *elens,
-    uint8_t *out, int materialize, int32_t *coffs, int32_t *ntoks)
+    uint8_t *out, int materialize, int32_t *coffs, int32_t *ntoks,
+    long long seg, long long btot, const long long *ck_offs,
+    int32_t *ckb, int32_t *ckt, int32_t *ckc)
 {
 #define LOOK(i) (lookups + (int64_t) (i) * 65536)
 #define LENS(i) (lens + (int64_t) (i) * 256)
@@ -354,6 +401,24 @@ long long dxt_qv_walk(
       eoffs[ne] = off;
       elens[ne] = rlen;
 
+      { int32_t *cd = NULL, *ci = NULL, *cm = NULL, *cs = NULL;
+        int32_t *ctd = NULL, *ccd = NULL, *cts = NULL, *ccs = NULL;
+        if (seg > 0 && ckb != NULL && ck_offs != NULL)
+          { int64_t cb = ck_offs[ne];
+            cd = ckb + cb;
+            ci = ckb + btot + cb;
+            cm = ckb + 2 * btot + cb;
+            cs = ckb + 3 * btot + cb;
+            if (ckt != NULL)
+              { ctd = ckt + cb;
+                cts = ckt + btot + cb;
+              }
+            if (ckc != NULL)
+              { ccd = ckc + cb;
+                ccs = ckc + btot + cb;
+              }
+          }
+
       odel = materialize ? out + total : NULL;
       otag = materialize ? out + cap_total + total : NULL;
       oins = materialize ? out + 2 * cap_total + total : NULL;
@@ -381,7 +446,8 @@ long long dxt_qv_walk(
           }
         br.buf = buf; br.size = size; br.base = off; br.pos = 0;
         if (del_char < 0)
-          { w = dec_plain(&br, TAB(sid[0]), types[sid[0]], dd, rlen);
+          { w = dec_plain(&br, TAB(sid[0]), types[sid[0]], dd, rlen,
+                          seg, cd);
             clen = rlen;
             if (ntoks != NULL)
               ntoks[2 * ne] = 0;
@@ -389,7 +455,8 @@ long long dxt_qv_walk(
         else
           { int64_t k, dtk = 0;
             w = dec_run(&br, TAB(sid[0]), types[sid[0]],
-                        TAB(sid[1]), dd, rlen, del_char, &dtk);
+                        TAB(sid[1]), dd, rlen, del_char, &dtk,
+                        seg, cd, ctd, ccd);
             clen = 0;
             for (k = 0; k < rlen; k++)
               clen += (dd[k] != (uint8_t) del_char);
@@ -430,33 +497,36 @@ long long dxt_qv_walk(
         coffs[5 * ne + 1] = (int32_t) (off - eoffs[ne]);
 
       br.buf = buf; br.size = size; br.base = off; br.pos = 0;
-      w = dec_plain(&br, TAB(sid[2]), types[sid[2]], oins, rlen);
+      w = dec_plain(&br, TAB(sid[2]), types[sid[2]], oins, rlen, seg, ci);
       off += 4 * w;
       if (coffs != NULL)
         coffs[5 * ne + 2] = (int32_t) (off - eoffs[ne]);
 
       br.buf = buf; br.size = size; br.base = off; br.pos = 0;
-      w = dec_plain(&br, TAB(sid[3]), types[sid[3]], omrg, rlen);
+      w = dec_plain(&br, TAB(sid[3]), types[sid[3]], omrg, rlen, seg, cm);
       off += 4 * w;
       if (coffs != NULL)
         coffs[5 * ne + 3] = (int32_t) (off - eoffs[ne]);
 
       br.buf = buf; br.size = size; br.base = off; br.pos = 0;
       if (sub_char < 0)
-        { w = dec_plain(&br, TAB(sid[4]), types[sid[4]], osub, rlen);
+        { w = dec_plain(&br, TAB(sid[4]), types[sid[4]], osub, rlen,
+                        seg, cs);
           if (ntoks != NULL)
             ntoks[2 * ne + 1] = 0;
         }
       else
         { int64_t stk = 0;
           w = dec_run(&br, TAB(sid[4]), types[sid[4]],
-                      TAB(sid[5]), osub, rlen, sub_char, &stk);
+                      TAB(sid[5]), osub, rlen, sub_char, &stk,
+                      seg, cs, cts, ccs);
           if (ntoks != NULL)
             ntoks[2 * ne + 1] = (int32_t) stk;
         }
       off += 4 * w;
       if (coffs != NULL)
         coffs[5 * ne + 4] = (int32_t) (off - eoffs[ne]);
+      }
 
       if (off > size)
         WRET(-2);

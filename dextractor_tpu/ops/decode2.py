@@ -332,14 +332,19 @@ def expand_monotone(vals: tuple, disp, width: int, live0=None, *,
 # ---------------------------------------------------------------------------
 
 def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
-                subw: int, lmax: int, max_sym: int | None = None):
+                subw: int, lmax: int, max_sym: int | None = None,
+                pos0=None):
     """Decode N plain streams, one per word-aligned rectangle row.
 
     Returns symbols (N, max_len) u8.  On accelerator backends the chains
     run in the VMEM conveyor kernel (ops/decode_conveyor); the XLA
     formulation below serves CPU and as the semantics reference.  Eight
     symbols per window refresh: 8 * 24 bits worst case fits the 12-word
-    register window from any starting alignment."""
+    register window from any starting alignment.
+
+    ``pos0`` (N,) i32 in [0, 32): each chain's starting bit offset within
+    its rectangle — segment chains resume mid-stream from the native
+    walker's checkpoints (rows are sliced at the checkpoint's word)."""
     f2_rows = (f2.shape[0] + 127) // 128
     # ``max_sym`` (static, the batch's bucketed longest read) caps the
     # serial group-steps below the padded row width — pow2 row bucketing
@@ -356,7 +361,8 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
 
         out = plain_chain_conveyor(rect, rlens, f1c, f2, signal,
                                    max_len=ml, subw=subw, lmax=lmax,
-                                   interpret=cmode == "interpret")[0]
+                                   interpret=cmode == "interpret",
+                                   pos0=pos0)[0]
         if ml < max_len:
             out = jnp.pad(out, ((0, 0), (0, max_len - ml)))
         return out
@@ -393,7 +399,8 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
     z = rlens * 0
     out0 = jnp.broadcast_to(z.astype(jnp.uint8)[:, None],
                             (n, groups * group_sz))
-    pos, last, out = jax.lax.fori_loop(0, groups, group, (z, z, out0))
+    p0 = z if pos0 is None else pos0.astype(z.dtype)
+    pos, last, out = jax.lax.fori_loop(0, groups, group, (p0, z, out0))
     out = out[:, :ml]
     if ml < max_len:
         out = jnp.pad(out, ((0, 0), (0, max_len - ml)))
@@ -401,12 +408,13 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
 
 
 def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
-                 max_sym: int | None = None):
+                 max_sym: int | None = None, pos0=None):
     """Decode several plain channels, merging conveyor-eligible ones
     that share an L2 need into ONE multi-channel launch (the chains are
     latency-bound, so C channels in one serial walk cost far less than C
     walks).  ``specs`` is a list of (key, rect, f1c, signal, subw);
-    returns {key: (N, max_len) u8 rows}.
+    ``pos0`` an optional {key: (N,) i32} of per-chain starting bit
+    offsets (segment decode); returns {key: (N, max_len) u8 rows}.
     """
     out = {}
     ml = max_len if max_sym is None else min(max_len, max_sym)
@@ -429,7 +437,9 @@ def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
             res = plain_chains_conveyor(
                 [g[1] for g in grp], rlens, [g[2] for g in grp], f2,
                 [g[3] for g in grp], max_len=ml, subw=sw_k, lmax=lmax,
-                interpret=cmode == "interpret")
+                interpret=cmode == "interpret",
+                pos0=None if pos0 is None else [pos0.get(g[0])
+                                                for g in grp])
             for (key, *_), (syms, _, _) in zip(grp, res):
                 if ml < max_len:
                     syms = jnp.pad(syms, ((0, 0), (0, max_len - ml)))
@@ -438,12 +448,15 @@ def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
         singles = [s for s in specs]
     for key, rect, f1c, sg, sw_k in singles:
         out[key] = plain_chain(rect, rlens, f1c, f2, sg, max_len=max_len,
-                               subw=sw_k, lmax=lmax, max_sym=max_sym)
+                               subw=sw_k, lmax=lmax, max_sym=max_sym,
+                               pos0=None if pos0 is None
+                               else pos0.get(key))
     return out
 
 
 def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
-              max_tokens: int, subw: int, lmax: int):
+              max_tokens: int, subw: int, lmax: int, pos0=None,
+              carry=None):
     """Decode N RLE streams into (runlen, literal) token pairs.
 
     Three tokens per window refresh (3 * 56 bits worst case fits the
@@ -451,7 +464,14 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
     exact per-entry token counts, so the chain length is tight rather
     than bounded by rlen.  Token semantics match
     decode_jax.decode_run_batch.  On accelerator backends the chains run
-    in the VMEM conveyor kernel (ops/decode_conveyor)."""
+    in the VMEM conveyor kernel (ops/decode_conveyor).
+
+    Segment chains (``pos0``/``carry`` from the walker's checkpoints):
+    the chain starts at bit ``pos0`` and, when ``carry >= 0``, its first
+    token is the virtual pair (carry, literal-at-pos0) — a checkpoint
+    inside a run resumes with the leftover rchars prepended and the
+    stream positioned AT the run's literal code; carry < 0 starts at a
+    run code normally."""
     f2_rows = (f2.shape[0] + 127) // 128
     cmode = conveyor_mode()
     if (cmode and rect.shape[1] <= 16384
@@ -461,15 +481,16 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
         return run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal,
                                   max_tokens=max_tokens, subw=subw,
                                   lmax=lmax,
-                                  interpret=cmode == "interpret")[:2]
+                                  interpret=cmode == "interpret",
+                                  pos0=pos0, carry=carry)[:2]
     n = rlens.shape[0]
     group_sz = 3
     groups = (max_tokens + group_sz - 1) // group_sz
     t_pad = groups * group_sz
     refresh, read = _window_reader(rect)
 
-    def group(g, carry):
-        pos, emitted, last, runs, lits = carry
+    def group(g, st):
+        pos, emitted, last, runs, lits = st
         state = refresh(pos)
         rcols, lcols = [], []
         for s in range(group_sz):
@@ -484,7 +505,18 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
             runlit = _extract(sw_a, sw_b, p + nb.astype(jnp.uint32), 16)
             runlen = jnp.where(resc, runlit, c)
             width = jnp.where(resc, 16, nb)
-            pos = pos + jnp.where(active, nb + jnp.where(resc, 16, 0), 0)
+            if carry is not None and s == 0:
+                # segment phase: the first token of the chain is the
+                # checkpoint's virtual (carry, literal) pair — no run
+                # code is read and the stream sits at the literal
+                phase = (g == 0) & (carry >= 0)
+                runlen = jnp.where(phase, carry, runlen)
+                resc = resc & ~phase
+                pos = pos + jnp.where(
+                    active & ~phase, nb + jnp.where(resc, 16, 0), 0)
+            else:
+                pos = pos + jnp.where(active,
+                                      nb + jnp.where(resc, 16, 0), 0)
             emitted1 = jnp.minimum(emitted + runlen, rlens)
 
             need_sym = active & (emitted1 < rlens)
@@ -517,8 +549,9 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
     z = rlens * 0
     runs0 = jnp.broadcast_to(z[:, None], (n, t_pad))
     lits0 = runs0 - 1
+    p0 = z if pos0 is None else pos0.astype(z.dtype)
     pos, emitted, last, runs, lits = jax.lax.fori_loop(
-        0, groups, group, (z, z, z, runs0, lits0))
+        0, groups, group, (p0, z, z, runs0, lits0))
     return runs, lits
 
 
@@ -694,6 +727,109 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
         sub_rows = _expand_dispatch(sruns, slits, sub_char, max_len=max_len)
     else:
         sub_rows = prows["sub"]
+
+    z = jnp.uint8(0)
+    mask = lambda r: jnp.where(in_read, r, z)
+    return jnp.stack([mask(del_rows), tag_rows, mask(ins_rows),
+                      mask(mrg_rows), mask(sub_rows)])
+
+# ---------------------------------------------------------------------------
+# segmented five-channel entry decode (long reads)
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("seg", "s_per", "max_len", "max_tokens",
+                              "del_mode", "sub_mode", "subw", "lmax",
+                              "chan_l2"))
+def decode_entry_batch_seg(rect_del, tag_in, rect_ins, rect_mrg, rect_sub,
+                           rlens, seg_rlens, pos0, carr, sids, f1, f2,
+                           types, del_char, sub_char, *, seg: int,
+                           s_per: int, max_len: int, max_tokens: int,
+                           del_mode: str, sub_mode: str, subw: int,
+                           lmax: int, chan_l2: tuple | None = None):
+    """Segmented fused five-channel .dexqv decode.
+
+    Long reads decode as ``s_per`` independent SHORT chains per read from
+    the native walker's checkpoints (qv_codec._index_checkpoints) instead
+    of one long one — the conveyor's per-group costs scale with stream
+    residency (K), so reads of any length run at the proven short-chain
+    geometry (the reference's envelope: per-read cost independent of
+    length, QV.c:510-691 + realloc growth).  Chain rows are segment-major
+    (read r, segment k) -> row r * s_per + k; every read owns exactly
+    ``s_per`` segment rows (dead ones have seg_rlens 0 and cost no serial
+    steps), so the (NS, seg) symbol rows reshape EXACTLY to
+    (N, s_per * seg) and slice to max_len.
+
+    rect_*: (NS, K_c) u32 segment rectangles (sliced at each checkpoint's
+    word); tag_in: (N, TB) u8 packed tag bytes (plain-del mode) or
+    (NS, Tt) i32 per-segment tag codes (run-del mode, codes t0..t0+Tt of
+    the read's global kept-rank sequence); rlens (N,); seg_rlens (NS,);
+    pos0 (4, NS) per-channel starting bit offsets in [0, 32); carr
+    (2, NS) del/sub run carries (-1 = start at a run code; >= 0 = the
+    checkpoint fell inside a run: prepend that many rchars and read the
+    literal first).  Returns (5, N, max_len) u8 rows."""
+    n = rlens.shape[0]
+    ns = seg_rlens.shape[0]
+    f1c = [jnp.take(f1, sids[k], axis=0) for k in range(6)]
+    sig = [jnp.where(types[sids[k]] == 2, 255, 256) for k in range(6)]
+    sw = [subw if (chan_l2 is None or chan_l2[k]) else 0 for k in range(6)]
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, max_len), 1)
+    in_read = col < rlens[:, None]
+
+    def widen(rows_seg):
+        """(NS, seg) segment rows -> (N, max_len) read rows."""
+        r = rows_seg.reshape(n, s_per * seg)
+        if s_per * seg < max_len:      # short-read bucket under the
+            r = jnp.pad(r, ((0, 0), (0, max_len - s_per * seg)))
+        return r[:, :max_len]          # 512-floor of the width bucket
+
+    specs = [("ins", rect_ins, f1c[2], sig[2], sw[2]),
+             ("mrg", rect_mrg, f1c[3], sig[3], sw[3])]
+    p0s = {"ins": pos0[1], "mrg": pos0[2]}
+    if del_mode != "run":
+        specs.append(("del", rect_del, f1c[0], sig[0], sw[0]))
+        p0s["del"] = pos0[0]
+    if sub_mode != "run":
+        specs.append(("sub", rect_sub, f1c[4], sig[4], sw[4]))
+        p0s["sub"] = pos0[3]
+    prows = plain_chains(specs, seg_rlens, f2, max_len=seg, lmax=lmax,
+                         pos0=p0s)
+    ins_rows = widen(prows["ins"])
+    mrg_rows = widen(prows["mrg"])
+
+    if del_mode == "run":
+        runs, lits = run_chain(
+            rect_del, seg_rlens, f1c[1], f1c[0], f2, sig[0],
+            max_tokens=max_tokens, subw=max(sw[0], sw[1]), lmax=lmax,
+            pos0=pos0[0], carry=carr[0])
+        tp = runs.shape[1]
+        codes_t = tag_in[:, :tp]
+        if codes_t.shape[1] < tp:
+            codes_t = jnp.pad(codes_t,
+                              ((0, 0), (0, tp - codes_t.shape[1])))
+        del_rows_s, tag_r_s = expand_del_tag(runs, lits, codes_t, del_char,
+                                             max_len=seg)
+        del_rows = widen(del_rows_s)
+        tag_r = widen(tag_r_s)
+        tag_rows = jnp.where(
+            tag_r >= 0, tag_r,
+            jnp.where(in_read, np.int32(ord("n")), 0)).astype(jnp.uint8)
+        tag_rows = jnp.where(in_read, tag_rows, jnp.uint8(0))
+    else:
+        del_rows = widen(prows["del"])
+        codes = _unpack_tag_codes(tag_in, max_len)
+        tag_rows = jnp.where(in_read, _tag_letters(codes),
+                             0).astype(jnp.uint8)
+
+    if sub_mode == "run":
+        sruns, slits = run_chain(
+            rect_sub, seg_rlens, f1c[5], f1c[4], f2, sig[4],
+            max_tokens=max_tokens, subw=max(sw[4], sw[5]), lmax=lmax,
+            pos0=pos0[3], carry=carr[1])
+        sub_rows = widen(_expand_dispatch(sruns, slits, sub_char,
+                                          max_len=seg))
+    else:
+        sub_rows = widen(prows["sub"])
 
     z = jnp.uint8(0)
     mask = lambda r: jnp.where(in_read, r, z)

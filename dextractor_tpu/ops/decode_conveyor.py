@@ -271,8 +271,8 @@ def _window_ref_g1(conv_ref, wpos, w_words: int):
 def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                           f2r: int, lanes: int, interpret: bool = False,
                           gg: int = 8):
-    def kernel(rectT_ref, rlen_ref, f1_ref, f2_ref, prm_ref, out_ref,
-               stats_ref, *scr):
+    def kernel(rectT_ref, rlen_ref, p0_ref, f1_ref, f2_ref, prm_ref,
+               out_ref, stats_ref, *scr):
         if gg == 1:
             conv_ref, pos_ref, base_ref, last_ref, bc_ref, dma_sem = scr
         else:
@@ -298,7 +298,7 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 cp.wait()
             if gg == 1:                   # zero the shifted-load pad rows
                 conv_ref[k * gg:] = jnp.zeros((8, lanes), jnp.int32)
-            pos_ref[:] = rlen * 0
+            pos_ref[:] = p0_ref[:]        # segment chains resume mid-bit
             base_ref[:] = rlen * 0
             last_ref[:] = rlen * 0
 
@@ -364,8 +364,8 @@ def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
     f1 arrives as (2*gg, lanes): rows [0, gg) the lo half, [gg, 2gg) the
     hi half of each slot's 256-entry table; prm as (gg, lanes) per-slot
     signals."""
-    def kernel(rectT_ref, rlen_ref, f1_ref, f2_ref, prm_ref, out_ref,
-               stats_ref, *scr):
+    def kernel(rectT_ref, rlen_ref, p0_ref, f1_ref, f2_ref, prm_ref,
+               out_ref, stats_ref, *scr):
         if gg == 1:
             conv_ref, pos_ref, base_ref, last_ref, bc_ref, dma_sem = scr
         else:
@@ -387,7 +387,7 @@ def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 cp.wait()
             if gg == 1:                   # zero the shifted-load pad rows
                 conv_ref[k * gg:] = jnp.zeros((8, lanes), jnp.int32)
-            pos_ref[:] = rlen * 0
+            pos_ref[:] = p0_ref[:]        # segment chains resume mid-bit
             base_ref[:] = rlen * 0
             last_ref[:] = rlen * 0
 
@@ -461,7 +461,7 @@ def _pick_sets_multi(r: int, k: int):
 
 def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
                           max_len: int, subw: int, lmax: int,
-                          interpret: bool = False):
+                          interpret: bool = False, pos0=None):
     """Decode C plain channels' chains in ONE conveyor launch.
 
     rects: C arrays (N, K_c) u32 (same reads, different channels);
@@ -479,15 +479,24 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
         [jnp.pad(r, ((0, npc - n), (0, k - r.shape[1]))) for r in rects])
     rl = jnp.pad(rlens.astype(jnp.int32), (0, npc - n))
     rlall = jnp.concatenate([rl] * C)
+    if pos0 is None:
+        p0all = jnp.zeros_like(rlall)
+    else:
+        p0all = jnp.concatenate(
+            [jnp.pad(jnp.zeros(n, jnp.int32) if p is None
+                     else p.astype(jnp.int32), (0, npc - n))
+             for p in pos0])
     r_tot = C * npc
     gg, sets, npad = _pick_sets_multi(r_tot, k)
     lanes = 128 * sets
     if npad != r_tot:
         rect = jnp.pad(rect, ((0, npad - r_tot), (0, 0)))
         rlall = jnp.pad(rlall, (0, npad - r_tot))
+        p0all = jnp.pad(p0all, (0, npad - r_tot))
     rectT = jax.lax.bitcast_convert_type(
         _interleave_rect(rect, npad, gg), jnp.int32)
     rlen8 = _chain_plane(rlall, npad, gg)
+    p0p = _chain_plane(p0all, npad, gg)
     ncols = npad // gg
 
     # per-slot table/signal planes: slot g*8+s sits at [s, g*128:(g+1)*128]
@@ -521,6 +530,8 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f2p.shape[0], 128), lambda j, g: (0, 0),
@@ -544,7 +555,7 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
         + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
         + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(rectT, rlen8, f1p, f2p, prm)
+    )(rectT, rlen8, p0p, f1p, f2p, prm)
     syms_all = _unrows(outT, lp, npad, max_len, gg).astype(jnp.uint8)
     bits_all = _unplane(stats[0:gg], npad)
     last_all = _unplane(stats[gg:2 * gg], npad)
@@ -556,8 +567,8 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
 def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                         f2r: int, lanes: int, interpret: bool = False,
                         gg: int = 8):
-    def kernel(rectT_ref, rlen_ref, f1r_ref, f1s_ref, f2_ref, prm_ref,
-               runs_ref, lits_ref, stats_ref, *scr):
+    def kernel(rectT_ref, rlen_ref, p0_ref, cr_ref, f1r_ref, f1s_ref,
+               f2_ref, prm_ref, runs_ref, lits_ref, stats_ref, *scr):
         if gg == 1:
             (conv_ref, pos_ref, base_ref, em_ref, last_ref, bc_ref,
              dma_sem) = scr
@@ -580,7 +591,7 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 cp.wait()
             if gg == 1:                   # zero the shifted-load pad rows
                 conv_ref[k * gg:] = jnp.zeros((8, lanes), jnp.int32)
-            pos_ref[:] = rlen * 0
+            pos_ref[:] = p0_ref[:]        # segment chains resume mid-bit
             base_ref[:] = rlen * 0
             em_ref[:] = rlen * 0
             last_ref[:] = rlen * 0
@@ -621,8 +632,23 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             resc = active & (c == 255)
             runlit = _extract(sw_a, sw_b, p + nb.astype(jnp.uint32), 16)
             runlen = jnp.where(resc, runlit, c)
-            pos = pos + jnp.where(active,
-                                  nb + jnp.where(resc, 16, 0), 0)
+            if s == 0:
+                # segment phase: a checkpoint that fell inside a run
+                # resumes as the virtual (carry, literal) pair — no run
+                # code is read, the stream sits at the literal.  The
+                # grid scalar enters via integer blending (Mosaic
+                # rejects broadcast-scalar i1 selects).
+                cr = cr_ref[:]
+                first = 1 - jnp.minimum(g, 1)          # i32 scalar
+                ph = (cr >= 0).astype(jnp.int32) * first
+                phase = ph == 1
+                runlen = jnp.where(phase, cr, runlen)
+                resc = resc & ~phase
+                pos = pos + jnp.where(active & ~phase,
+                                      nb + jnp.where(resc, 16, 0), 0)
+            else:
+                pos = pos + jnp.where(active,
+                                      nb + jnp.where(resc, 16, 0), 0)
             last = jnp.where(active, jnp.where(resc, 16, nb), last)
             emitted1 = jnp.minimum(emitted + runlen, rlen)
 
@@ -719,7 +745,8 @@ def _unrows(outT, lp, n, width, g: int = 8):
 @functools.partial(jax.jit, static_argnames=("max_len", "subw", "lmax",
                                              "interpret"))
 def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
-                         subw: int, lmax: int, interpret: bool = False):
+                         subw: int, lmax: int, interpret: bool = False,
+                         pos0=None):
     """Drop-in for decode2.plain_chain, plus per-chain stream stats.
 
     rect (N, K) u32, f1c (256,) i32, f2 flat i32, signal scalar ->
@@ -730,12 +757,16 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
     lanes = 128 * sets
     block = gg * 128 * sets
     npad = _round_up(max(n, block), block)
+    if pos0 is None:
+        pos0 = jnp.zeros(n, jnp.int32)
     if npad != n:
         rect = jnp.pad(rect, ((0, npad - n), (0, 0)))
         rlens = jnp.pad(rlens, (0, npad - n))
+        pos0 = jnp.pad(pos0, (0, npad - n))
     rectT = jax.lax.bitcast_convert_type(
         _interleave_rect(rect, npad, gg), jnp.int32)
     rlen8 = _chain_plane(rlens.astype(jnp.int32), npad, gg)
+    p0p = _chain_plane(pos0.astype(jnp.int32), npad, gg)
     f1t = f1c.reshape(2, 128)
     f2r = _round_up(max(f2.shape[0], 128), 128) // 128
     f2p = jnp.pad(f2, (0, f2r * 128 - f2.shape[0])).reshape(f2r, 128)
@@ -752,6 +783,8 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
         grid=(ncols // lanes, groups),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda j, g: (0, 0),
@@ -777,7 +810,7 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
         + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
         + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(rectT, rlen8, f1t, f2p, prm)
+    )(rectT, rlen8, p0p, f1t, f2p, prm)
     syms = _unrows(outT, lp, n, max_len, gg).astype(jnp.uint8)
     return syms, _unplane(stats[0:gg], n), _unplane(stats[gg:2 * gg], n)
 
@@ -786,7 +819,7 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
                                              "interpret"))
 def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
                        max_tokens: int, subw: int, lmax: int,
-                       interpret: bool = False):
+                       interpret: bool = False, pos0=None, carry=None):
     """Drop-in for decode2.run_chain, plus per-chain stream stats.
 
     Returns (runs (N, Tp) i32, lits (N, Tp) i32, bits (N,) i32,
@@ -796,12 +829,20 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
     lanes = 128 * sets
     block = gg * 128 * sets
     npad = _round_up(max(n, block), block)
+    if pos0 is None:
+        pos0 = jnp.zeros(n, jnp.int32)
+    if carry is None:
+        carry = jnp.full(n, -1, jnp.int32)
     if npad != n:
         rect = jnp.pad(rect, ((0, npad - n), (0, 0)))
         rlens = jnp.pad(rlens, (0, npad - n))
+        pos0 = jnp.pad(pos0, (0, npad - n))
+        carry = jnp.pad(carry, (0, npad - n), constant_values=-1)
     rectT = jax.lax.bitcast_convert_type(
         _interleave_rect(rect, npad, gg), jnp.int32)
     rlen8 = _chain_plane(rlens.astype(jnp.int32), npad, gg)
+    p0p = _chain_plane(pos0.astype(jnp.int32), npad, gg)
+    crp = _chain_plane(carry.astype(jnp.int32), npad, gg)
     f1rt = f1r.reshape(2, 128)
     f1st = f1s.reshape(2, 128)
     f2r = _round_up(max(f2.shape[0], 128), 128) // 128
@@ -819,6 +860,10 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
         grid=(ncols // lanes, groups),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((gg, lanes), lambda j, g: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda j, g: (0, 0),
@@ -849,7 +894,7 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
         + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
         + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(rectT, rlen8, f1rt, f1st, f2p, prm)
+    )(rectT, rlen8, p0p, crp, f1rt, f1st, f2p, prm)
     runs = _unrows(runsT, tp, n, tp, gg)
     lits = _unrows(litsT, tp, n, tp, gg)
     return runs, lits, _unplane(stats[0:gg], n), _unplane(stats[gg:2 * gg], n)

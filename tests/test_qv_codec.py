@@ -401,18 +401,88 @@ def test_device_decode_long_read_mix_buckets(monkeypatch):
     enc = encode_quiva_to_dexqv(data, device=False)
 
     launches = []
-    orig = d2.decode_entry_batch2
+    orig = d2.decode_entry_batch_seg
 
     def spy(*a, **k):
-        launches.append(k.get("max_len"))
+        launches.append((k.get("s_per"), k.get("max_len")))
         return orig(*a, **k)
 
-    monkeypatch.setattr(d2, "decode_entry_batch2", spy)
+    monkeypatch.setattr(d2, "decode_entry_batch_seg", spy)
     dec = decode_dexqv_to_quiva(enc, device=True)
     assert dec == data
-    assert len(launches) >= 2, f"expected bucketed launches, got {launches}"
-    assert len(set(launches)) >= 2      # buckets get their own plane width
+    # long reads route through the checkpoint-segmented step (the DP
+    # bucketing may merge this small batch into one launch)
+    assert len(launches) >= 1, f"expected segmented launches: {launches}"
+    assert max(sp for sp, _ in launches) >= 4     # true multi-segment reads
+
+    # the per-read bucketed path must stay exact too (DB path / fallback)
+    monkeypatch.setenv("DXT_SEG_DECODE", "0")
+    dec2 = decode_dexqv_to_quiva(enc, device=True)
+    assert dec2 == data
 
     # device encode over the same long-row rectangles must stay byte-exact
     enc_dev = encode_quiva_to_dexqv(data, device=True)
     assert enc_dev == enc
+
+
+
+def test_seg_decode_runs_and_carries_cross_boundaries():
+    """Checkpoint-segmented decode vs the per-read fused step on data
+    where delChar/subChar runs cross segment boundaries (run carries,
+    literal-first resumes, clamped boundary runs) — small seg=256 so a
+    modest batch has many segments."""
+    from dextractor_tpu.codecs.qv_codec import (
+        encode_quiva_to_dexqv, _index_native, _index_checkpoints)
+    from dextractor_tpu.formats import dexqv as dqf
+    from dextractor_tpu.codecs.qv_batch import (
+        fused_decode_entries, fused_decode_entries_seg)
+
+    rng = np.random.default_rng(31)
+    data = make_quiva(rng, n_reads=14, min_len=0, max_len=2500,
+                      sub_heavy=True)
+    enc = encode_quiva_to_dexqv(data, device=False)
+    coding, coff = dqf.parse_qvcoding(memoryview(enc), 2)
+    idx = _index_native(enc, coding, coff, True)
+    if idx is None:
+        pytest.skip("native shim unavailable")
+    _, _, _, _, _, _, eoffs, elens, coffs, ntoks = idx
+    ck = _index_checkpoints(enc, coding, coff, True, idx, seg=256)
+    assert ck is not None
+    buf = np.frombuffer(enc, np.uint8)
+    ref = np.asarray(fused_decode_entries(
+        buf, eoffs, elens.astype(np.int32), coffs, ntoks, coding))
+    got = fused_decode_entries_seg(
+        buf, eoffs, elens.astype(np.int32), coffs, ntoks, coding, ck)
+    w = min(ref.shape[2], got.shape[2])
+    np.testing.assert_array_equal(got[:, :, :w], ref[:, :, :w])
+    assert not (ref[:, :, w:] != 0).any()
+    assert not (got[:, :, w:] != 0).any()
+
+
+def test_seg_decode_conveyor_interpret(monkeypatch):
+    """The segment chains (pos0 mid-bit resume + run carries) through the
+    actual Pallas conveyor kernels in interpret mode."""
+    from dextractor_tpu.codecs.qv_codec import (
+        encode_quiva_to_dexqv, _index_native, _index_checkpoints)
+    from dextractor_tpu.formats import dexqv as dqf
+    from dextractor_tpu.codecs.qv_batch import (
+        fused_decode_entries, fused_decode_entries_seg)
+
+    rng = np.random.default_rng(37)
+    data = make_quiva(rng, n_reads=7, min_len=0, max_len=700)
+    enc = encode_quiva_to_dexqv(data, device=False)
+    coding, coff = dqf.parse_qvcoding(memoryview(enc), 2)
+    idx = _index_native(enc, coding, coff, True)
+    if idx is None:
+        pytest.skip("native shim unavailable")
+    _, _, _, _, _, _, eoffs, elens, coffs, ntoks = idx
+    ck = _index_checkpoints(enc, coding, coff, True, idx, seg=256)
+    assert ck is not None
+    buf = np.frombuffer(enc, np.uint8)
+    ref = np.asarray(fused_decode_entries(
+        buf, eoffs, elens.astype(np.int32), coffs, ntoks, coding))
+    monkeypatch.setenv("DXT_CONVEYOR_INTERPRET", "1")
+    got = fused_decode_entries_seg(
+        buf, eoffs, elens.astype(np.int32), coffs, ntoks, coding, ck)
+    w = min(ref.shape[2], got.shape[2])
+    np.testing.assert_array_equal(got[:, :, :w], ref[:, :, :w])

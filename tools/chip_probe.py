@@ -118,9 +118,9 @@ def main():
     # already run the 2 kb sections (fresh-process runs always pass),
     # so order is load-bearing; a one-shot retry covers transient 500s.
     with section("longreads"):
-        from bench import lognormal_lengths, measure_chained, _qv_dec_setup
+        from bench import (lognormal_lengths, measure_chained,
+                           qv_dec_long_parts)
         from dextractor_tpu.codecs.qv_codec import _index_native
-        from dextractor_tpu.codecs.qv_batch import span_buckets
         from dextractor_tpu.formats import dexqv as dqf2
 
         rng_l = np.random.default_rng(2)
@@ -149,16 +149,12 @@ def main():
 
         coding_l, coff_l = dqf2.parse_qvcoding(memoryview(enc_long), 2)
         idx_l = _index_native(enc_long, coding_l, coff_l, True)
-        kws = span_buckets(idx_l[8])
         payload_long = int(idx_l[7].sum()) * 5
         total_dt = 0.0
         bucket_ms = {}
-        for kw in np.unique(kws):
-            sel = np.flatnonzero(kws == kw)
-            fn, dec_args = _qv_dec_setup(enc_long, sel)
-            dt = measure_chained(fn, dec_args,
-                                 f"long-bucket k={int(kw)} n={len(sel)}")
-            bucket_ms[str(int(kw))] = round(dt * 1e3, 3)
+        for fn, dec_args, label in qv_dec_long_parts(enc_long):
+            dt = measure_chained(fn, dec_args, label)
+            bucket_ms[label.split("qv-decode-long ")[1]] = round(dt * 1e3, 3)
             total_dt += dt
         results["longreads_bucket_step_ms"] = bucket_ms
         results["longreads_step_ms_total"] = round(total_dt * 1e3, 3)
