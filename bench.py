@@ -142,7 +142,10 @@ def measure_chained(chained, dargs, label):
     budget_s = 22.0
     dt = None
     last = None                      # (k_hi, t_hi) of the last rung
-    for k_hi in (12, 52, 202):
+    # the rungs must reach far enough that microsecond steps clear the
+    # ~40 ms (and noisy) relay fetch floor — capping at 202 made the
+    # fast dexta metrics bistable across runs (14 vs 445 GB/s)
+    for k_hi in (12, 52, 202, 1002, 5002, 20002):
         if est * k_hi > budget_s:
             break
         t_hi = min(run_k(k_hi) for _ in range(2))
@@ -151,7 +154,10 @@ def measure_chained(chained, dargs, label):
         if t_hi - t_lo > 0.4 or t_hi > 30:
             dt = (t_hi - t_lo) / (k_hi - k_lo)
             break
-        est = max(t_hi / k_hi, est)
+        # refine the per-step estimate from the rung DIFFERENCE — the
+        # initial t_lo/k_lo is dominated by the ~25-40 ms relay fetch
+        # floor and would truncate the ladder for microsecond steps
+        est = max((t_hi - t_lo) / (k_hi - k_lo), 1e-6)
     if dt is None:
         # slow step: k_lo alone is far above the noise floor, so
         # difference two small K values instead of escalating
@@ -159,7 +165,7 @@ def measure_chained(chained, dargs, label):
             t1 = min(run_k(1) for _ in range(2))
             dt = max(t_lo - t1, 1e-9)
         else:
-            k_hi = max(3, min(202, int(budget_s / est)))
+            k_hi = max(3, min(20002, int(budget_s / est)))
             if last is not None and last[0] == k_hi:
                 t_hi = last[1]       # the escalation already ran this k
             else:
@@ -478,9 +484,10 @@ def build_ref_tools() -> Path | None:
 
 
 def time_tool(build: Path, tool: str, args: list[str]) -> float | None:
-    """min-of-3 wall time of a reference tool run, or None."""
+    """min-of-5 wall time of a reference tool run, or None (the bench
+    host is shared and noisy; min damps load spikes)."""
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         try:
             r = subprocess.run([str(build / tool)] + args,

@@ -37,11 +37,19 @@ from .vmem_lanes import cummax_lanes
 from .vmem_lanes import shl_fill as _shl_fill
 from .vmem_lanes import shr_fill as _shr_fill
 
-# rows per grid step.  Env-overridable for chip experiments: if the
-# shift networks are round-latency-bound rather than VPU-throughput-
-# bound, taller tiles add ILP the same way more conveyor chains did for
-# decode (DXT_EMIT_B=16/32 A/B via tools/encode_ablate.py).
-B = int(os.environ.get("DXT_EMIT_B", "8"))
+# rows per grid step.  Chip ablation (tools/encode_ablate.py, 16 MB
+# five-channel step): B=8 8.05 ms, B=16 6.95 ms, B=32 6.46 ms — the
+# shift networks are partly round-latency bound, so taller tiles add
+# ILP the same way more conveyor chains did for decode.  _tile_rows
+# picks the tallest tile whose planes stay within a VMEM budget (wide
+# dexta rows keep B=8); DXT_EMIT_B forces a value for A/B experiments.
+B = int(os.environ.get("DXT_EMIT_B", "0"))
+
+
+def _tile_rows(width: int) -> int:
+    if B:
+        return B
+    return int(max(8, min(32, (1 << 18) // max(width, 1) // 8 * 8)))
 
 # DXT_EMIT_ABLATE=nopack replaces the word-packing phase with an
 # elementwise combine — WRONG output, identical emission-phase cost —
@@ -397,7 +405,8 @@ def pack2bit_pallas(rows, lengths, number_lut, interpret: bool = False):
     """
     n, l = rows.shape
     assert l % 512 == 0, "rows must be 512-aligned (byte lanes x4)"
-    rpad = (-n) % B
+    tb = _tile_rows(l)
+    rpad = (-n) % tb
     if rpad:
         rows = jnp.pad(rows, ((0, rpad), (0, 0)))
         lengths = jnp.pad(lengths, (0, rpad))
@@ -405,15 +414,16 @@ def pack2bit_pallas(rows, lengths, number_lut, interpret: bool = False):
                              (n + rpad, 128))
     packed = pl.pallas_call(
         _pack2bit_kernel,
-        grid=((n + rpad) // B,),
+        grid=((n + rpad) // tb,),
         in_specs=[
-            pl.BlockSpec((B, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 128), lambda i: (i, 0),
+            pl.BlockSpec((tb, l), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, l // 4), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tb, l // 4), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n + rpad, l // 4), jnp.int32),
         interpret=interpret,
@@ -431,7 +441,8 @@ def pack_tags_pallas(tag_rows, del_rows, lengths, del_char, number_lut,
     """
     n, l = tag_rows.shape
     assert l % 512 == 0, "tag rows must be 512-aligned (byte lanes x4)"
-    rpad = (-n) % B
+    tb = _tile_rows(l)
+    rpad = (-n) % tb
     if rpad:
         tag_rows = jnp.pad(tag_rows, ((0, rpad), (0, 0)))
         del_rows = jnp.pad(del_rows, ((0, rpad), (0, 0)))
@@ -442,11 +453,13 @@ def pack_tags_pallas(tag_rows, del_rows, lengths, del_char, number_lut,
                            (1, 128))
     packed, stats = pl.pallas_call(
         _tag_kernel,
-        grid=((n + rpad) // B,),
+        grid=((n + rpad) // tb,),
         in_specs=[
-            pl.BlockSpec((B, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 128), lambda i: (i, 0),
+            pl.BlockSpec((tb, l), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, l), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -454,9 +467,9 @@ def pack_tags_pallas(tag_rows, del_rows, lengths, del_char, number_lut,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((B, l // 4), lambda i: (i, 0),
+            pl.BlockSpec((tb, l // 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 128), lambda i: (i, 0),
+            pl.BlockSpec((tb, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -477,11 +490,11 @@ def _round_up(x, mult):
     return (x + mult - 1) // mult * mult
 
 
-def _prep(data, lengths):
-    """Pad rows to a B multiple; lengths to an (N, 128) broadcast plane."""
+def _prep(data, lengths, tile_b):
+    """Pad rows to a tile multiple; lengths to an (N, 128) plane."""
     c, n, l = data.shape
     assert l % 128 == 0, "row width must be lane-aligned"
-    rpad = (-n) % B
+    rpad = (-n) % tile_b
     if rpad:
         data = jnp.pad(data, ((0, 0), (0, rpad), (0, 0)))
         lengths = jnp.pad(lengths, (0, rpad))
@@ -498,24 +511,25 @@ def encode_plain_pallas(data, lengths, sym_luts, interpret: bool = False):
     -> (words (C, N, Mp) u32, t (C, N) i32, last_gran (C, N) i32).
     """
     c, _, l = data.shape
-    data, lens2, n, rpad = _prep(data, lengths)
     mp = _round_up(l + 2, 128)
-    grid = (c, (n + rpad) // B)
+    tb = _tile_rows(mp)
+    data, lens2, n, rpad = _prep(data, lengths, tb)
+    grid = (c, (n + rpad) // tb)
     words, stats = pl.pallas_call(
         _plain_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, B, l), lambda ch, i: (ch, i, 0),
+            pl.BlockSpec((1, tb, l), lambda ch, i: (ch, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 128), lambda ch, i: (i, 0),
+            pl.BlockSpec((tb, 128), lambda ch, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 128), lambda ch, i: (ch, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, mp), lambda ch, i: (ch, i, 0),
+            pl.BlockSpec((1, tb, mp), lambda ch, i: (ch, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 128), lambda ch, i: (ch, i, 0),
+            pl.BlockSpec((1, tb, 128), lambda ch, i: (ch, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -537,18 +551,19 @@ def encode_run_pallas(data, lengths, sym_luts, run_luts, rchars,
     rchars (C,) i32 -> (words (C, N, Mp) u32, t (C, N), last_gran (C, N)).
     """
     c, _, l = data.shape
-    data, lens2, n, rpad = _prep(data, lengths)
     mp = _round_up(2 * l + 2, 128)
+    tb = _tile_rows(mp)
+    data, lens2, n, rpad = _prep(data, lengths, tb)
     prm = jnp.broadcast_to(rchars.astype(jnp.int32)[:, None, None],
                            (c, 1, 128))
-    grid = (c, (n + rpad) // B)
+    grid = (c, (n + rpad) // tb)
     words, stats = pl.pallas_call(
         _run_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, B, l), lambda ch, i: (ch, i, 0),
+            pl.BlockSpec((1, tb, l), lambda ch, i: (ch, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 128), lambda ch, i: (i, 0),
+            pl.BlockSpec((tb, 128), lambda ch, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 128), lambda ch, i: (ch, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -558,9 +573,9 @@ def encode_run_pallas(data, lengths, sym_luts, run_luts, rchars,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, mp), lambda ch, i: (ch, i, 0),
+            pl.BlockSpec((1, tb, mp), lambda ch, i: (ch, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 128), lambda ch, i: (ch, i, 0),
+            pl.BlockSpec((1, tb, 128), lambda ch, i: (ch, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
