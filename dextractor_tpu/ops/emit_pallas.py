@@ -168,9 +168,25 @@ def _spread2(x):
 def _interleave(a, b):
     """[a0, b0, a1, b1, ...]: (R, L) x2 -> (R, 2L), lanes interleaved.
 
-    Two spread networks; the planes are lane-disjoint so an add combines.
+    A fixed dilation is a STATIC permutation, so it rides the hardware
+    dynamic lane-gather per 128-lane output chunk (source lanes for
+    chunk q live entirely inside source chunk q//2): two gathers + one
+    parity select per chunk, ~8x fewer VREG ops than the _spread2 roll
+    networks this replaces (the interleave was a visible slice of the
+    emission phase in the tools/encode_ablate.py attribution).
     """
-    return _spread2(a) + _shr_fill(_spread2(b), 1)
+    r, m = a.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
+    half = col >> 1
+    parity = col & 1
+    outs = []
+    for q in range(2 * m // 128):
+        sl = slice((q // 2) * 128, (q // 2 + 1) * 128)
+        idx = half + (64 if q % 2 else 0)
+        ga = jnp.take_along_axis(a[:, sl], idx, axis=1)
+        gb = jnp.take_along_axis(b[:, sl], idx, axis=1)
+        outs.append(jnp.where(parity == 0, ga, gb))
+    return jnp.concatenate(outs, axis=1)
 
 
 def _sym_emit(d, lut_row):
