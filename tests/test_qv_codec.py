@@ -420,6 +420,9 @@ def test_device_decode_long_read_mix_buckets(monkeypatch):
     dec2 = decode_dexqv_to_quiva(enc, device=True)
     assert dec2 == data
 
+    # and the native sequential walker on the same long-read mix
+    assert decode_dexqv_to_quiva(enc, device=False) == data
+
     # device encode over the same long-row rectangles must stay byte-exact
     enc_dev = encode_quiva_to_dexqv(data, device=True)
     assert enc_dev == enc
