@@ -142,6 +142,9 @@ def _lut256(d, lut2):
 def _spread2(x):
     """Lane dilation: element at lane i moves to lane 2i, zero elsewhere.
 
+    Superseded by the lane-gather _interleave (8x fewer VREG ops) but
+    kept as the known-good roll-network fallback for the technique.
+
     (R, L) -> (R, 2L).  Mosaic rejects the shape-cast/strided interleave
     formulations ("unsupported shape cast"), so this is a pure roll+select
     shift network: element i's displacement is i (monotone non-decreasing),
