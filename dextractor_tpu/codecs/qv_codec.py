@@ -383,53 +383,113 @@ def assemble_from_step(step_out, coding: dq.QVCoding, wells, begs, ends,
 # ---------------------------------------------------------------------------
 
 def _encode_entries_device(q: qv.QuivaFile, coding: dq.QVCoding, lossy: bool) -> bytes:
-    """Encode all entries' streams as five batched TPU programs."""
+    """Encode all entries' streams as batched device programs, one per
+    quarter-octave row-length bucket.
+
+    The old single-rectangle formulation padded EVERY row to the
+    longest read's width — a 512 x 65536 run batch demanded 48 MB of
+    scoped vmem from the Pallas kernels (16 MB limit) and its XLA
+    fallback OOM-killed the remote compiler outright.  Bucketing keeps
+    each program at its bucket's width (the fused kernels serve widths
+    <= 8192; wider buckets hold only the few monster rows and take the
+    XLA emissions), and per-channel outputs scatter back to entry order
+    through the native ragged copy."""
     import jax
     import jax.numpy as jnp
-    from ..formats.ragged import pad_rows
+    from ..formats.ragged import pad_rows, bucket_len, rows_to_flat
     from ..ops import bitstream_jax as bj
 
     n = q.n_entries
     real_lengths = q.lengths.astype(np.int64)
-    # bucket both dims so device programs recompile rarely
-    n_pad = max(8, 1 << (max(n - 1, 0)).bit_length())
-    lengths = np.zeros(n_pad, np.int64)
-    lengths[:n] = real_lengths
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(real_lengths, out=off[1:])
+    kb = np.array([bucket_len(max(int(L), 1), 512) for L in real_lengths],
+                  np.int64) if n else np.zeros(0, np.int64)
 
-    def rect(s):
-        r = pad_rows(q.streams[s], real_lengths, align=512, bucket=True)
-        if n_pad != n:
-            r = np.concatenate([r, np.zeros((n_pad - n, r.shape[1]), np.uint8)])
-        return r
+    chunks = {c: [] for c in ("del", "tag", "ins", "mrg", "sub")}
+    for width in np.unique(kb):
+        sel = np.flatnonzero(kb == width)
+        lens_b = real_lengths[sel]
+        n_b = len(sel)
+        n_pad = max(8, 1 << (max(n_b - 1, 0)).bit_length())
+        lengths = np.zeros(n_pad, np.int64)
+        lengths[:n_b] = lens_b
 
-    del_rows = rect(DEL)
-    ins_rows = rect(INS)
-    mrg_rows = rect(MRG)
-    sub_rows = rect(SUB)
-    tag_rows = rect(TAG)
-    if lossy:
-        ins_rows = ins_rows & 0xFE
-        mrg_rows = mrg_rows & 0xFC
+        def rect(s):
+            idx = np.concatenate(
+                [np.arange(off[i], off[i + 1]) for i in sel])                 if n_b else np.zeros(0, np.int64)
+            flat = q.streams[s][idx]
+            r = pad_rows(flat, lens_b, align=512, bucket=True)
+            if r.shape[1] < width:
+                r = np.concatenate(
+                    [r, np.zeros((n_b, width - r.shape[1]), np.uint8)], 1)
+            if n_pad != n_b:
+                r = np.concatenate(
+                    [r, np.zeros((n_pad - n_b, r.shape[1]), np.uint8)])
+            return r
 
-    del_flat, del_w = bj.encode_rows_np(del_rows, lengths, coding.del_scheme,
-                                        coding.drun_scheme, coding.del_char)
-    ins_flat, ins_w = bj.encode_rows_np(ins_rows, lengths, coding.ins_scheme)
-    mrg_flat, mrg_w = bj.encode_rows_np(mrg_rows, lengths, coding.mrg_scheme)
-    sub_flat, sub_w = bj.encode_rows_np(sub_rows, lengths, coding.sub_scheme,
-                                        coding.srun_scheme, coding.sub_char)
+        del_rows = rect(DEL)
+        ins_rows = rect(INS)
+        mrg_rows = rect(MRG)
+        sub_rows = rect(SUB)
+        tag_rows = rect(TAG)
+        if lossy:
+            ins_rows = ins_rows & 0xFE
+            mrg_rows = mrg_rows & 0xFC
 
-    packed, clens = _pack_tags_device(tag_rows, del_rows, lengths, coding.del_char)
-    tag_lens = (clens + 3) >> 2
-    from ..formats.ragged import rows_to_flat
-    tag_flat = rows_to_flat(packed, tag_lens)
+        del_flat, del_w = bj.encode_rows_np(
+            del_rows, lengths, coding.del_scheme, coding.drun_scheme,
+            coding.del_char)
+        ins_flat, ins_w = bj.encode_rows_np(ins_rows, lengths,
+                                            coding.ins_scheme)
+        mrg_flat, mrg_w = bj.encode_rows_np(mrg_rows, lengths,
+                                            coding.mrg_scheme)
+        sub_flat, sub_w = bj.encode_rows_np(
+            sub_rows, lengths, coding.sub_scheme, coding.srun_scheme,
+            coding.sub_char)
+        packed, clens = _pack_tags_device(tag_rows, del_rows, lengths,
+                                          coding.del_char)
+        tag_lens = (clens + 3) >> 2
+        tag_flat = rows_to_flat(packed, tag_lens)
 
-    parts = [
-        (del_flat.view(np.uint8), 4 * del_w[:n]),
-        (tag_flat, tag_lens[:n]),
-        (ins_flat.view(np.uint8), 4 * ins_w[:n]),
-        (mrg_flat.view(np.uint8), 4 * mrg_w[:n]),
-        (sub_flat.view(np.uint8), 4 * sub_w[:n]),
-    ]
+        chunks["del"].append((sel, del_flat.view(np.uint8), 4 * del_w[:n_b]))
+        chunks["tag"].append((sel, tag_flat, tag_lens[:n_b]))
+        chunks["ins"].append((sel, ins_flat.view(np.uint8), 4 * ins_w[:n_b]))
+        chunks["mrg"].append((sel, mrg_flat.view(np.uint8), 4 * mrg_w[:n_b]))
+        chunks["sub"].append((sel, sub_flat.view(np.uint8), 4 * sub_w[:n_b]))
+
+    def entry_order(chs):
+        """Bucket-order channel chunks -> (flat, per-entry lens) in
+        entry order (one native ragged memcpy per bucket)."""
+        lens_full = np.zeros(n, np.int64)
+        for sel, _, lens in chs:
+            lens_full[sel] = lens
+        offs_full = np.zeros(n, np.int64)
+        np.cumsum(lens_full[:-1], out=offs_full[1:])
+        out = np.empty(int(lens_full.sum()), np.uint8)
+        try:
+            from ..native import qv_encode_shim
+            import ctypes
+
+            lib = qv_encode_shim()
+            ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+            for sel, flat, lens in chs:
+                lib.dxt_ragged_copy(
+                    ptr(out), ptr(np.ascontiguousarray(offs_full[sel])),
+                    ptr(np.ascontiguousarray(flat)),
+                    ptr(np.ascontiguousarray(lens.astype(np.int64))),
+                    len(sel))
+        except OSError:
+            for sel, flat, lens in chs:
+                src = 0
+                for i, e in enumerate(sel):
+                    L = int(lens[i])
+                    out[offs_full[e]:offs_full[e] + L] = flat[src:src + L]
+                    src += L
+        return out, lens_full
+
+    parts = [entry_order(chunks[c])
+             for c in ("del", "tag", "ins", "mrg", "sub")]
     return dq.assemble_dexqv(coding, q.wells, q.begs, q.ends, q.qvs, parts)
 
 

@@ -259,8 +259,10 @@ def pack_words(v, n):
 def pack_words_any(v, n):
     """pack_words via the in-VMEM Pallas kernel on TPU (HBM sees one read
     of (v, n) and one write of words; the log-shift rounds stay in VMEM),
-    falling back to the XLA formulation on CPU."""
-    if jax.default_backend() == "cpu":
+    falling back to the XLA formulation on CPU — and for monster slot
+    widths, whose kernel tiles exceed the 16 MB scoped-vmem limit
+    ((16, 57472) i32 = 16.14M on chip)."""
+    if not pallas_ok() or v.shape[1] > 32768:
         return pack_words(v, n)
     from .pack_pallas import pack_words_pallas
 
@@ -327,7 +329,11 @@ def _lane_pad(data):
 
 @jax.jit
 def encode_plain_rows(data, lengths, luts):
-    if pallas_ok():
+    # width cap mirrors emit_pallas.fused_ok: the kernels' VMEM live set
+    # scales with row width (a 65536-wide run batch demanded 48 MB of
+    # scoped vmem on chip, 3x the 16 MB limit); monster rows take the
+    # XLA emissions, which stage their planes in HBM
+    if pallas_ok() and data.shape[1] <= 8192:
         from .emit_pallas import encode_plain_pallas
 
         words, t, lg = encode_plain_pallas(
@@ -342,7 +348,7 @@ def encode_plain_rows(data, lengths, luts):
 
 @jax.jit
 def encode_run_rows(data, lengths, rchar, sym_luts, run_luts):
-    if pallas_ok():
+    if pallas_ok() and data.shape[1] <= 8192:   # see encode_plain_rows
         from .emit_pallas import encode_run_pallas
 
         words, t, lg = encode_run_pallas(

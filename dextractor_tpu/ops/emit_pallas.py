@@ -70,6 +70,12 @@ def fused_ok(width: int, any_backend: bool = False) -> bool:
 
     if width % 512 != 0:
         return False
+    if width > 8192:
+        # the kernels' VMEM live set scales with row width: a 65536-wide
+        # run batch demanded 48 MB of scoped vmem on chip (16 MB limit).
+        # Monster rows take the XLA emissions, which stage their planes
+        # in HBM; at 8192 the run kernel's live planes stay ~6 MB
+        return False
     from ..utils.dispatch import pallas_ok
 
     return any_backend or pallas_ok()

@@ -68,8 +68,11 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
     rdata = jnp.stack([streams[0], streams[4]])
     pdata = jnp.stack([streams[2], streams[3]])
 
-    if pallas_ok():
+    from ..ops.emit_pallas import fused_ok
+
+    if pallas_ok() and fused_ok(streams.shape[2], any_backend=True):
         # fused in-VMEM kernels: symbols -> packed words in one pass
+        # (width-capped: monster rows take the XLA emissions below)
         from ..ops import emit_pallas as ep
 
         ridx = jnp.array([0, 3])

@@ -128,6 +128,28 @@ def main():
         enc_long = encode_quiva_to_dexqv(data_long, device=False)
         log(f"long batch: {len(data_long)/1e6:.1f} MB quiva, "
             f"{len(enc_long)/1e6:.1f} MB dexqv")
+
+        # the fused emit kernels at long rows (round-2 verdict: unproven
+        # past ~2 kb).  FIRST device work of the process: the remote
+        # compile helper dies under accumulated session state (fresh
+        # processes always compile these), so order is load-bearing.
+        t = time.perf_counter()
+        for attempt in range(4):
+            try:
+                enc_long_dev = encode_quiva_to_dexqv(data_long,
+                                                     device=True)
+                break
+            except Exception as e:
+                log(f"long encode attempt {attempt + 1} failed "
+                    f"({str(e)[:120]}); retrying in 20s")
+                if attempt == 3:
+                    raise
+                time.sleep(20)
+        results["dexqv_encode_longreads_ok"] = enc_long_dev == enc_long
+        log(f"long-read device encode: "
+            f"ok={results['dexqv_encode_longreads_ok']} "
+            f"({time.perf_counter()-t:.1f}s incl compile)")
+
         t = time.perf_counter()
         # the remote compile helper 500s intermittently on these program
         # sizes; every completed compile lands in the persistent cache,
