@@ -624,9 +624,34 @@ def seg_read_buckets(rlens, seg: int, launch_cost: int = 2048):
     return sels[::-1]
 
 
-def fused_decode_entries_seg(buf, starts, rlens, coffs, ntoks, coding, ck):
+def _pad_seg_args(args, s_per: int, nsh: int):
+    """Pad a build_seg_launch arg tuple with dead reads to a device-count
+    multiple.  Each pad read contributes s_per dead segment rows
+    (seg_rlens 0, zero rects, carry -1) that cost no serial steps and are
+    masked by rlens == 0."""
+    (rect_del, tag_in, rect_ins, rect_mrg, rect_sub, rl_sel, seg_rlens,
+     pos0, carr) = args
+    n = len(rl_sel)
+    pad_n = (-n) % nsh
+    if pad_n == 0:
+        return args, n
+    pad_ns = pad_n * s_per
+    pr = lambda a, p: np.pad(a, ((0, p), (0, 0)))
+    tag_pad = pad_n if tag_in.shape[0] == n else pad_ns
+    args = (pr(rect_del, pad_ns), pr(tag_in, tag_pad), pr(rect_ins, pad_ns),
+            pr(rect_mrg, pad_ns), pr(rect_sub, pad_ns),
+            np.pad(rl_sel, (0, pad_n)), np.pad(seg_rlens, (0, pad_ns)),
+            np.pad(pos0, ((0, 0), (0, pad_ns))),
+            np.pad(carr, ((0, 0), (0, pad_ns)), constant_values=-1))
+    return args, n
+
+
+def fused_decode_entries_seg(buf, starts, rlens, coffs, ntoks, coding, ck,
+                             mesh=None):
     """Checkpoint-segmented batch decode: every read runs as short chains
     (decode2.decode_entry_batch_seg), bucketed by segments-per-read.
+    With ``mesh``, each bucket's segment chains shard over the data axis
+    (segments shard like reads — parallel/pipeline.sharded_decode_entry_seg).
     Returns (5, N, gmax_len) u8 numpy rows."""
     import jax.numpy as jnp
     from ..ops import decode2 as d2
@@ -645,9 +670,17 @@ def fused_decode_entries_seg(buf, starts, rlens, coffs, ntoks, coding, ck):
     for sel in seg_read_buckets(rlens, ck[0]):
         args, statics = build_seg_launch(buf, starts, rlens, coffs, ntoks,
                                          coding, ck, sel)
-        rows = d2.decode_entry_batch_seg(
-            *(jnp.asarray(a) for a in args), *args_rep,
-            subw=subw, lmax=lmax, chan_l2=chan_l2, **statics)
         ml = statics["max_len"]
+        if mesh is None:
+            rows = d2.decode_entry_batch_seg(
+                *(jnp.asarray(a) for a in args), *args_rep,
+                subw=subw, lmax=lmax, chan_l2=chan_l2, **statics)
+        else:
+            from ..parallel.pipeline import sharded_decode_entry_seg
+            args, nb = _pad_seg_args(args, statics["s_per"],
+                                     mesh.devices.size)
+            fn = sharded_decode_entry_seg(
+                mesh, subw=subw, lmax=lmax, chan_l2=chan_l2, **statics)
+            rows = fn(*(jnp.asarray(a) for a in args), *args_rep)[:, :nb]
         out[:, sel, :ml] = np.asarray(rows)
     return out

@@ -810,13 +810,13 @@ def _decode_entries_device(data: bytes, coding: dq.QVCoding, off: int,
     # residency); None when no read crosses the segment size (the common
     # short-read case).  DXT_SEG_DECODE=0 forces per-read chains.
     ck = None
-    if mesh is None and _os.environ.get("DXT_SEG_DECODE", "1") == "1":
+    if _os.environ.get("DXT_SEG_DECODE", "1") == "1":
         ck = _index_checkpoints(data, coding, off, newv, res)
     if ck is not None:
         from .qv_batch import fused_decode_entries_seg
         rows = fused_decode_entries_seg(buf, eoffs,
                                         elens.astype(np.int32), coffs,
-                                        ntoks, coding, ck)
+                                        ntoks, coding, ck, mesh=mesh)
     else:
         rows = fused_decode_entries(buf, eoffs, elens.astype(np.int32),
                                     coffs, ntoks, coding, mesh=mesh)

@@ -435,6 +435,46 @@ def sharded_decode_entry(mesh, *, max_len: int, max_tokens: int,
         out_specs=P(None, DATA_AXIS, None), check_vma=False)
 
 
+def sharded_decode_entry_seg(mesh, *, seg: int, s_per: int, max_len: int,
+                             max_tokens: int, del_mode: str, sub_mode: str,
+                             subw: int, lmax: int,
+                             chan_l2: tuple | None = None):
+    """shard_map'd checkpoint-segmented entry decode (single coding).
+
+    Segments shard exactly like reads: rows are segment-major
+    (read r, segment k) -> row r*s_per + k, so slicing the NS axis into
+    equal per-device blocks keeps every read's segments on one device
+    when N is a device-count multiple (the caller pads reads, and each
+    pad read contributes s_per dead segment rows).  Inside the shard the
+    body is the ordinary single-device step — the widen() reshape sees
+    the shard-local (ns_loc, seg) -> (n_loc, s_per*seg) rows.
+    """
+    from ..ops import decode2 as d2
+
+    def step(rect_del, tag_in, rect_ins, rect_mrg, rect_sub, rlens,
+             seg_rlens, pos0, carr, sids, f1, f2, types, del_char,
+             sub_char):
+        return d2.decode_entry_batch_seg(
+            rect_del, tag_in, rect_ins, rect_mrg, rect_sub, rlens,
+            seg_rlens, pos0, carr, sids, f1, f2, types, del_char,
+            sub_char, seg=seg, s_per=s_per, max_len=max_len,
+            max_tokens=max_tokens, del_mode=del_mode, sub_mode=sub_mode,
+            subw=subw, lmax=lmax, chan_l2=chan_l2)
+
+    # tag_in is (N, TB) packed bytes in plain-del mode and (NS, Tt)
+    # per-segment codes in run-del mode — both shard on axis 0.
+    # check_vma=False: the per-shard body may dispatch Pallas conveyor
+    # kernels, whose pallas_call out_shapes carry no vma annotation
+    return shard_map(
+        step, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS),
+                  P(None, DATA_AXIS), P(None, DATA_AXIS),
+                  P(), P(), P(), P(), P(), P()),
+        out_specs=P(None, DATA_AXIS, None), check_vma=False)
+
+
 def sharded_qv_encode(mesh):
     """shard_map'd phase B: replicated tables, sharded entries."""
     def step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
