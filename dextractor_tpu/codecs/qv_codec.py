@@ -573,14 +573,20 @@ def decode_entry(coding: dq.QVCoding, buf: np.ndarray, byte_off: int, rlen: int)
     return out, pos - byte_off
 
 
-def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
+def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool,
+                  rlens=None):
     """Lens-only native walk: resolve the bit-serial entry chain and return
     (lib, schemes-ctx, wells, begs, ends, qvs, eoffs, elens) or None.
 
     The chain resolution is the only inherently sequential part of raw
     container decode (QV.c:1381-1426: every stream's byte length is known
     only after decoding it); entry payloads themselves are then N
-    independent chains for the batch decoder."""
+    independent chains for the batch decoder.
+
+    ``rlens``: headerless mode for Dazzler DB .qvs payloads
+    (DB.c:2575-2621 — butted five-stream blobs with read lengths in the
+    .idx): the walk takes the given lengths instead of parsing entry
+    headers."""
     from ..native import qv_decode_shim
 
     try:
@@ -610,7 +616,11 @@ def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
 
     buf = np.frombuffer(data, np.uint8)
     size = len(buf)
-    cap_entries = max(size // (13 if newv else 7) + 2, 16)
+    rlens_a = None if rlens is None else \
+        np.ascontiguousarray(np.asarray(rlens, np.int64))
+    cap_entries = len(rlens_a) if rlens_a is not None else \
+        max(size // (13 if newv else 7) + 2, 16)
+    cap_entries = max(cap_entries, 1)
     wells = np.zeros(cap_entries, np.int32)
     begs = np.zeros(cap_entries, np.int32)
     ends_ = np.zeros(cap_entries, np.int32)
@@ -631,7 +641,9 @@ def _index_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
         cap_entries, 1 << 62,
         ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
         ptr(elens), None, 0, ptr(coffs), ptr(ntoks),
-        0, 0, None, None, None, None)
+        0, 0, None, None, None, None,
+        ptr(rlens_a) if rlens_a is not None else None,
+        len(rlens_a) if rlens_a is not None else 0)
     if ne < 0:
         raise FormatError(f"corrupt .dexqv stream (native walker: {ne})")
     ne = int(ne)
@@ -645,7 +657,8 @@ SEG_DECODE = 2048
 
 
 def _index_checkpoints(data: bytes, coding: dq.QVCoding, off: int,
-                       newv: bool, idx, seg: int = SEG_DECODE):
+                       newv: bool, idx, seg: int = SEG_DECODE,
+                       rlens=None):
     """Second lens-only walk recording per-channel segment checkpoints
     (bit offsets / run-literal indices / run carries at every ``seg``
     symbols) so long reads decode as MANY short full-speed device chains
@@ -659,6 +672,8 @@ def _index_checkpoints(data: bytes, coding: dq.QVCoding, off: int,
     elens = idx[7]
     lookups, lens, types, sid = ctx
     ne = len(elens)
+    rlens_a = None if rlens is None else \
+        np.ascontiguousarray(np.asarray(rlens, np.int64))
     nb = np.maximum((elens.astype(np.int64) + seg - 1) // seg - 1, 0)
     btot = int(nb.sum())
     if btot == 0:
@@ -685,7 +700,9 @@ def _index_checkpoints(data: bytes, coding: dq.QVCoding, off: int,
         ne, 1 << 62,
         ptr(w2), ptr(b2), ptr(e2), ptr(q2), ptr(eo2), ptr(el2),
         None, 0, None, None,
-        seg, btot, ptr(ck_offs), ptr(ckb), ptr(ckt), ptr(ckc))
+        seg, btot, ptr(ck_offs), ptr(ckb), ptr(ckt), ptr(ckc),
+        ptr(rlens_a) if rlens_a is not None else None,
+        len(rlens_a) if rlens_a is not None else 0)
     if int(ne2) != ne:
         raise FormatError("checkpoint walk entry-count mismatch")
     return (seg, ck_offs, ckb.reshape(4, btot), ckt.reshape(2, btot),
@@ -762,7 +779,7 @@ def _walk_native(data: bytes, coding: dq.QVCoding, off: int, newv: bool):
             cap_entries, cap_total,
             ptr(wells), ptr(begs), ptr(ends_), ptr(qvs), ptr(eoffs),
             ptr(elens), ptr(out), 1, None, None,
-            0, 0, None, None, None, None)
+            0, 0, None, None, None, None, None, 0)
         if ne == -3:
             if cap_total >= cap_limit:
                 raise FormatError(

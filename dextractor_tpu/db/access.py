@@ -246,13 +246,23 @@ class DazzDB:
         self._qv = qv
 
     def load_all_qventries(self, ascii_mode: int = 1, mesh=None):
-        """Batch-decode every read's five QV streams with the TPU batch
-        decoder (one Huffman chain per read, reads in parallel — the DB
-        stores per-read stream offsets, so no sequential walk is needed).
-        Pass a jax Mesh to shard the chains over its data axis.
+        """Batch-decode every read's five QV streams on the device: reads
+        are independent chains (the DB stores per-read stream offsets, so
+        no sequential walk is needed).  Pass a jax Mesh to shard the
+        chains over its data axis.
+
+        Fast path: per coding cell, the fused five-channel step
+        (codecs/qv_batch.fused_decode_entries) over dense channel
+        rectangles, with long reads checkpoint-SEGMENTED so per-read cost
+        does not depend on length (the reference envelope,
+        QV.c:757-783).  Channel boundaries + checkpoints come from the
+        ``qvchk`` track dex2DB writes (db/qvtrack.py) or, when absent,
+        from a native headerless lens walk of the .qvs payload.
+        DXT_DB_FUSED=0 forces the per-scheme chain path.
 
         Returns (streams (5, total) u8, lengths (N,)).
         """
+        import os as _os
         from ..formats.ragged import rows_to_flat
         from ..codecs.qv_batch import batch_decode_entries
 
@@ -261,12 +271,72 @@ class DazzDB:
             raise DextractorError("QV's have not been opened (load_all_qventries)")
         rlens = self.reads["rlen"].astype(np.int32)
         starts = self.reads["coff"].astype(np.int64)
+        rlens64 = rlens.astype(np.int64)
+        if _os.environ.get("DXT_DB_FUSED", "1") == "1":
+            flats = self._load_qv_fused(starts, rlens, ascii_mode, mesh)
+            if flats is not None:
+                return flats, rlens64
         out, rlens64 = batch_decode_entries(
             qv.data, starts, rlens, qv.codings, qv.table,
             ascii_mode=ascii_mode, mesh=mesh)
         streams = np.stack([rows_to_flat(out[s], rlens64)
                             for s in range(5)])
         return streams, rlens64
+
+    def _load_qv_fused(self, starts, rlens, ascii_mode, mesh):
+        """Per-cell fused (and checkpoint-segmented) QV decode, or None
+        when the index (track or native walk) is unavailable."""
+        from ..formats.ragged import rows_to_flat
+        from ..codecs.qv_batch import (
+            fused_decode_entries, fused_decode_entries_seg)
+        from ..codecs.qv_codec import SEG_DECODE
+        from ..ops import twobit as tb
+        from . import qvtrack
+
+        qv = self._qv
+        n = self.nreads
+        trk = qvtrack.load_qvchk(self)
+        rl64 = rlens.astype(np.int64)
+        parts = [[] for _ in range(5)]
+        for ci, sl in qvtrack._cell_groups(qv, n):
+            coding = qv.codings[ci]
+            rl_c = rl64[sl]
+            if trk is not None:
+                seg, coffs, ntoks, nb, ckb, ckt, ckc = trk
+                coffs_c, ntoks_c = coffs[sl], ntoks[sl]
+                nb_c = nb[sl]
+                ck = None
+                if nb_c.sum():
+                    cko_full = np.zeros(len(nb) + 1, np.int64)
+                    np.cumsum(nb, out=cko_full[1:])
+                    b0, b1 = int(cko_full[sl.start]), int(cko_full[sl.stop])
+                    cko = np.zeros(len(rl_c) + 1, np.int64)
+                    np.cumsum(nb_c, out=cko[1:])
+                    ck = (seg, cko, ckb[:, b0:b1], ckt[:, b0:b1],
+                          ckc[:, b0:b1])
+            else:
+                got = qvtrack.index_cell(qv.data, coding, starts[sl],
+                                         rl_c, SEG_DECODE)
+                if got is None:
+                    return None
+                coffs_c, ntoks_c, ck = got
+            if ck is not None:
+                rows = fused_decode_entries_seg(
+                    qv.data, starts[sl], rl_c.astype(np.int32), coffs_c,
+                    ntoks_c, coding, ck, mesh=mesh)
+            else:
+                rows = fused_decode_entries(
+                    qv.data, starts[sl], rl_c.astype(np.int32), coffs_c,
+                    ntoks_c, coding, mesh=mesh)
+            rows = np.asarray(rows)
+            if ascii_mode == 2:
+                rows[1] = rows[1] - 32
+            elif ascii_mode == 0:
+                rows[1] = tb.NUMBER_BASE_LUT[rows[1]]
+            for s in range(5):
+                parts[s].append(rows_to_flat(rows[s], rl_c))
+        return np.stack([np.concatenate(p) if p else np.empty(0, np.uint8)
+                         for p in parts])
 
     def load_qventry(self, i: int, ascii_mode: int = 1) -> np.ndarray:
         """Load_QVentry (DB.c:2575-2621) -> (5, rlen) u8 streams.

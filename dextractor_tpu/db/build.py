@@ -362,6 +362,23 @@ class DBBuilder:
         stub_mod.write_stub(dbx, self.stub)
         os.replace(dbx, self.dbname)
 
+        # post-commit, best-effort: the qvchk QV-decode index track
+        # (per-read channel boundaries + long-read segment checkpoints,
+        # db/qvtrack.py) — rebuilt over the whole committed DB so appends
+        # stay consistent; a failure leaves a valid DB whose QV loads
+        # fall back to the load-time walk.  An interrupted run can leave
+        # a stale track: its length then mismatches ureads and
+        # check_track rejects it (reference stale-track semantics).
+        if self.quiver:
+            try:
+                from .qvtrack import write_qvchk_track
+
+                ok = write_qvchk_track(self.dbname)
+                if self.verbose and ok:
+                    print(f"  Wrote QV index track .{self.root}.qvchk")
+            except Exception:
+                pass
+
     def rollback(self) -> None:
         """Restore every binary file to its pre-run size (dex2DB.c:1024-1076)."""
         for p, size in self.rollbacks.items():

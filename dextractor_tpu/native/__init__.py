@@ -55,6 +55,7 @@ def qv_decode_shim():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_longlong,
         ]
         lib.dxt_quiva_text.restype = ctypes.c_longlong
         lib.dxt_quiva_text.argtypes = [

@@ -328,7 +328,13 @@ long long dxt_quiva_text(
  * walker records per-channel segment checkpoints: ckb holds 4 planes of
  * btot bit offsets (del, ins, mrg, sub), ckt/ckc hold 2 planes each of
  * literal-token indices / run carries (del, sub; run-coded channels
- * only).  Long reads then decode on the device as many short chains. */
+ * only).  Long reads then decode on the device as many short chains.
+ *
+ * Headerless mode (Dazzler DB .qvs payloads, DB.c:2575-2621: entries
+ * are butted five-stream blobs with NO well/beg/end/qv header — read
+ * lengths live in the .idx): pass rlens_in (n_in entries).  The walker
+ * then takes rlen = rlens_in[ne], leaves wells/begs/ends/qvs zeroed,
+ * and stops after n_in entries. */
 long long dxt_qv_walk(
     const uint8_t *buf, long long size, long long off0,
     const int32_t *lookups, const uint8_t *lens, const uint8_t *types,
@@ -338,7 +344,8 @@ long long dxt_qv_walk(
     long long *eoffs, long long *elens,
     uint8_t *out, int materialize, int32_t *coffs, int32_t *ntoks,
     long long seg, long long btot, const long long *ck_offs,
-    int32_t *ckb, int32_t *ckt, int32_t *ckc)
+    int32_t *ckb, int32_t *ckt, int32_t *ckc,
+    const long long *rlens_in, long long n_in)
 {
 #define LOOK(i) (lookups + (int64_t) (i) * 65536)
 #define LENS(i) (lens + (int64_t) (i) * 256)
@@ -360,37 +367,44 @@ long long dxt_qv_walk(
 #define TAB(i) (tabs + (i))
 #define WRET(v) do { free(tabs); return (v); } while (0)
 
-  while (off < size && ne < cap_entries)
+  while ((rlens_in != NULL ? ne < n_in : off < size) && ne < cap_entries)
     { int64_t rlen, clen, tlen, w;
       int     beg, end, qv;
       uint8_t byte;
       BitRead br;
       uint8_t *odel, *otag, *oins, *omrg, *osub;
 
-      byte = buf[off++];
-      while (byte == 255)
-        { well += 255;
-          if (off >= size) WRET(-2);
-          byte = buf[off++];
-        }
-      well += byte;
-
-      if (newv)
-        { if (off + 12 > size) WRET(-2);
-          memcpy(&beg, buf + off, 4);
-          memcpy(&end, buf + off + 4, 4);
-          memcpy(&qv, buf + off + 8, 4);
-          off += 12;
+      if (rlens_in != NULL)
+        { rlen = rlens_in[ne];
+          beg = 0; end = (int) rlen; qv = 0;
+          if (off > size) WRET(-2);
         }
       else
-        { uint16_t h;
-          if (off + 6 > size) WRET(-2);
-          memcpy(&h, buf + off, 2); beg = h;
-          memcpy(&h, buf + off + 2, 2); end = h;
-          memcpy(&h, buf + off + 4, 2); qv = h;
-          off += 6;
+        { byte = buf[off++];
+          while (byte == 255)
+            { well += 255;
+              if (off >= size) WRET(-2);
+              byte = buf[off++];
+            }
+          well += byte;
+
+          if (newv)
+            { if (off + 12 > size) WRET(-2);
+              memcpy(&beg, buf + off, 4);
+              memcpy(&end, buf + off + 4, 4);
+              memcpy(&qv, buf + off + 8, 4);
+              off += 12;
+            }
+          else
+            { uint16_t h;
+              if (off + 6 > size) WRET(-2);
+              memcpy(&h, buf + off, 2); beg = h;
+              memcpy(&h, buf + off + 2, 2); end = h;
+              memcpy(&h, buf + off + 4, 2); qv = h;
+              off += 6;
+            }
+          rlen = (int64_t) end - beg;
         }
-      rlen = (int64_t) end - beg;
       if (rlen < 0 || total + rlen > cap_total)
         WRET(-3);
 

@@ -56,6 +56,23 @@ def _tile_rows(width: int) -> int:
 # so chip timings attribute the step between emissions and packing.
 _ABLATE = os.environ.get("DXT_EMIT_ABLATE", "")
 
+# DXT_PACK_MXU=1 (default) routes the pack phase's lane cumsums through
+# MXU triangular matmuls (ops/scan_mxu: exact limb-split local scans +
+# narrow chunk combine) instead of the log-depth roll networks.  Chip
+# probe (tools/mxu_probe.py, v5e): u32 cumsum 42.8 us vs 59.0 roll-net,
+# small-plane 26.7 vs 83.8 per 4.2M lanes; all limb plans byte-exact on
+# hardware.  =0 keeps the pure roll networks (the proven fallback).
+_PACK_MXU = os.environ.get("DXT_PACK_MXU", "1") == "1"
+
+
+def _pack_cumsum(x, nbits):
+    if _PACK_MXU and x.shape[1] % 128 == 0 and x.shape[1] >= 256:
+        from .scan_mxu import cumsum_lanes_mxu
+
+        return cumsum_lanes_mxu(x, nbits=nbits, mode="bf16",
+                                via_reshape=True)
+    return _cumsum_lanes(x)
+
 
 def fused_ok(width: int, any_backend: bool = False) -> bool:
     """Can the fused emit kernels take rows of this width?
@@ -230,7 +247,13 @@ def _pack_slots(v, n):
     compaction); kept here so the whole channel encode is one kernel.
     """
     r, m = v.shape
-    inc = _cumsum_lanes(n)
+    if _ABLATE == "noscan":
+        # WRONG results, scan-free: attribute the cumsums' in-kernel cost
+        inc = n * 3
+        cs_hi = None
+        cs_lo = None
+    else:
+        inc = _pack_cumsum(n, 6)            # emissions are <= 32 bits
     off = inc - n
     w = off >> 5
     p = off & 31
@@ -244,22 +267,28 @@ def _pack_slots(v, n):
     hi = jnp.where(n > 0, hi, jnp.uint32(0)).astype(jnp.int32)
     lo = lo.astype(jnp.int32)
 
-    cs_hi = _cumsum_lanes(hi)
-    cs_lo = _cumsum_lanes(lo)
+    if _ABLATE == "noscan":
+        cs_hi, cs_lo = hi, lo
+        ranks = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1) >> 2
+    else:
+        cs_hi = _pack_cumsum(hi, 32)
+        cs_lo = _pack_cumsum(lo, 32)
 
     nxt = _shl_fill(w, 1, fill=-1)
     last = w != nxt
-    ranks = _cumsum_lanes(last.astype(jnp.int32)) - 1
+    if _ABLATE != "noscan":
+        ranks = _pack_cumsum(last.astype(jnp.int32), 1) - 1
     col = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1)
     d = jnp.where(last, col - ranks, 0)
     # compact (cs_hi, cs_lo) to their ranks
     a, b_ = cs_hi, cs_lo
-    for bb in range(max(m - 1, 1).bit_length()):
-        step = 1 << bb
-        move = _shl_fill((d >> bb) & 1, step) == 1
-        a = jnp.where(move, _shl_fill(a, step), a)
-        b_ = jnp.where(move, _shl_fill(b_, step), b_)
-        d = jnp.where(move, _shl_fill(d, step) - step, d)
+    if _ABLATE != "nocompact":
+        for bb in range(max(m - 1, 1).bit_length()):
+            step = 1 << bb
+            move = _shl_fill((d >> bb) & 1, step) == 1
+            a = jnp.where(move, _shl_fill(a, step), a)
+            b_ = jnp.where(move, _shl_fill(b_, step), b_)
+            d = jnp.where(move, _shl_fill(d, step) - step, d)
 
     key_max = jnp.max(jnp.where(n > 0, w, -1), axis=1, keepdims=True)
     hi_vals = jnp.where(col <= key_max, a - _shr_fill(a, 1), 0)

@@ -340,3 +340,133 @@ def test_fetch_block_range_out_of_range(tmp_path):
     split_db(str(tmp_path / "TEST.db"), bsize=10**9)
     assert fetch_block_range(str(tmp_path / "TEST.db"), False, 99) == (-1, -1)
     assert fetch_block_range(str(tmp_path / "TEST.db"), True, -1) == (-1, -1)
+
+
+def _build_db_long(tmp_path, n_reads=7, seed=13, name="LONG"):
+    """Quiver DB with reads crossing the 2048-symbol decode segment."""
+    rng = np.random.default_rng(seed)
+    bam, recs = make_bam(rng, n_reads=n_reads, min_len=500, max_len=5200)
+    (tmp_path / "m.subreads.bam").write_bytes(bam)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        rc = dex2db_main(["-q", name, "m.subreads.bam"])
+    finally:
+        os.chdir(cwd)
+    return rc, recs
+
+
+def _assert_qv_matches_per_read(db, streams, lengths):
+    off = np.zeros(db.nreads + 1, np.int64)
+    np.cumsum(lengths, out=off[1:])
+    for i in range(db.nreads):
+        entry = db.load_qventry(i, ascii_mode=1)
+        np.testing.assert_array_equal(streams[:, off[i]: off[i + 1]], entry)
+
+
+def test_qvchk_track_written_and_segments_db_decode(tmp_path, monkeypatch):
+    """dex2DB writes the qvchk QV-index track; load_all_qventries routes
+    long DB reads through the checkpoint-segmented fused step (round-3
+    left the DB path on per-read chains — no checkpoints in the DB)."""
+    rc, _ = _build_db_long(tmp_path)
+    assert rc == 0
+    assert (tmp_path / ".LONG.qvchk.anno").exists()
+    assert (tmp_path / ".LONG.qvchk.data").exists()
+
+    from dextractor_tpu.db import open_db
+    from dextractor_tpu.db import qvtrack
+    from dextractor_tpu.codecs import qv_batch
+
+    db = open_db(str(tmp_path / "LONG.db"))
+    db.open_qvs()
+    trk = qvtrack.load_qvchk(db)
+    assert trk is not None
+    seg, coffs, ntoks, nb, ckb, ckt, ckc = trk
+    assert seg == 2048 and nb.sum() > 0        # true multi-segment reads
+
+    calls = []
+    orig = qv_batch.fused_decode_entries_seg
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(qv_batch, "fused_decode_entries_seg", spy)
+    # the loader imports the symbol from the module at call time
+    import dextractor_tpu.db.access as acc
+    monkeypatch.setattr(
+        "dextractor_tpu.codecs.qv_batch.fused_decode_entries_seg", spy)
+    streams, lengths = db.load_all_qventries(ascii_mode=1)
+    assert calls, "segmented path not used on the DB long-read mix"
+    _assert_qv_matches_per_read(db, streams, lengths)
+
+    # legacy per-scheme chain path must agree
+    monkeypatch.setenv("DXT_DB_FUSED", "0")
+    s2, l2 = db.load_all_qventries(ascii_mode=1)
+    np.testing.assert_array_equal(streams, s2)
+
+
+def test_db_fused_decode_walks_without_track(tmp_path):
+    """Deleting the track falls back to the native headerless lens walk
+    (legacy DBs built before the track existed) — same bytes."""
+    rc, _ = _build_db_long(tmp_path, seed=14)
+    assert rc == 0
+    from dextractor_tpu.db import open_db
+
+    db = open_db(str(tmp_path / "LONG.db"))
+    db.open_qvs()
+    ref, lengths = db.load_all_qventries(ascii_mode=1)
+    (tmp_path / ".LONG.qvchk.anno").unlink()
+    (tmp_path / ".LONG.qvchk.data").unlink()
+    db2 = open_db(str(tmp_path / "LONG.db"))
+    db2.open_qvs()
+    got, l2 = db2.load_all_qventries(ascii_mode=1)
+    np.testing.assert_array_equal(ref, got)
+    np.testing.assert_array_equal(lengths, l2)
+    _assert_qv_matches_per_read(db2, got, l2)
+
+
+def test_db_fused_decode_sharded_matches(tmp_path):
+    """DB QV decode under a mesh: the per-cell fused/segmented steps run
+    shard_map'd and byte-match the single-device path."""
+    rc, _ = _build_db_long(tmp_path, seed=15)
+    assert rc == 0
+    from dextractor_tpu.db import open_db
+    from dextractor_tpu.parallel import make_mesh
+
+    db = open_db(str(tmp_path / "LONG.db"))
+    db.open_qvs()
+    single, lengths = db.load_all_qventries(ascii_mode=1)
+    mesh = make_mesh(8)
+    sharded, l2 = db.load_all_qventries(ascii_mode=1, mesh=mesh)
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_db_fused_multicell_ascii_modes(tmp_path):
+    """Two cells (two codings) through the fused DB path, all three
+    ascii modes against the per-read loader."""
+    rng = np.random.default_rng(16)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        for k in range(2):
+            bam, _ = make_bam(rng, n_reads=5, min_len=300,
+                              max_len=2600 if k else 700)
+            (tmp_path / f"m{k}.subreads.bam").write_bytes(bam)
+            rc = dex2db_main(["-q", "MC", f"m{k}.subreads.bam"])
+            assert rc == 0
+    finally:
+        os.chdir(cwd)
+    from dextractor_tpu.db import open_db
+
+    db = open_db(str(tmp_path / "MC.db"))
+    db.open_qvs()
+    assert len(db._qv.codings) == 2
+    for mode in (0, 1, 2):
+        streams, lengths = db.load_all_qventries(ascii_mode=mode)
+        off = np.zeros(db.nreads + 1, np.int64)
+        np.cumsum(lengths, out=off[1:])
+        for i in range(db.nreads):
+            entry = db.load_qventry(i, ascii_mode=mode)
+            np.testing.assert_array_equal(
+                streams[:, off[i]: off[i + 1]], entry)

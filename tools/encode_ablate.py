@@ -32,10 +32,19 @@ sys.path.insert(0, str(REPO / "tests"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
 CONFIGS = [
-    ("b8_full", {"DXT_EMIT_B": "8"}),
-    ("b16_full", {"DXT_EMIT_B": "16"}),
-    ("b32_full", {"DXT_EMIT_B": "32"}),
-    ("b8_nopack", {"DXT_EMIT_B": "8", "DXT_EMIT_ABLATE": "nopack"}),
+    # shipping configuration (width-adaptive tiles, MXU pack cumsums)
+    ("auto_mxu", {}),
+    # round-3 shipping: pure roll-network scans (cached program)
+    ("auto_rollnet", {"DXT_PACK_MXU": "0"}),
+    # emission phase alone (pack replaced by an elementwise combine)
+    ("auto_nopack", {"DXT_PACK_MXU": "0", "DXT_EMIT_ABLATE": "nopack"}),
+    # pack with fake O(1) scans (wrong output): true in-kernel scan cost
+    ("auto_noscan", {"DXT_PACK_MXU": "0", "DXT_EMIT_ABLATE": "noscan"}),
+    # pack without the boundary-compaction network (wrong output)
+    ("auto_nocompact", {"DXT_PACK_MXU": "0",
+                        "DXT_EMIT_ABLATE": "nocompact"}),
+    # both MXU scans and no compaction: the residual floor
+    ("auto_mxu_nocompact", {"DXT_EMIT_ABLATE": "nocompact"}),
 ]
 
 
