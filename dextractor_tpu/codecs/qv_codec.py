@@ -356,17 +356,33 @@ def assemble_from_step(step_out, coding: dq.QVCoding, wells, begs, ends,
     """Build the .dexqv container from qv_encode_step outputs.
 
     ``step_out`` = (words (4,N,M+1), raw, out, dup, zext, packed_tags,
-    tag_clens) — single-device or gathered from a sharded run; rows beyond
-    ``n`` are shape padding.
+    tag_clens[, pstats (4,N,128), tbits (4,N)]) — single-device or
+    gathered from a sharded run; rows beyond ``n`` are shape padding.
+    A set stats lane 126 marks region-format words (DXT_PACK_LOCAL,
+    ops/pack_local) merged host-side by finalize_rows_local.
     """
     from ..ops import bitstream_jax as bj
     from ..formats.ragged import rows_to_flat
 
-    words, raw, out, dup, zext, packed, clens = (np.asarray(x) for x in step_out)
+    step_out = tuple(np.asarray(x) for x in step_out)
+    words, raw, out, dup, zext, packed, clens = step_out[:7]
+    pstats = step_out[7] if len(step_out) > 7 else None
+    tbits = step_out[8] if len(step_out) > 8 else None
     flats = []
     lens = []
     for c in range(4):
-        f, w = bj.finalize_rows(words[c], raw[c], out[c], dup[c], zext[c])
+        if pstats is not None and pstats[c, :, 126].any():
+            if pstats[c, :, 127].any():
+                raise FormatError(
+                    "pack region overflow (>31.7 bits/slot average); "
+                    "re-encode with DXT_PACK_LOCAL=0")
+            cc = words.shape[2] // 128
+            f, w = bj.finalize_rows_local(
+                words[c].view(np.int32), pstats[c, :, 2:2 + cc],
+                tbits[c], out[c], dup[c], zext[c])
+        else:
+            f, w = bj.finalize_rows(words[c], raw[c], out[c], dup[c],
+                                    zext[c])
         flats.append(f.view(np.uint8))
         lens.append(4 * w[:n])
     tag_lens = ((clens.astype(np.int64) + 3) >> 2)

@@ -315,6 +315,79 @@ def finalize_rows(words: np.ndarray, raw: np.ndarray, out: np.ndarray,
     return flat, out
 
 
+def merge_region_rows(words: np.ndarray, base: np.ndarray,
+                      t_bits: np.ndarray) -> np.ndarray:
+    """Merge chunk-local word regions (ops/pack_local) into dense rows.
+
+    words (N, M) i32: region q of each row in lanes [128q, 128q+128);
+    base (N, C) i64/i32: each chunk's start bit offset; t_bits (N,) the
+    row's total bits.  Region q covers stream words
+    [base_q>>5, ceil(end_q/32)) with end_q the next chunk's base (the
+    row total for the last live chunk); adjacent regions overlap by at
+    most one straddle word with disjoint bit ranges, so the merge is
+    OR.  NumPy fallback — the native path is dxt_region_merge."""
+    n, m = words.shape
+    c = m // 128
+    t = np.asarray(t_bits, np.int64)
+    base = np.asarray(base, np.int64)
+    ends = np.concatenate([base[:, 1:], t[:, None]], axis=1)
+    ends = np.maximum(ends, base)
+    mw = int(((t + 31) >> 5).max(initial=0)) + 1
+    merged = np.zeros((n, mw), np.int32)
+    wu = words.astype(np.int32)
+    for q in range(c):
+        b0, b1 = base[:, q], ends[:, q]
+        live = b1 > b0
+        if not live.any():
+            continue
+        w0 = b0 >> 5
+        nw = ((b1 + 31) >> 5) - w0
+        mx = int(nw.max(initial=0))
+        for j in range(mx):
+            sel = live & (nw > j)
+            merged[sel, w0[sel] + j] |= wu[sel, q * 128 + j]
+    return merged
+
+
+def finalize_rows_local(words: np.ndarray, bases: np.ndarray,
+                        t_bits: np.ndarray, out: np.ndarray,
+                        dup: np.ndarray, zext: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """finalize_rows for region-format word rows (ops/pack_local).
+
+    Merges each row's chunk regions straight into its slot of the flat
+    output (native dxt_region_merge; NumPy fallback), then applies the
+    dup/zext tail rule."""
+    n, m = words.shape
+    t = np.asarray(t_bits, np.int64)
+    raw = (t + 31) >> 5
+    out = np.asarray(out, np.int64)
+    total = int(out.sum())
+    if total == 0:
+        return np.empty(0, np.uint32), out
+    starts = np.zeros(n, np.int64)
+    np.cumsum(out[:-1], out=starts[1:])
+    flat = np.zeros(total, np.uint32)
+    try:
+        from ..native import qv_encode_shim
+        import ctypes
+
+        lib = qv_encode_shim()
+        ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+        wc = np.ascontiguousarray(words, np.int32)
+        bc = np.ascontiguousarray(bases, np.int32)
+        tc = np.ascontiguousarray(t)
+        sc = np.ascontiguousarray(starts)
+        lib.dxt_region_merge(ptr(wc), ptr(bc), ptr(tc), n, m,
+                             ptr(flat), ptr(sc))
+    except OSError:
+        merged = merge_region_rows(words, bases, t)
+        return finalize_rows(merged.view(np.uint32), raw, out, dup, zext)
+    d = np.flatnonzero(np.asarray(dup) & (raw > 0))
+    flat[starts[d] + raw[d]] = flat[starts[d] + raw[d] - 1]
+    return flat, out
+
+
 # ---------------------------------------------------------------------------
 # fused device programs
 # ---------------------------------------------------------------------------
@@ -336,10 +409,10 @@ def encode_plain_rows(data, lengths, luts):
     if pallas_ok() and data.shape[1] <= 8192:
         from .emit_pallas import encode_plain_pallas
 
-        words, t, lg = encode_plain_pallas(
+        words, t, lg, pst = encode_plain_pallas(
             _lane_pad(data)[None], lengths.astype(jnp.int32), luts[None])
         raw, out, dup, zext = word_counts(t[0], lg[0])
-        return words[0], raw, out, dup, zext
+        return words[0], raw, out, dup, zext, pst[0], t[0]
     v, n, t, lg = plain_emissions(data, lengths, luts)
     words = pack_words_any(v, n)
     raw, out, dup, zext = word_counts(t, lg)
@@ -351,11 +424,11 @@ def encode_run_rows(data, lengths, rchar, sym_luts, run_luts):
     if pallas_ok() and data.shape[1] <= 8192:   # see encode_plain_rows
         from .emit_pallas import encode_run_pallas
 
-        words, t, lg = encode_run_pallas(
+        words, t, lg, pst = encode_run_pallas(
             _lane_pad(data)[None], lengths.astype(jnp.int32),
             sym_luts[None], run_luts[None], rchar.reshape(1))
         raw, out, dup, zext = word_counts(t[0], lg[0])
-        return words[0], raw, out, dup, zext
+        return words[0], raw, out, dup, zext, pst[0], t[0]
     v, n, t, lg = run_emissions(data, lengths, rchar, sym_luts, run_luts)
     words = pack_words_any(v, n)
     raw, out, dup, zext = word_counts(t, lg)
@@ -374,5 +447,24 @@ def encode_rows_np(data, lengths, scheme: HScheme,
     else:
         rluts = jnp.asarray(scheme_luts(run_scheme, run=True))
         parts = encode_run_rows(d, ln, jnp.int32(rchar), luts, rluts)
+    if len(parts) == 7:
+        words, raw, out, dup, zext, pst, t = (np.asarray(x) for x in parts)
+        if pst[:, 126].any():               # region format (DXT_PACK_LOCAL)
+            if pst[:, 127].any():
+                # chunk overflow (needs a ~32-bit/slot average — not
+                # reachable by real schemes): XLA global-pack fallback
+                if run_scheme is None:
+                    v, n, t2, lg2 = plain_emissions(d, ln, luts)
+                else:
+                    v, n, t2, lg2 = run_emissions(d, ln, jnp.int32(rchar),
+                                                  luts, rluts)
+                w2 = pack_words_any(v, n)
+                raw, out, dup, zext = (np.asarray(x) for x in
+                                       word_counts(t2, lg2))
+                return finalize_rows(np.asarray(w2), raw, out, dup, zext)
+            c = words.shape[1] // 128
+            return finalize_rows_local(words.view(np.int32),
+                                       pst[:, 2:2 + c], t, out, dup, zext)
+        return finalize_rows(words, raw, out, dup, zext)
     words, raw, out, dup, zext = (np.asarray(x) for x in parts)
     return finalize_rows(words, raw, out, dup, zext)

@@ -64,6 +64,30 @@ _ABLATE = os.environ.get("DXT_EMIT_ABLATE", "")
 # hardware.  =0 keeps the pure roll networks (the proven fallback).
 _PACK_MXU = os.environ.get("DXT_PACK_MXU", "1") == "1"
 
+# DXT_PACK_LOCAL=1 packs each 128-slot chunk into its own 128-word
+# output region (ops/pack_local): the global boundary compaction
+# (11 rounds, three planes) becomes a 7-round chunk-local network and
+# the hi/lo/rank scans become single MXU dots with no cross-chunk
+# combine.  The host merges regions with a ragged OR-copy
+# (bitstream_jax.finalize_rows_local).  Stats lane 126 marks the format;
+# lanes 2..2+C-1 carry chunk start bit offsets, lane 127 the (never in
+# practice) overflow flag.
+_PACK_LOCAL = os.environ.get("DXT_PACK_LOCAL", "0") == "1"
+
+
+def _pack_dispatch(vp, np_):
+    """(words, extra-stats) for the configured pack formulation."""
+    if _PACK_LOCAL and not _ABLATE:
+        from .pack_local import pack_slots_local
+
+        inc = _pack_cumsum(np_, 6)
+        words, pstats = pack_slots_local(vp, np_, inc, mxu=_PACK_MXU)
+        scol = jax.lax.broadcasted_iota(jnp.int32, pstats.shape, 1)
+        pstats = jnp.where(scol == 126, 1, pstats)      # format marker
+        return words, pstats
+    words = (vp ^ np_) if _ABLATE == "nopack" else _pack_slots(vp, np_)
+    return words, None
+
 
 def _pack_cumsum(x, nbits):
     if _PACK_MXU and x.shape[1] % 128 == 0 and x.shape[1] >= 256:
@@ -321,11 +345,11 @@ def _plain_kernel(data_ref, len_ref, lut_ref, words_ref, stats_ref):
     pad = mp - l
     vp = jnp.pad(v, ((0, 0), (0, pad)))
     np_ = jnp.pad(n, ((0, 0), (0, pad)))
-    words_ref[0] = (vp ^ np_) if _ABLATE == "nopack" else \
-        _pack_slots(vp, np_)
+    words_ref[0], pstats = _pack_dispatch(vp, np_)
 
     scol = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
-    stats_ref[0] = jnp.where(scol == 0, t, jnp.where(scol == 1, lg, 0))
+    stats = jnp.where(scol == 0, t, jnp.where(scol == 1, lg, 0))
+    stats_ref[0] = stats if pstats is None else stats | pstats
 
 
 def _run_kernel(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
@@ -379,10 +403,10 @@ def _run_kernel(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
                      keepdims=True)
     lg = jnp.where(has_trail, tg1, jnp.where(last_lit >= 0, lg_lit, 0))
 
-    words_ref[0] = (vp ^ np_) if _ABLATE == "nopack" else \
-        _pack_slots(vp, np_)
+    words_ref[0], pstats = _pack_dispatch(vp, np_)
     scol = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
-    stats_ref[0] = jnp.where(scol == 0, t, jnp.where(scol == 1, lg, 0))
+    stats = jnp.where(scol == 0, t, jnp.where(scol == 1, lg, 0))
+    stats_ref[0] = stats if pstats is None else stats | pstats
 
 
 def _compact_lanes(vals, keep):
@@ -593,7 +617,7 @@ def encode_plain_pallas(data, lengths, sym_luts, interpret: bool = False):
         interpret=interpret,
     )(data, lens2, sym_luts.reshape(c, 2, 128))
     return (words[:, :n].astype(jnp.uint32), stats[:, :n, 0],
-            stats[:, :n, 1])
+            stats[:, :n, 1], stats[:, :n])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -640,4 +664,4 @@ def encode_run_pallas(data, lengths, sym_luts, run_luts, rchars,
     )(data, lens2, sym_luts.reshape(c, 2, 128),
       run_luts.reshape(c, 2, 128), prm)
     return (words[:, :n].astype(jnp.uint32), stats[:, :n, 0],
-            stats[:, :n, 1])
+            stats[:, :n, 1], stats[:, :n])

@@ -77,9 +77,9 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
 
         ridx = jnp.array([0, 3])
         pidx = jnp.array([1, 2])
-        r_words, r_t, r_lg = ep.encode_run_pallas(
+        r_words, r_t, r_lg, r_pst = ep.encode_run_pallas(
             rdata, lengths, sym_luts[ridx], run_luts[ridx], rchars[ridx])
-        p_words, p_t, p_lg = ep.encode_plain_pallas(
+        p_words, p_t, p_lg, p_pst = ep.encode_plain_pallas(
             pdata, lengths, sym_luts[pidx])
         r_raw, r_out, r_dup, r_zext = bj.word_counts(r_t, r_lg)
         p_raw, p_out, p_dup, p_zext = bj.word_counts(p_t, p_lg)
@@ -97,7 +97,8 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
             packed, clens = _pack_tags(streams[1], streams[0], lengths,
                                        rchars[0], number_lut)
         return (words, mix(r_raw, p_raw), mix(r_out, p_out),
-                mix(r_dup, p_dup), mix(r_zext, p_zext), packed, clens)
+                mix(r_dup, p_dup), mix(r_zext, p_zext), packed, clens,
+                mix(r_pst, p_pst), mix(r_t, p_t))
 
     def one_run(d, sl, rl, rc):
         v, n, t, lg = bj.run_emissions(d, lengths, rc, sl, rl)
@@ -141,7 +142,12 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
     zext = mix(r_zext, p_zext)
 
     packed, clens = _pack_tags(streams[1], streams[0], lengths, rchars[0], number_lut)
-    return words, raw, out, dup, zext, packed, clens
+    # XLA path emits the classic dense format: zero stats plane (no
+    # region marker) + zero tbits keep the step's output arity uniform
+    n_rows = lengths.shape[0]
+    zst = jnp.zeros((4, n_rows, 128), jnp.int32)
+    zt = jnp.zeros((4, n_rows), jnp.int32)
+    return words, raw, out, dup, zext, packed, clens, zst, zt
 
 
 def _pack_tags(tag_rows, del_rows, lengths, del_char, number_lut):
@@ -487,7 +493,8 @@ def sharded_qv_encode(mesh):
                   P(), P(), P(), P()),
         out_specs=(P(None, DATA_AXIS, None), P(None, DATA_AXIS),
                    P(None, DATA_AXIS), P(None, DATA_AXIS), P(None, DATA_AXIS),
-                   P(DATA_AXIS, None), P(DATA_AXIS)))
+                   P(DATA_AXIS, None), P(DATA_AXIS),
+                   P(None, DATA_AXIS, None), P(None, DATA_AXIS)))
 
 
 def sharded_twobit_encode(mesh):

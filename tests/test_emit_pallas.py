@@ -45,6 +45,25 @@ def _xla_run(data, lengths, rchar, scheme, run_scheme):
     return np.asarray(words), np.asarray(t), np.asarray(lg)
 
 
+
+def _densify(wp, pst, t):
+    """Kernel word rows -> dense stream rows regardless of pack format
+    (region-format when DXT_PACK_LOCAL marks stats lane 126)."""
+    wp = np.asarray(wp)
+    pst = np.asarray(pst)
+    if pst[..., 126].any():
+        from dextractor_tpu.ops.bitstream_jax import merge_region_rows
+        assert not pst[..., 127].any(), "unexpected region overflow"
+        c = wp.shape[-1] // 128
+        dense = merge_region_rows(wp.view(np.int32), pst[:, 2:2 + c],
+                                  np.asarray(t, np.int64))
+        out = np.zeros_like(wp, dtype=np.uint32)
+        w = min(out.shape[1], dense.shape[1])
+        out[:, :w] = dense.view(np.uint32)[:, :w]
+        return out
+    return wp
+
+
 def _compare_words(wp, wx, raws):
     """Word rectangles may differ in padded width; compare per-row raw
     words and require zeros beyond."""
@@ -71,9 +90,10 @@ def test_plain_kernel_matches_xla(concentrated):
 
     wx, tx, lgx = _xla_plain(data, lengths, scheme)
     luts = jnp.asarray(bj.scheme_luts(scheme)[None])
-    wp, tp, lgp = ep.encode_plain_pallas(
+    wp, tp, lgp, pst = ep.encode_plain_pallas(
         jnp.asarray(data[None]), jnp.asarray(lengths), luts, interpret=True)
     wp, tp, lgp = np.asarray(wp[0]), np.asarray(tp[0]), np.asarray(lgp[0])
+    wp = _densify(wp, np.asarray(pst[0]), tp)
 
     assert (tp == tx).all()
     assert (lgp == lgx).all()
@@ -103,10 +123,11 @@ def test_run_kernel_matches_xla(concentrated):
     wx, tx, lgx = _xla_run(data, lengths, rchar, scheme, run_scheme)
     sl = jnp.asarray(bj.scheme_luts(scheme)[None])
     rl = jnp.asarray(bj.scheme_luts(run_scheme, run=True)[None])
-    wp, tp, lgp = ep.encode_run_pallas(
+    wp, tp, lgp, pst = ep.encode_run_pallas(
         jnp.asarray(data[None]), jnp.asarray(lengths), sl, rl,
         jnp.asarray([rchar], np.int32), interpret=True)
     wp, tp, lgp = np.asarray(wp[0]), np.asarray(tp[0]), np.asarray(lgp[0])
+    wp = _densify(wp, np.asarray(pst[0]), tp)
 
     assert (tp == tx).all()
     assert (lgp == lgx).all()
@@ -130,12 +151,13 @@ def test_run_kernel_long_runs_escape():
     wx, tx, lgx = _xla_run(data, lengths, rchar, scheme, run_scheme)
     sl = jnp.asarray(bj.scheme_luts(scheme)[None])
     rl = jnp.asarray(bj.scheme_luts(run_scheme, run=True)[None])
-    wp, tp, lgp = ep.encode_run_pallas(
+    wp, tp, lgp, pst = ep.encode_run_pallas(
         jnp.asarray(data[None]), jnp.asarray(lengths), sl, rl,
         jnp.asarray([rchar], np.int32), interpret=True)
     assert (np.asarray(tp[0]) == tx).all()
     assert (np.asarray(lgp[0]) == lgx).all()
-    _compare_words(np.asarray(wp[0]), wx, (tx + 31) >> 5)
+    _compare_words(_densify(np.asarray(wp[0]), np.asarray(pst[0]),
+                            np.asarray(tp[0])), wx, (tx + 31) >> 5)
 
 
 def test_multi_channel_grid():
@@ -146,13 +168,14 @@ def test_multi_channel_grid():
     data = rng.integers(0, 256, (2, n_reads, l)).astype(np.uint8)
     lengths = rng.integers(1, l + 1, n_reads).astype(np.int32)
     luts = jnp.asarray(np.stack([bj.scheme_luts(s1), bj.scheme_luts(s2)]))
-    wp, tp, lgp = ep.encode_plain_pallas(
+    wp, tp, lgp, pst = ep.encode_plain_pallas(
         jnp.asarray(data), jnp.asarray(lengths), luts, interpret=True)
     for c, s in ((0, s1), (1, s2)):
         wx, tx, lgx = _xla_plain(data[c], lengths, s)
         assert (np.asarray(tp[c]) == tx).all()
         assert (np.asarray(lgp[c]) == lgx).all()
-        _compare_words(np.asarray(wp[c]), wx, (tx + 31) >> 5)
+        _compare_words(_densify(np.asarray(wp[c]), np.asarray(pst[c]),
+                                np.asarray(tp[c])), wx, (tx + 31) >> 5)
 
 
 def test_pack_tags_kernel_matches_xla():
@@ -213,9 +236,10 @@ def test_plain_kernel_taller_tiles(tile_b, monkeypatch):
     lengths = rng.integers(0, l + 1, n_reads).astype(np.int32)
     wx, tx, lgx = _xla_plain(data, lengths, scheme)
     luts = jnp.asarray(bj.scheme_luts(scheme)[None])
-    wp, tp, lgp = ep.encode_plain_pallas(
+    wp, tp, lgp, pst = ep.encode_plain_pallas(
         jnp.asarray(data[None]), jnp.asarray(lengths), luts, interpret=True)
     wp, tp, lgp = np.asarray(wp[0]), np.asarray(tp[0]), np.asarray(lgp[0])
+    wp = _densify(wp, np.asarray(pst[0]), tp)
     assert (tp == tx).all()
     assert (lgp == lgx).all()
     _compare_words(wp, wx, (tx + 31) >> 5)

@@ -45,6 +45,9 @@ CONFIGS = [
                         "DXT_EMIT_ABLATE": "nocompact"}),
     # both MXU scans and no compaction: the residual floor
     ("auto_mxu_nocompact", {"DXT_EMIT_ABLATE": "nocompact"}),
+    # chunk-local pack + host region merge (ops/pack_local)
+    ("auto_local", {"DXT_PACK_LOCAL": "1"}),
+    ("auto_local_novpu", {"DXT_PACK_LOCAL": "1", "DXT_PACK_MXU": "0"}),
 ]
 
 
