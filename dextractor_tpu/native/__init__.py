@@ -20,12 +20,20 @@ def _build_shim(name: str, extra: list[str] | None = None):
     os.makedirs(_BUILD, exist_ok=True)
     if (not os.path.exists(out)
             or os.path.getmtime(out) < os.path.getmtime(src)):
-        cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", out, "-ldl"]
+        # compile to a private temp then os.replace: concurrent builders
+        # (parallel pytest workers) must never dlopen a half-written .so
+        tmp = f"{out}.{os.getpid()}.tmp"
+        cmd = ["gcc", "-O2", "-shared", "-fPIC", src, "-o", tmp, "-ldl"]
         if extra:
-            cmd[-2:-2] = extra
+            cmd[5:5] = extra
         r = subprocess.run(cmd, capture_output=True, text=True)
         if r.returncode != 0:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             raise OSError(f"building {name} failed: {r.stderr[:500]}")
+        os.replace(tmp, out)
     return ctypes.CDLL(out)
 
 
