@@ -38,8 +38,7 @@ def _encode_rows(ascii_rows, lengths, number_lut):
 
 @jax.jit
 def _decode_rows(packed_rows, letter_lut):
-    codes = tb.unpack_2bit(packed_rows)
-    return letter_lut[codes]
+    return tb.unpack_translate(packed_rows, letter_lut)
 
 
 def _bucket_rows(rows: np.ndarray, lengths: np.ndarray):

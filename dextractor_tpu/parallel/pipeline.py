@@ -522,7 +522,7 @@ def sharded_twobit_decode(mesh):
     def step(packed_rows, letter_lut):
         from ..ops import twobit as tb
 
-        return letter_lut[tb.unpack_2bit(packed_rows)]
+        return tb.unpack_translate(packed_rows, letter_lut)
 
     return shard_map(
         step, mesh=mesh,
