@@ -64,14 +64,19 @@ _ABLATE = os.environ.get("DXT_EMIT_ABLATE", "")
 # hardware.  =0 keeps the pure roll networks (the proven fallback).
 _PACK_MXU = os.environ.get("DXT_PACK_MXU", "1") == "1"
 
-# DXT_PACK_LOCAL=1 packs each 128-slot chunk into its own 128-word
+# DXT_PACK_LOCAL packs each 128-slot chunk into its own 128-word
 # output region (ops/pack_local): the global boundary compaction
 # (11 rounds, three planes) becomes a 7-round chunk-local network and
 # the hi/lo/rank scans become single MXU dots with no cross-chunk
 # combine.  The host merges regions with a ragged OR-copy
 # (bitstream_jax.finalize_rows_local).  Stats lane 126 marks the format;
 # lanes 2..2+C-1 carry chunk start bit offsets, lane 127 the (never in
-# practice) overflow flag.
+# practice) overflow flag.  Chip verdict (tools/pack_probe.py, r4):
+# byte-exact on hardware but a WASH on step time (5.539 vs 5.543 ms at
+# the 16 MB bench shape) — the encode step is NOT scan/compaction bound
+# (the r3 noscan/nocompact ablation knobs mismeasured: wrong-output
+# stubs let the compiler collapse more than the phase under test), so
+# this stays opt-in.  DXT_PACK_LOCAL=1 enables.
 _PACK_LOCAL = os.environ.get("DXT_PACK_LOCAL", "0") == "1"
 
 
