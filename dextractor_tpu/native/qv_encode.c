@@ -590,8 +590,14 @@ void dxt_region_merge(const int32_t *words, const int32_t *base,
 
           if (b1 <= b0)
             continue;
+          if (b1 > t[i])        /* never write past the row's raw words */
+            b1 = t[i];
           w0 = b0 >> 5;
           nw = ((b1 + 31) >> 5) - w0;
+          if (w0 >= raw)
+            continue;
+          if (nw > raw - w0)
+            nw = raw - w0;
           /* OR throughout: regions only overlap at bit-disjoint straddle
              words, and all-zero pad chunks (stats lanes beyond a
              narrower channel's real chunk count read as base 0) must

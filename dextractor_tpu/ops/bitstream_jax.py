@@ -362,6 +362,13 @@ def finalize_rows_local(words: np.ndarray, bases: np.ndarray,
     t = np.asarray(t_bits, np.int64)
     raw = (t + 31) >> 5
     out = np.asarray(out, np.int64)
+    if m // 128 != bases.shape[1]:
+        # the region format carries at most 124 chunk bases (stats
+        # lanes 2..125); emit_pallas routes wider tiles to the global
+        # pack, so a mismatch here means corrupt inputs — refuse rather
+        # than let the native merge index past the base array
+        raise ValueError(
+            f"region merge: {m // 128} chunks but {bases.shape[1]} bases")
     total = int(out.sum())
     if total == 0:
         return np.empty(0, np.uint32), out

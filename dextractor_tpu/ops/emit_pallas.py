@@ -81,8 +81,17 @@ _PACK_LOCAL = os.environ.get("DXT_PACK_LOCAL", "0") == "1"
 
 
 def _pack_dispatch(vp, np_):
-    """(words, extra-stats) for the configured pack formulation."""
-    if _PACK_LOCAL and not _ABLATE:
+    """(words, extra-stats) for the configured pack formulation.
+
+    The region format stores chunk start offsets at stats lanes
+    2..2+C-1 (<= lane 126, which is the format marker), so it carries at
+    most 124 chunks = 15872 slots per row; wider tiles (an 8192-wide run
+    channel already has 16384 slots) keep the global pack — a static,
+    per-width trace decision.  (Found the hard way: the saturating
+    lane-126 write OR'd overflow chunks into the marker and the host
+    merge then read garbage bases — PACK_r04.json's long-read SIGSEGV.)
+    """
+    if _PACK_LOCAL and not _ABLATE and vp.shape[1] <= 124 * 128:
         from .pack_local import pack_slots_local
 
         inc = _pack_cumsum(np_, 6)
