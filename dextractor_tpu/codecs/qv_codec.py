@@ -478,7 +478,13 @@ def _encode_entries_device(q: qv.QuivaFile, coding: dq.QVCoding, lossy: bool) ->
         """Bucket-order channel chunks -> (flat, per-entry lens) in
         entry order (one native ragged memcpy per bucket)."""
         lens_full = np.zeros(n, np.int64)
-        for sel, _, lens in chs:
+        for sel, flat, lens in chs:
+            # device-computed lengths feed unchecked native memcpys;
+            # turn an inconsistent batch (e.g. a miscompiled program)
+            # into an error instead of heap corruption
+            if (np.asarray(lens) < 0).any() or int(lens.sum()) != len(flat):
+                raise FormatError(
+                    "device encode produced inconsistent stream lengths")
             lens_full[sel] = lens
         offs_full = np.zeros(n, np.int64)
         np.cumsum(lens_full[:-1], out=offs_full[1:])
