@@ -220,6 +220,10 @@ def _metric_qv_encode(paths):
              jnp.asarray(NUMBER_BASE_LUT))
     jax.block_until_ready(dargs)
 
+    # a channel with no run scheme is a plain stream (QV.c:1393-1423) —
+    # route it through the half-width plain kernel, as the file path does
+    run_on = (coding.drun_scheme is not None, coding.srun_scheme is not None)
+
     @jax.jit
     def enc_chained(streams_, lengths_, sym_, run_, rchars_, nlut_, k):
         # every iteration XORs the carried checksum into the symbol data so
@@ -227,7 +231,8 @@ def _metric_qv_encode(paths):
         # profile is identical for arbitrary u8 symbols
         def body(_, acc):
             d = streams_ ^ (acc & 0xFF).astype(jnp.uint8)
-            out = qv_encode_step(d, lengths_, sym_, run_, rchars_, nlut_)
+            out = qv_encode_step(d, lengths_, sym_, run_, rchars_, nlut_,
+                                 run_on=run_on)
             return acc + out[2].sum().astype(jnp.int32)
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 

@@ -24,6 +24,8 @@ The single-device ``qv_encode_step`` is also the compile-check entry point
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -49,8 +51,9 @@ def null_run_luts() -> np.ndarray:
 # single-device steps (jittable; vmapped over channels)
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
+@functools.partial(jax.jit, static_argnames=("run_on",))
+def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut,
+                   run_on=(True, True)):
     """Encode the five QV channels of a batch of entries on one device.
 
     streams:   (5, N, L) u8 — del, tag, ins, mrg, sub
@@ -59,14 +62,29 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
     run_luts:  (4, 256) packed i32 — run LUTs (null LUT for plain channels)
     rchars:    (4,) i32 — run char per channel (-1 for plain)
     number_lut:(256,) u8 — tag base numbering
+    run_on:    STATIC (del_has_run_scheme, sub_has_run_scheme) — a
+               channel without a run scheme is encoded by the reference
+               as a plain stream (QV.c:1393-1423 branches on delChar/
+               subChar), so routing it through the run kernel computes
+               identical bytes at 2x the slots plus the run-scan
+               machinery.  Callers that know the coding pass the real
+               flags; the default keeps both on (always correct).
 
     Returns (words (4, N, M+1) u32, raw (4, N), out (4, N), dup, zext,
-             packed_tags (N, L//4) u8, tag_clens (N,)).
+             packed_tags (N, L//4) u8, tag_clens (N,), pstats, tbits).
     """
-    # del/sub may be RLE: run machinery over (N, 2L+1) slots; ins/mrg are
-    # always plain: half the slots and no run scan
-    rdata = jnp.stack([streams[0], streams[4]])
-    pdata = jnp.stack([streams[2], streams[3]])
+    # channel c (del/ins/mrg/sub LUT order) -> its stream plane
+    chan_data = (streams[0], streams[2], streams[3], streams[4])
+    run_cs = tuple(c for c, on in ((0, run_on[0]), (3, run_on[1])) if on)
+    plain_cs = tuple(c for c in (0, 1, 2, 3) if c not in run_cs)
+
+    def mix(rv, pv):
+        parts = {}
+        for j, c in enumerate(run_cs):
+            parts[c] = rv[j]
+        for j, c in enumerate(plain_cs):
+            parts[c] = pv[j]
+        return jnp.stack([parts[c] for c in range(4)])
 
     from ..ops.emit_pallas import fused_ok
 
@@ -75,20 +93,22 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
         # (width-capped: monster rows take the XLA emissions below)
         from ..ops import emit_pallas as ep
 
-        ridx = jnp.array([0, 3])
-        pidx = jnp.array([1, 2])
-        r_words, r_t, r_lg, r_pst = ep.encode_run_pallas(
-            rdata, lengths, sym_luts[ridx], run_luts[ridx], rchars[ridx])
+        pidx = jnp.array(plain_cs)
         p_words, p_t, p_lg, p_pst = ep.encode_plain_pallas(
-            pdata, lengths, sym_luts[pidx])
-        r_raw, r_out, r_dup, r_zext = bj.word_counts(r_t, r_lg)
+            jnp.stack([chan_data[c] for c in plain_cs]), lengths,
+            sym_luts[pidx])
         p_raw, p_out, p_dup, p_zext = bj.word_counts(p_t, p_lg)
-        pad = r_words.shape[2] - p_words.shape[2]
-        p_words = jnp.pad(p_words, ((0, 0), (0, 0), (0, pad)))
-        words = jnp.stack([r_words[0], p_words[0], p_words[1], r_words[1]])
-
-        def mix(a, b):
-            return jnp.stack([a[0], b[0], b[1], a[1]])
+        if run_cs:
+            ridx = jnp.array(run_cs)
+            r_words, r_t, r_lg, r_pst = ep.encode_run_pallas(
+                jnp.stack([chan_data[c] for c in run_cs]), lengths,
+                sym_luts[ridx], run_luts[ridx], rchars[ridx])
+            r_raw, r_out, r_dup, r_zext = bj.word_counts(r_t, r_lg)
+            pad = r_words.shape[2] - p_words.shape[2]
+            p_words = jnp.pad(p_words, ((0, 0), (0, 0), (0, pad)))
+        else:
+            r_words = r_raw = r_out = r_dup = r_zext = r_pst = r_t = ()
+        words = mix(r_words, p_words)
 
         if ep.fused_ok(streams.shape[2], any_backend=True):
             packed, clens = ep.pack_tags_pallas(
@@ -110,31 +130,31 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
         raw, out, dup, zext = bj.word_counts(t, lg)
         return v, n, raw, out, dup, zext
 
-    r_v, r_n, r_raw, r_out, r_dup, r_zext = jax.vmap(
-        one_run, in_axes=(0, 0, 0, 0))(
-        rdata, sym_luts[jnp.array([0, 3])], run_luts[jnp.array([0, 3])],
-        rchars[jnp.array([0, 3])])
-    p_v, p_n, p_raw, p_out, p_dup, p_zext = jax.vmap(
-        one_plain, in_axes=(0, 0))(pdata, sym_luts[jnp.array([1, 2])])
-
     # pack outside the channel vmap: one kernel call per slot width, with
-    # both channels folded into the row axis (Pallas grid stays 1-D)
+    # the channels folded into the row axis (Pallas grid stays 1-D)
     def pack2(v2, n2):
         c, nn, m = v2.shape
         w = bj.pack_words_any(v2.reshape(c * nn, m), n2.reshape(c * nn, m))
         return w.reshape(c, nn, m + 1)
 
-    r_words = pack2(r_v, r_n)
+    p_v, p_n, p_raw, p_out, p_dup, p_zext = jax.vmap(
+        one_plain, in_axes=(0, 0))(
+        jnp.stack([chan_data[c] for c in plain_cs]),
+        sym_luts[jnp.array(plain_cs)])
     p_words = pack2(p_v, p_n)
-
-    # channel order del, ins, mrg, sub; plain word rects are narrower —
-    # pad so the stacked output keeps one shape
-    pad = r_words.shape[2] - p_words.shape[2]
-    p_words = jnp.pad(p_words, ((0, 0), (0, 0), (0, pad)))
-    words = jnp.stack([r_words[0], p_words[0], p_words[1], r_words[1]])
-
-    def mix(a, b):
-        return jnp.stack([a[0], b[0], b[1], a[1]])
+    if run_cs:
+        ri = jnp.array(run_cs)
+        r_v, r_n, r_raw, r_out, r_dup, r_zext = jax.vmap(
+            one_run, in_axes=(0, 0, 0, 0))(
+            jnp.stack([chan_data[c] for c in run_cs]),
+            sym_luts[ri], run_luts[ri], rchars[ri])
+        r_words = pack2(r_v, r_n)
+        # plain word rects are narrower — pad to one stacked shape
+        pad = r_words.shape[2] - p_words.shape[2]
+        p_words = jnp.pad(p_words, ((0, 0), (0, 0), (0, pad)))
+    else:
+        r_words = r_raw = r_out = r_dup = r_zext = ()
+    words = mix(r_words, p_words)
 
     raw = mix(r_raw, p_raw)
     out = mix(r_out, p_out)
@@ -481,11 +501,11 @@ def sharded_decode_entry_seg(mesh, *, seg: int, s_per: int, max_len: int,
         out_specs=P(None, DATA_AXIS, None), check_vma=False)
 
 
-def sharded_qv_encode(mesh):
+def sharded_qv_encode(mesh, run_on=(True, True)):
     """shard_map'd phase B: replicated tables, sharded entries."""
     def step(streams, lengths, sym_luts, run_luts, rchars, number_lut):
         return qv_encode_step(streams, lengths, sym_luts, run_luts, rchars,
-                              number_lut)
+                              number_lut, run_on=run_on)
 
     return shard_map(
         step, mesh=mesh,

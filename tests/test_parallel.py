@@ -204,6 +204,44 @@ def test_sharded_encode_produces_identical_container(ref_tools, tmp_path):
     assert ours == ref_dexqv
 
 
+def test_encode_step_run_routing_specialization(ref_tools, tmp_path):
+    """run_on=(real flags) routes no-run-scheme channels through the
+    plain kernel (half the slots); bytes must equal the default routing
+    AND the C encoder (QV.c:1393-1423 encodes such channels plain)."""
+    from dextractor_tpu.codecs.qv_codec import assemble_from_step
+    from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT
+    from conftest import run_ref
+
+    rng = np.random.default_rng(21)
+    quiva = make_quiva(rng, n_reads=24, min_len=200, max_len=600)
+    (tmp_path / "g.quiva").write_bytes(quiva)
+    run_ref(ref_tools, "dexqv", ["-k", "g.quiva"], tmp_path)
+    ref_dexqv = (tmp_path / "g.dexqv").read_bytes()
+
+    q, streams, lengths = _prep(quiva, n_pad_to=24)
+    stats = scan_quiva(q)
+    coding = create_qvcoding(stats, q.prefix, False)
+    sym, run, rchars = _luts(coding)
+    flags = (coding.drun_scheme is not None, coding.srun_scheme is not None)
+    assert not flags[1], "test premise: synthetic subQV has no run scheme"
+
+    args = (jnp.asarray(streams), jnp.asarray(lengths.astype(np.int32)),
+            jnp.asarray(sym), jnp.asarray(run), jnp.asarray(rchars),
+            jnp.asarray(NUMBER_BASE_LUT))
+    for run_on in ((True, True), flags, (False, False) if not any(flags)
+                   else flags):
+        out = qv_encode_step(*args, run_on=run_on)
+        ours = assemble_from_step(out, coding, q.wells, q.begs, q.ends,
+                                  q.qvs, q.n_entries)
+        assert ours == ref_dexqv, f"run_on={run_on}"
+
+    mesh = make_mesh(8)
+    out = sharded_qv_encode(mesh, run_on=flags)(*args)
+    ours = assemble_from_step(out, coding, q.wells, q.begs, q.ends,
+                              q.qvs, q.n_entries)
+    assert ours == ref_dexqv
+
+
 def test_sharded_twobit_matches_single_device():
     """Sharded 2-bit pack/unpack == the single-device kernels (and the
     NumPy oracle) on ragged rows; zero collectives in the program."""
