@@ -20,9 +20,16 @@ def codec_tool(prog, usage, help_lines, in_suffix, out_suffix,
     pwd/root, transform, write sibling output, delete the source unless
     ``-k``, ``-i`` pipes stdin to stdout (dexta.c:72-217).
     """
+    from ..utils.profiling import REPORTER
+
     spec = ArgSpec(prog=prog, usage=usage, flags=flags_str,
                    int_opts=int_opts or {}, help_lines=help_lines)
     flags, opts, files = parse_flags(spec, argv if argv is not None else sys.argv[1:])
+    # -v turns on the per-stage throughput table (SURVEY §5: the
+    # reference's only introspection is per-file progress; the framework
+    # adds parse/scan/encode/assemble GB/s counters, printed at exit)
+    REPORTER.enabled = bool(flags.get("v"))
+    REPORTER.stages.clear()
     pipe = flags.get("i", False)
     if (pipe and files) or (not pipe and not files):
         usage_exit(spec)
@@ -34,6 +41,7 @@ def codec_tool(prog, usage, help_lines, in_suffix, out_suffix,
         except DextractorError as e:
             sys.stderr.write(f"{prog}: {e}\n")
             return 1
+        REPORTER.report()
         return 0
 
     for path in files:
@@ -62,4 +70,5 @@ def codec_tool(prog, usage, help_lines, in_suffix, out_suffix,
             os.unlink(src)
         if flags.get("v"):
             sys.stderr.write("Done\n")
+    REPORTER.report()
     return 0

@@ -243,27 +243,35 @@ def encode_quiva_to_dexqv(data: bytes, lossy: bool = False,
                     DXT_DEVICE env override, else device iff an
                     accelerator backend is active.
     """
-    q = qv.parse_quiva(data)
-    stats = scan_quiva(q)
-    coding = create_qvcoding(stats, q.prefix, lossy)
+    from ..utils.profiling import REPORTER
+
+    with REPORTER.stage("parse", len(data)):
+        q = qv.parse_quiva(data)
+    payload = int(q.lengths.sum()) * 5
+    with REPORTER.stage("scan+tables", payload):
+        stats = scan_quiva(q)
+        coding = create_qvcoding(stats, q.prefix, lossy)
     if device is None:
         from ..utils.dispatch import device_default
         device = device_default()
-    if device:
-        return _encode_entries_device(q, coding, lossy)
-    out = _encode_entries_native(q, coding, lossy)
-    if out is not None:
-        return out
-    off = np.zeros(q.n_entries + 1, np.int64)
-    np.cumsum(q.lengths, out=off[1:])
-    blobs = []
-    for i in range(q.n_entries):
-        s, e = off[i], off[i + 1]
-        blobs.append(encode_entry(
-            coding,
-            q.streams[DEL, s:e], q.streams[TAG, s:e], q.streams[INS, s:e],
-            q.streams[MRG, s:e], q.streams[SUB, s:e], lossy))
-    return dq.write_dexqv(coding, q.wells, q.begs, q.ends, q.qvs, blobs)
+    with REPORTER.stage("encode+assemble", payload):
+        if device:
+            return _encode_entries_device(q, coding, lossy)
+        out = _encode_entries_native(q, coding, lossy)
+        if out is not None:
+            return out
+        off = np.zeros(q.n_entries + 1, np.int64)
+        np.cumsum(q.lengths, out=off[1:])
+        blobs = []
+        for i in range(q.n_entries):
+            s, e = off[i], off[i + 1]
+            blobs.append(encode_entry(
+                coding,
+                q.streams[DEL, s:e], q.streams[TAG, s:e],
+                q.streams[INS, s:e], q.streams[MRG, s:e],
+                q.streams[SUB, s:e], lossy))
+        return dq.write_dexqv(coding, q.wells, q.begs, q.ends, q.qvs,
+                              blobs)
 
 
 def _encode_entries_native(q: qv.QuivaFile, coding: dq.QVCoding, lossy: bool):
@@ -376,9 +384,13 @@ def assemble_from_step(step_out, coding: dq.QVCoding, wells, begs, ends,
                 raise FormatError(
                     "pack region overflow (>31.7 bits/slot average); "
                     "re-encode with DXT_PACK_LOCAL=0")
-            cc = words.shape[2] // 128
+            # stats lane 126 carries the channel's OWN chunk count (the
+            # stacked words array is padded to the widest channel, so
+            # words.shape[2] would over-count chunks in mixed batches)
+            cc = int(pstats[c, :, 126].max())
             f, w = bj.finalize_rows_local(
-                words[c].view(np.int32), pstats[c, :, 2:2 + cc],
+                words[c, :, : cc * 128].view(np.int32),
+                pstats[c, :, 2:2 + cc],
                 tbits[c], out[c], dup[c], zext[c])
         else:
             f, w = bj.finalize_rows(words[c], raw[c], out[c], dup[c],
@@ -878,36 +890,45 @@ def decode_dexqv_to_quiva(data: bytes, upper: bool = False,
     """
     import struct as _struct
 
+    from ..utils.profiling import REPORTER
+
     if len(data) < 2:
         raise FormatError("not a .dexqv file (empty or truncated)")
-    mv = memoryview(data)
-    (key,) = _struct.unpack_from("<H", mv, 0)
-    off = 2 if key in (dq.CONTAINER_KEY, 0xAA55) else 0   # legacy: no container key
-    coding, off = dq.parse_qvcoding(mv, off)
-    newv = key in (dq.CONTAINER_KEY, 0xAA55)
+    with REPORTER.stage("tables", len(data)):
+        mv = memoryview(data)
+        (key,) = _struct.unpack_from("<H", mv, 0)
+        off = 2 if key in (dq.CONTAINER_KEY, 0xAA55) else 0  # legacy: no key
+        coding, off = dq.parse_qvcoding(mv, off)
+        newv = key in (dq.CONTAINER_KEY, 0xAA55)
 
     if device is None:
         from ..utils.dispatch import device_default
         device = device_default()
     if device and not coding.flip:
-        res = _decode_entries_device(data, coding, off, newv, mesh=mesh)
+        with REPORTER.stage("decode", len(data)):
+            res = _decode_entries_device(data, coding, off, newv, mesh=mesh)
         if res is not None:
             wells, begs, ends_, qvs, lengths, streams = res
             if upper:
                 streams = streams.copy()
                 streams[TAG] = streams[TAG] - 32
-            return qv.write_quiva(coding.prefix, wells, begs, ends_, qvs,
-                                  lengths, streams)
+            with REPORTER.stage("assemble",
+                                int(np.asarray(lengths).sum()) * 5):
+                return qv.write_quiva(coding.prefix, wells, begs, ends_,
+                                      qvs, lengths, streams)
 
     if native and not coding.flip:
-        res = _walk_native(data, coding, off, newv)
+        with REPORTER.stage("decode", len(data)):
+            res = _walk_native(data, coding, off, newv)
         if res is not None:
             wells, begs, ends_, qvs, lengths, streams = res
             if upper:
                 streams = streams.copy()
                 streams[TAG] = streams[TAG] - 32
-            return qv.write_quiva(coding.prefix, wells, begs, ends_, qvs,
-                                  lengths, streams)
+            with REPORTER.stage("assemble",
+                                int(np.asarray(lengths).sum()) * 5):
+                return qv.write_quiva(coding.prefix, wells, begs, ends_,
+                                      qvs, lengths, streams)
 
     end = ">" if coding.flip else "<"
 

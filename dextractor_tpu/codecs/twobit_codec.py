@@ -184,26 +184,42 @@ def _auto(device):
 
 
 def encode_fasta_to_dexta(data: bytes, device: bool | None = None) -> bytes:
+    from ..utils.profiling import REPORTER
+
     device = _auto(device)
-    f = fa.parse_seq_file(data, arrow=False)
-    payload, clens = _pack_batch(f.seqs.flat, f.seqs.lengths, tb.NUMBER_BASE_LUT, device)
-    return dx.write_dexta(f.prefix, f.wells, f.begs, f.ends, f.qvs, payload, clens)
+    with REPORTER.stage("parse", len(data)):
+        f = fa.parse_seq_file(data, arrow=False)
+    with REPORTER.stage("encode", int(f.seqs.lengths.sum())):
+        payload, clens = _pack_batch(f.seqs.flat, f.seqs.lengths,
+                                     tb.NUMBER_BASE_LUT, device)
+    with REPORTER.stage("assemble", int(clens.sum())):
+        return dx.write_dexta(f.prefix, f.wells, f.begs, f.ends, f.qvs,
+                              payload, clens)
 
 
 def decode_dexta_to_fasta(data: bytes, width: int = 80, upper: bool = False,
                           device: bool | None = None) -> bytes:
+    from ..utils.profiling import REPORTER
+
     device = _auto(device)
-    d = dx.read_dexta(data, arrow=False)
-    rlens = (d.ends - d.begs).astype(np.int64)
-    lut = tb.UPPER_LUT if upper else tb.LOWER_LUT
-    headers = fa.format_headers(d.prefix, d.wells, d.begs, d.ends, qvs=d.qvs)
+    with REPORTER.stage("parse", len(data)):
+        d = dx.read_dexta(data, arrow=False)
+        rlens = (d.ends - d.begs).astype(np.int64)
+        lut = tb.UPPER_LUT if upper else tb.LOWER_LUT
+        headers = fa.format_headers(d.prefix, d.wells, d.begs, d.ends,
+                                    qvs=d.qvs)
+    total = int(rlens.sum())
     if not device:
-        txt = _native_seq_text(headers, d.payload.flat, d.payload.lengths,
-                               rlens, lut, width)
-        if txt is not None:
-            return txt
-    sym = _unpack_batch(d.payload.flat, d.payload.lengths, rlens, lut, device)
-    return fa.write_seq_file(headers, sym, rlens, width=width)
+        with REPORTER.stage("decode+assemble", total):
+            txt = _native_seq_text(headers, d.payload.flat,
+                                   d.payload.lengths, rlens, lut, width)
+            if txt is not None:
+                return txt
+    with REPORTER.stage("decode", total):
+        sym = _unpack_batch(d.payload.flat, d.payload.lengths, rlens, lut,
+                            device)
+    with REPORTER.stage("assemble", total):
+        return fa.write_seq_file(headers, sym, rlens, width=width)
 
 
 # ---------------------------------------------------------------------------

@@ -37,11 +37,12 @@ from .tracks import DB_INT, DB_EXACT
 QVCHK = "qvchk"
 
 
-def _cell_groups(qv, nreads):
-    """Contiguous (coding_index, read_slice) groups in table order."""
+def _cell_groups(qv, nreads, first: int = 0):
+    """Contiguous (coding_index, read_slice) groups in table order over
+    reads [first, nreads)."""
     table = np.asarray(qv.table)
     groups = []
-    i = 0
+    i = first
     while i < nreads:
         ci = int(table[i])
         j = i
@@ -74,9 +75,15 @@ def index_cell(data, coding, starts, rlens, seg):
     return coffs, ntoks, ck
 
 
-def build_qvchk_track(db, seg: int | None = None) -> Track | None:
+def build_qvchk_track(db, seg: int | None = None,
+                      first: int = 0) -> Track | None:
     """Walk an open DB's .qvs payload and build the qvchk track, or None
-    when the native walker is unavailable."""
+    when the native walker is unavailable.
+
+    ``first`` > 0 indexes only reads [first, nreads) — the incremental
+    append path (dex2DB append touches only the new cells,
+    dex2DB.c:577-685, so the track extension should too).  ``first``
+    must sit on a cell boundary (appends add whole cells)."""
     from ..codecs.qv_codec import SEG_DECODE
 
     seg = SEG_DECODE if seg is None else int(seg)
@@ -85,8 +92,11 @@ def build_qvchk_track(db, seg: int | None = None) -> Track | None:
     rlens = db.reads["rlen"].astype(np.int64)
     starts = db.reads["coff"].astype(np.int64)
     n = db.nreads
+    if first and int(np.asarray(qv.table)[first - 1]) \
+            == int(np.asarray(qv.table)[first]):
+        return None            # not a cell boundary: caller must rebuild
     recs = []
-    for ci, sl in _cell_groups(qv, n):
+    for ci, sl in _cell_groups(qv, n, first):
         got = index_cell(qv.data, qv.codings[ci], starts[sl], rlens[sl],
                          seg)
         if got is None:
@@ -109,29 +119,85 @@ def build_qvchk_track(db, seg: int | None = None) -> Track | None:
             recs.append(np.concatenate(w).astype(np.int32))
     data = (np.concatenate(recs).view(np.uint8) if recs
             else np.empty(0, np.uint8))
-    anno = np.zeros(n + 1, np.int64)
+    anno = np.zeros(n - first + 1, np.int64)
     if recs:
         np.cumsum([4 * len(r) for r in recs], out=anno[1:])
     extra = Extra(DB_INT, DB_EXACT, b"seg",
                   np.array([seg], np.int64))
-    return Track(name=QVCHK, size=8, nreads=n, anno=anno, data=data,
-                 extras=[extra])
+    return Track(name=QVCHK, size=8, nreads=n - first, anno=anno,
+                 data=data, extras=[extra])
 
 
-def write_qvchk_track(db_path: str, seg: int | None = None) -> bool:
-    """Build + write the track for a committed DB (best-effort)."""
+def _read_raw_track(base: str):
+    """Raw (nreads, anno i64, data, seg) of an on-disk qvchk track read
+    without a DB handle (after an append the DB header's ureads no
+    longer matches the stale track, so check_track would reject it —
+    exactly the state the incremental extension wants to fix)."""
+    import os
+    import struct
+    from .tracks import _parse_extras
+
+    apath, dpath = f"{base}.{QVCHK}.anno", f"{base}.{QVCHK}.data"
+    if not (os.path.exists(apath) and os.path.exists(dpath)):
+        return None
+    with open(apath, "rb") as f:
+        buf = f.read()
+    if len(buf) < 8:
+        return None
+    tracklen, size = struct.unpack_from("<ii", buf, 0)
+    if size != 8 or tracklen < 0:
+        return None
+    off = 8 + 8 * (tracklen + 1)
+    if len(buf) < off:
+        return None
+    anno = np.frombuffer(buf, np.int64, count=tracklen + 1, offset=8)
+    try:
+        extras = _parse_extras(buf, off)
+    except Exception:
+        return None
+    seg = next((int(e.value[0]) for e in extras
+                if e.name == b"seg" and e.nelem == 1), None)
+    data = np.fromfile(dpath, np.uint8)
+    if seg is None or seg <= 0 or len(data) < anno[-1] \
+            or (anno[1:] < anno[:-1]).any() or anno[0] != 0:
+        return None
+    return tracklen, anno, data[: anno[-1]], seg
+
+
+def write_qvchk_track(db_path: str, seg: int | None = None,
+                      prev_ureads: int | None = None) -> bool:
+    """Build + write the track for a committed DB (best-effort).
+
+    With ``prev_ureads`` (the read count before an append) and a valid
+    existing track covering exactly those reads, only the appended
+    cells are walked and their records appended — append cost is
+    proportional to the new cells, like the reference's append
+    (dex2DB.c:577-685).  Any mismatch falls back to a full rebuild."""
     from .access import open_db
     from .build import binary_base
     from ..utils.paths import path_to, root as rootof
 
     db = open_db(db_path)
-    try:
-        track = build_qvchk_track(db, seg)
-    except Exception:
-        return False
+    base = binary_base(path_to(db_path), rootof(db_path, ".db"))
+    n = db.nreads
+    if prev_ureads and 0 < prev_ureads < n:
+        old = _read_raw_track(base)
+        if old is not None:
+            tracklen, anno0, data0, seg0 = old
+            if tracklen == prev_ureads and (seg is None or seg == seg0):
+                part = build_qvchk_track(db, seg0, first=prev_ureads)
+                if part is not None:
+                    anno = np.concatenate(
+                        [anno0[:-1], anno0[-1] + part.anno])
+                    data = np.concatenate([data0, part.data])
+                    track = Track(name=QVCHK, size=8, nreads=n,
+                                  anno=anno, data=data,
+                                  extras=part.extras)
+                    write_track(base, QVCHK, track)
+                    return True
+    track = build_qvchk_track(db, seg)
     if track is None:
         return False
-    base = binary_base(path_to(db_path), rootof(db_path, ".db"))
     write_track(base, QVCHK, track)
     return True
 

@@ -369,6 +369,13 @@ def finalize_rows_local(words: np.ndarray, bases: np.ndarray,
         # than let the native merge index past the base array
         raise ValueError(
             f"region merge: {m // 128} chunks but {bases.shape[1]} bases")
+    # the native merge zero-fills raw=(t+31)>>5 words into a dst slot
+    # sized by out[i]: a corrupt device t (the miscompile threat class
+    # the device-length validation defends against) must be refused
+    # BEFORE the native call, not discovered as a heap overflow
+    if bool((raw > out).any()) or bool((raw > m).any()):
+        raise ValueError("region merge: raw word count exceeds the "
+                         "row's output slot or region capacity")
     total = int(out.sum())
     if total == 0:
         return np.empty(0, np.uint32), out

@@ -51,10 +51,11 @@ def _tile_rows(width: int) -> int:
         return B
     return int(max(8, min(32, (1 << 18) // max(width, 1) // 8 * 8)))
 
-# DXT_EMIT_ABLATE=nopack replaces the word-packing phase with an
-# elementwise combine — WRONG output, identical emission-phase cost —
-# so chip timings attribute the step between emissions and packing.
-_ABLATE = os.environ.get("DXT_EMIT_ABLATE", "")
+# The r3 DXT_EMIT_ABLATE wrong-output stubs were REMOVED: PACK_r04
+# proved the compiler collapses more than the phase under test around a
+# wrong-output stub (the false "80% packing" attribution), so the only
+# sanctioned attribution instrument is tools/encode_split.py, which
+# times the three REAL launches.
 
 # DXT_PACK_MXU=1 (default) routes the pack phase's lane cumsums through
 # MXU triangular matmuls (ops/scan_mxu: exact limb-split local scans +
@@ -91,16 +92,20 @@ def _pack_dispatch(vp, np_):
     lane-126 write OR'd overflow chunks into the marker and the host
     merge then read garbage bases — PACK_r04.json's long-read SIGSEGV.)
     """
-    if _PACK_LOCAL and not _ABLATE and vp.shape[1] <= 124 * 128:
+    if _PACK_LOCAL and vp.shape[1] <= 124 * 128:
         from .pack_local import pack_slots_local
 
         inc = _pack_cumsum(np_, 6)
         words, pstats = pack_slots_local(vp, np_, inc, mxu=_PACK_MXU)
         scol = jax.lax.broadcasted_iota(jnp.int32, pstats.shape, 1)
-        pstats = jnp.where(scol == 126, 1, pstats)      # format marker
+        # format marker AND the channel's own chunk count: a mixed batch
+        # stacks channels at the widest channel's padded width, so the
+        # assembler must not derive chunk counts from words.shape (a
+        # region-format plain channel stacked beside a global-format
+        # 8192-wide run channel would read 128 phantom chunks)
+        pstats = jnp.where(scol == 126, vp.shape[1] // 128, pstats)
         return words, pstats
-    words = (vp ^ np_) if _ABLATE == "nopack" else _pack_slots(vp, np_)
-    return words, None
+    return _pack_slots(vp, np_), None
 
 
 def _pack_cumsum(x, nbits):
@@ -285,13 +290,7 @@ def _pack_slots(v, n):
     compaction); kept here so the whole channel encode is one kernel.
     """
     r, m = v.shape
-    if _ABLATE == "noscan":
-        # WRONG results, scan-free: attribute the cumsums' in-kernel cost
-        inc = n * 3
-        cs_hi = None
-        cs_lo = None
-    else:
-        inc = _pack_cumsum(n, 6)            # emissions are <= 32 bits
+    inc = _pack_cumsum(n, 6)            # emissions are <= 32 bits
     off = inc - n
     w = off >> 5
     p = off & 31
@@ -305,28 +304,22 @@ def _pack_slots(v, n):
     hi = jnp.where(n > 0, hi, jnp.uint32(0)).astype(jnp.int32)
     lo = lo.astype(jnp.int32)
 
-    if _ABLATE == "noscan":
-        cs_hi, cs_lo = hi, lo
-        ranks = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1) >> 2
-    else:
-        cs_hi = _pack_cumsum(hi, 32)
-        cs_lo = _pack_cumsum(lo, 32)
+    cs_hi = _pack_cumsum(hi, 32)
+    cs_lo = _pack_cumsum(lo, 32)
 
     nxt = _shl_fill(w, 1, fill=-1)
     last = w != nxt
-    if _ABLATE != "noscan":
-        ranks = _pack_cumsum(last.astype(jnp.int32), 1) - 1
+    ranks = _pack_cumsum(last.astype(jnp.int32), 1) - 1
     col = jax.lax.broadcasted_iota(jnp.int32, (r, m), 1)
     d = jnp.where(last, col - ranks, 0)
     # compact (cs_hi, cs_lo) to their ranks
     a, b_ = cs_hi, cs_lo
-    if _ABLATE != "nocompact":
-        for bb in range(max(m - 1, 1).bit_length()):
-            step = 1 << bb
-            move = _shl_fill((d >> bb) & 1, step) == 1
-            a = jnp.where(move, _shl_fill(a, step), a)
-            b_ = jnp.where(move, _shl_fill(b_, step), b_)
-            d = jnp.where(move, _shl_fill(d, step) - step, d)
+    for bb in range(max(m - 1, 1).bit_length()):
+        step = 1 << bb
+        move = _shl_fill((d >> bb) & 1, step) == 1
+        a = jnp.where(move, _shl_fill(a, step), a)
+        b_ = jnp.where(move, _shl_fill(b_, step), b_)
+        d = jnp.where(move, _shl_fill(d, step) - step, d)
 
     key_max = jnp.max(jnp.where(n > 0, w, -1), axis=1, keepdims=True)
     hi_vals = jnp.where(col <= key_max, a - _shr_fill(a, 1), 0)

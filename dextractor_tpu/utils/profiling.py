@@ -52,9 +52,11 @@ class Reporter:
         st.nbytes += nbytes
         st.calls += 1
 
-    def report(self, out=sys.stderr) -> None:
+    def report(self, out=None) -> None:
         if not self.stages:
             return
+        if out is None:          # bind at call time (redirect_stderr)
+            out = sys.stderr
         width = max(len(s) for s in self.stages) + 2
         out.write(f"{'stage':<{width}}{'calls':>6}{'secs':>10}{'GB/s':>10}\n")
         for st in self.stages.values():

@@ -39,6 +39,31 @@ def test_dexta_cli_lifecycle(tmp_path):
     assert (tmp_path / "g.fasta").read_bytes() == fasta
 
 
+def test_verbose_prints_stage_table(tmp_path):
+    """-v wires utils/profiling.REPORTER: the per-stage GB/s table is the
+    framework's observability layer over the reference's bare per-file
+    progress (SURVEY §5; dexta.c:97-100)."""
+    rng = np.random.default_rng(5)
+    (tmp_path / "g.fasta").write_bytes(make_fasta(rng, n_reads=6,
+                                                  max_len=200))
+    (tmp_path / "q.quiva").write_bytes(make_quiva(rng, n_reads=4,
+                                                  max_len=200))
+    r = run_cli(["dexta", "-v", "-k", "g.fasta"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    for stage in (b"stage", b"GB/s", b"parse", b"encode", b"assemble"):
+        assert stage in r.stderr, r.stderr
+    r = run_cli(["dexqv", "-v", "-k", "q.quiva"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert b"scan+tables" in r.stderr, r.stderr
+    r = run_cli(["undexqv", "-v", "-k", "q.dexqv"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert b"decode" in r.stderr and b"tables" in r.stderr, r.stderr
+    # without -v the table stays off (reference-silent batch mode)
+    r = run_cli(["undexta", "-k", "g.dexta"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert b"GB/s" not in r.stderr
+
+
 def test_dexta_pipe_mode(tmp_path):
     rng = np.random.default_rng(1)
     fasta = make_fasta(rng, n_reads=4, max_len=120)

@@ -1,17 +1,17 @@
-"""Encode-step chip ablation: attribute the fused emit kernels' time.
+"""Encode-step A/B timings over REAL configurations only.
 
-Round-2 verdict weak #4: the 8 ms five-channel encode step is ~1% of its
-own traffic roofline and has never been profiled.  This tool measures the
-bench-identical qv-encode chained step under kernel knobs, one fresh
-subprocess per config (the knobs are read at module import):
+DEPRECATED as an attribution instrument — use tools/encode_split.py.
 
-  B=8  full    - the shipping configuration (baseline)
-  B=16 full    - taller row tiles: if the shift networks are ROUND-
-  B=32 full      LATENCY bound (like the decode chains were), more rows
-                 per round adds ILP at no extra pass count
-  B=8  nopack  - word packing replaced by an elementwise combine: the
-                 remainder is the emission phase (LUTs + run scan +
-                 interleave), so pack cost = full - nopack
+The r3 version of this tool drove DXT_EMIT_ABLATE wrong-output stubs
+(nopack/noscan/nocompact) to attribute the fused encode step's phases.
+PACK_r04 proved that methodology unsound: around a wrong-output stub the
+compiler collapses more than the phase under test (that is how the false
+"80% word packing" attribution happened), so those knobs were removed
+from ops/emit_pallas.  What remains here is an honest A/B harness over
+configurations that all produce CORRECT bytes (MXU vs roll-net scans,
+global vs chunk-local pack) — differences between them are real; no
+phase-attribution claims can be made from any of it.  For attribution,
+tools/encode_split.py times the three real launches (run/plain/tags).
 
 Run: python tools/encode_ablate.py [--mb 16]   (on the TPU host)
 One JSON line to stdout (prefix ABLATE:).
@@ -31,20 +31,20 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
 
+BANNER = (
+    "=" * 72 + "\n"
+    "DEPRECATED for phase attribution (see PACK_r04 / CLAUDE.md): this\n"
+    "tool only A/B-times byte-correct configurations.  Phase attribution\n"
+    "lives in tools/encode_split.py (real launches).\n" + "=" * 72
+)
+
+# every configuration below produces byte-correct output; the knobs pick
+# between proven formulations, never wrong-output stubs
 CONFIGS = [
     # shipping configuration (width-adaptive tiles, MXU pack cumsums)
     ("auto_mxu", {}),
     # round-3 shipping: pure roll-network scans (cached program)
     ("auto_rollnet", {"DXT_PACK_MXU": "0"}),
-    # emission phase alone (pack replaced by an elementwise combine)
-    ("auto_nopack", {"DXT_PACK_MXU": "0", "DXT_EMIT_ABLATE": "nopack"}),
-    # pack with fake O(1) scans (wrong output): true in-kernel scan cost
-    ("auto_noscan", {"DXT_PACK_MXU": "0", "DXT_EMIT_ABLATE": "noscan"}),
-    # pack without the boundary-compaction network (wrong output)
-    ("auto_nocompact", {"DXT_PACK_MXU": "0",
-                        "DXT_EMIT_ABLATE": "nocompact"}),
-    # both MXU scans and no compaction: the residual floor
-    ("auto_mxu_nocompact", {"DXT_EMIT_ABLATE": "nocompact"}),
     # chunk-local pack + host region merge (ops/pack_local)
     ("auto_local", {"DXT_PACK_LOCAL": "1"}),
     ("auto_local_novpu", {"DXT_PACK_LOCAL": "1", "DXT_PACK_MXU": "0"}),
@@ -65,11 +65,13 @@ def main():
         print("CHILD: " + json.dumps({"dt": dt}), flush=True)
         return
 
+    print(BANNER, file=sys.stderr, flush=True)
     env0 = dict(os.environ)          # before any CPU-forcing import
     from bench import prep_data
     prep_data(mb)
 
-    results = {}
+    results = {"_note": "A/B of byte-correct configs only; NOT phase "
+                        "attribution (use tools/encode_split.py)"}
     for name, knobs in CONFIGS:
         env = dict(env0)
         env.update(knobs)
