@@ -223,6 +223,7 @@ def _metric_qv_encode(paths):
     # a channel with no run scheme is a plain stream (QV.c:1393-1423) —
     # route it through the half-width plain kernel, as the file path does
     run_on = (coding.drun_scheme is not None, coding.srun_scheme is not None)
+    run_tokens = _run_tokens_of(streams, lengths, coding, run_on)
 
     @jax.jit
     def enc_chained(streams_, lengths_, sym_, run_, rchars_, nlut_, k):
@@ -232,11 +233,25 @@ def _metric_qv_encode(paths):
         def body(_, acc):
             d = streams_ ^ (acc & 0xFF).astype(jnp.uint8)
             out = qv_encode_step(d, lengths_, sym_, run_, rchars_, nlut_,
-                                 run_on=run_on)
+                                 run_on=run_on, run_tokens=run_tokens)
             return acc + out[2].sum().astype(jnp.int32)
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
     return measure_chained(enc_chained, dargs, "qv-encode")
+
+
+def _run_tokens_of(streams, lengths, coding, run_on):
+    """Static run-kernel token bound over the live run channels (None
+    when both channels are plain or the bound buys nothing)."""
+    if os.environ.get("DXT_RUN_TOKENS", "1") != "1":
+        return None
+    from dextractor_tpu.ops.bitstream_jax import run_token_bound
+    rt = []
+    if run_on[0]:
+        rt.append(run_token_bound(streams[0], lengths, coding.del_char))
+    if run_on[1]:
+        rt.append(run_token_bound(streams[4], lengths, coding.sub_char))
+    return max(rt) if rt else None
 
 
 def qv_enc_long_parts(data: bytes):
@@ -311,19 +326,22 @@ def qv_enc_long_parts(data: bytes):
                  jnp.asarray(NUMBER_BASE_LUT))
         jax.block_until_ready(dargs)
 
-        def make(run_on):
+        run_tokens = _run_tokens_of(streams, lengths, coding, run_on)
+
+        def make(run_on, run_tokens):
             @jax.jit
             def enc_chained(streams_, lengths_, sym_, run_, rchars_,
                             nlut_, k):
                 def body(_, acc):
                     d = streams_ ^ (acc & 0xFF).astype(jnp.uint8)
                     out = qv_encode_step(d, lengths_, sym_, run_,
-                                         rchars_, nlut_, run_on=run_on)
+                                         rchars_, nlut_, run_on=run_on,
+                                         run_tokens=run_tokens)
                     return acc + out[2].sum().astype(jnp.int32)
                 return jax.lax.fori_loop(0, k, body, jnp.int32(0))
             return enc_chained
 
-        parts.append((make(run_on), dargs,
+        parts.append((make(run_on, run_tokens), dargs,
                       f"qv-encode-long w={width} n={n_b}"))
     return parts
 
@@ -372,6 +390,7 @@ def _qv_dec_setup(enc: bytes, sel=None):
         decode_tables_v2(coding)
     chan_l2 = tuple(bool(((f1_t[sids[k]] >> 20) & 1).any())
                     for k in range(6))
+    spec_t = d2.spec_table(sids, f1_t, f2_t, types_t, subw, lmax)
     dec_args = (*(jnp.asarray(r) for r in rects), jnp.asarray(drlens),
                 jnp.asarray(sids), jnp.asarray(f1_t), jnp.asarray(f2_t),
                 jnp.asarray(types_t), jnp.int32(coding.del_char & 0xFF),
@@ -389,7 +408,7 @@ def _qv_dec_setup(enc: bytes, sel=None):
                 r, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_, dc_,
                 sc_, max_len=dec_max_len, max_tokens=dec_max_tokens,
                 del_mode=del_mode, sub_mode=sub_mode, subw=subw, lmax=lmax,
-                chan_l2=chan_l2, max_sym=dec_max_sym)
+                chan_l2=chan_l2, max_sym=dec_max_sym, spec=spec_t)
             return acc + rows.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
@@ -402,16 +421,19 @@ def _metric_qv_decode(paths):
 
 
 def qv_dec_long_parts(enc: bytes):
-    """(chained_fn, dec_args, label) per segs-per-read bucket of the
-    checkpoint-segmented decode — each read runs as short chains from
-    the native walker's checkpoints, so long reads decode at the proven
-    short-chain conveyor geometry.  Shared with tools/chip_probe.py."""
+    """(chained_fn, dec_args, label) parts of the checkpoint-segmented
+    decode over a log-normal batch — each read runs as short chains from
+    the native walker's checkpoints.  Default: ONE flat launch over all
+    live segments (qv_batch.build_seg_launch_flat); DXT_SEG_FLAT=0
+    reverts to the round-3 segs-per-read buckets for A/B.  Shared with
+    tools/chip_probe.py."""
     import jax
     import jax.numpy as jnp
     from dextractor_tpu.codecs.qv_codec import (
         _index_native, _index_checkpoints)
     from dextractor_tpu.codecs.qv_batch import (
-        seg_read_buckets, build_seg_launch, decode_tables_v2)
+        seg_read_buckets, build_seg_launch, build_seg_launch_flat,
+        decode_tables_v2)
     from dextractor_tpu.formats import dexqv as dqf
     from dextractor_tpu.ops import decode2 as d2
 
@@ -429,29 +451,38 @@ def qv_dec_long_parts(enc: bytes):
         decode_tables_v2(coding)
     chan_l2 = tuple(bool(((f1[sids[k]] >> 20) & 1).any())
                     for k in range(6))
+    spec_t = d2.spec_table(sids, f1, f2, types, subw, lmax)
     args_rep = (jnp.asarray(sids), jnp.asarray(f1), jnp.asarray(f2),
                 jnp.asarray(types), jnp.int32(coding.del_char & 0xFF),
                 jnp.int32(coding.sub_char & 0xFF))
+
+    def make(statics):
+        @jax.jit
+        def chained(rd_, tg_, ri_, rm_, rs_, rl_, srl_, p0_, cr_,
+                    sids_, f1_, f2_, ty_, dc_, sc_, k):
+            def body(_, acc):
+                r = rd_ ^ acc.astype(jnp.uint32)
+                rows = d2.decode_entry_batch_seg(
+                    r, tg_, ri_, rm_, rs_, rl_, srl_, p0_, cr_,
+                    sids_, f1_, f2_, ty_, dc_, sc_, **statics)
+                return acc + rows.astype(jnp.int32).sum()
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+        return chained
+
+    if os.environ.get("DXT_SEG_FLAT", "1") == "1":
+        args, statics, rid, _ = build_seg_launch_flat(
+            buf, eoffs, rlens, coffs_t, ntoks_t, coding, ck)
+        statics.update(subw=subw, lmax=lmax, chan_l2=chan_l2, spec=spec_t)
+        dargs = tuple(jnp.asarray(a) for a in args) + args_rep
+        return [(make(dict(statics)), dargs,
+                 f"qv-decode-long flat ns={len(rid)}")]
+
     parts = []
     for sel in seg_read_buckets(rlens, ck[0]):
         args, statics = build_seg_launch(buf, eoffs, rlens, coffs_t,
                                          ntoks_t, coding, ck, sel)
-        statics.update(subw=subw, lmax=lmax, chan_l2=chan_l2)
+        statics.update(subw=subw, lmax=lmax, chan_l2=chan_l2, spec=spec_t)
         dargs = tuple(jnp.asarray(a) for a in args) + args_rep
-
-        def make(statics):
-            @jax.jit
-            def chained(rd_, tg_, ri_, rm_, rs_, rl_, srl_, p0_, cr_,
-                        sids_, f1_, f2_, ty_, dc_, sc_, k):
-                def body(_, acc):
-                    r = rd_ ^ acc.astype(jnp.uint32)
-                    rows = d2.decode_entry_batch_seg(
-                        r, tg_, ri_, rm_, rs_, rl_, srl_, p0_, cr_,
-                        sids_, f1_, f2_, ty_, dc_, sc_, **statics)
-                    return acc + rows.astype(jnp.int32).sum()
-                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
-            return chained
-
         parts.append((make(dict(statics)), dargs,
                       f"qv-decode-long s={statics['s_per']} n={len(sel)}"))
     return parts
@@ -521,7 +552,7 @@ def _metric_dexta_encode(paths):
         def body(_, acc):
             # flip case bit only: stays in the LUT's alphabet, defeats hoist
             r = rows_ ^ ((acc & 0x1) << 5).astype(jnp.uint8)
-            packed = _encode_rows(r, lens_, lut_)
+            packed = _encode_rows(r, lens_, lut_, alphabet="base")
             return acc + packed.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 

@@ -132,6 +132,7 @@ def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
         decode_tables_v2(coding)
     chan_l2 = tuple(bool(((f1[sids[k]] >> 20) & 1).any())
                     for k in range(6))
+    spec = d2.spec_table(sids, f1, f2, types, subw, lmax)
     args_rep = (jnp.asarray(sids), jnp.asarray(f1), jnp.asarray(f2),
                 jnp.asarray(types), jnp.int32(coding.del_char & 0xFF),
                 jnp.int32(coding.sub_char & 0xFF))
@@ -144,7 +145,8 @@ def fused_decode_entries(buf: np.ndarray, starts: np.ndarray,
         rects = channel_rects(buf, starts[sel], coffs_a[sel], max_len)
         statics = dict(max_len=max_len, max_tokens=max_tokens,
                        del_mode=del_mode, sub_mode=sub_mode, subw=subw,
-                       lmax=lmax, chan_l2=chan_l2, max_sym=max_sym)
+                       lmax=lmax, chan_l2=chan_l2, max_sym=max_sym,
+                       spec=spec)
         if mesh is None:
             rows = d2.decode_entry_batch2(
                 *(jnp.asarray(r) for r in rects), jnp.asarray(rl_b),
@@ -588,6 +590,107 @@ def build_seg_launch(buf, starts, rlens, coffs, ntoks, coding, ck, sel):
     return args, statics
 
 
+def build_seg_launch_flat(buf, starts, rlens, coffs, ntoks, coding, ck):
+    """ONE fused launch over every LIVE segment of every read.
+
+    The bucketed scheme (seg_read_buckets + build_seg_launch) pads every
+    read in a bucket to the bucket's max segments-per-read and pays a
+    per-launch floor per bucket — CHIP_r04 showed the 32 MB log-normal
+    batch spending two launches (5.98 + 2.23 ms) where the uniform batch
+    spends one.  After checkpointing, segment rows are already uniform
+    (<= ``seg`` symbols each, decode2.decode_entry_batch_seg), so the
+    flat layout simply lists the live segments of ALL reads as
+    independent rows (s_per == 1: each flat row IS a "read" of its
+    segment's length), with zero dead rows and one launch for the whole
+    batch.  The host scatters the (5, NS, seg) output rows back to read
+    rows by (read, k) — fused_decode_entries_seg.
+
+    Returns (args, statics, rid, kseg): args/statics feed
+    decode_entry_batch_seg; rid/kseg (NS,) map flat rows to reads."""
+    from ..ops.decode2 import build_entry_rect
+
+    seg, ck_offs, ckb, ckt, ckc = ck
+    starts = np.asarray(starts, np.int64)
+    coffs_a = np.asarray(coffs, np.int64)
+    ntoks_a = np.asarray(ntoks)
+    rl = np.asarray(rlens, np.int64)
+    cko = np.asarray(ck_offs, np.int64)
+    n = len(starts)
+    btot = ckb.shape[1]
+    segs_per = np.maximum(-(-rl // seg), 1)        # rl == 0 keeps one row
+    ns = int(segs_per.sum())
+    rid = np.repeat(np.arange(n), segs_per)
+    base = np.zeros(n, np.int64)
+    np.cumsum(segs_per[:-1], out=base[1:])
+    kseg = np.arange(ns) - np.repeat(base, segs_per)
+    live_ck = kseg >= 1                            # row resumes mid-stream
+    cidx = np.clip(cko[rid] + kseg - 1, 0, max(btot - 1, 0))
+    seg_rlens = np.clip(rl[rid] - kseg * seg, 0, seg).astype(np.int32)
+    seg_w = int(min(seg, bucket_len(int(seg_rlens.max(initial=1)), 512)))
+    # a row's stream ends at the NEXT row's checkpoint when that row
+    # belongs to the same read, else at the channel end
+    nxt_same = (kseg + 1) < segs_per[rid]
+
+    chan_beg = np.stack([np.zeros(n, np.int64), coffs_a[:, 1],
+                         coffs_a[:, 2], coffs_a[:, 3]])
+    chan_end = np.stack([coffs_a[:, 0], coffs_a[:, 2], coffs_a[:, 3],
+                         coffs_a[:, 4]])
+    rects, pos0 = [], []
+    for c in range(4):
+        bits = np.where(live_ck, ckb[c][cidx], 0).astype(np.int64)
+        sbyte = starts[rid] + chan_beg[c][rid] + (bits >> 5) * 4
+        p0 = (bits & 31).astype(np.int32)
+        bits_next = np.concatenate([bits[1:], np.zeros(1, np.int64)])
+        end_bits = np.where(
+            nxt_same, bits_next,
+            (chan_end[c] - chan_beg[c])[rid] * 8)
+        end_bits = np.maximum(end_bits, bits)
+        span_w = ((end_bits - (bits & ~np.int64(31))) + 31) // 32
+        kw = int(next_pow2(int(span_w.max(initial=1)) + 16))
+        rects.append(build_entry_rect(buf, sbyte, kw))
+        pos0.append(p0)
+    pos0 = np.stack(pos0)
+
+    del_run = coding.del_char >= 0
+    sub_run = coding.sub_char >= 0
+    carr = np.full((2, ns), -1, np.int32)
+    if del_run:
+        carr[0] = np.where(live_ck, ckc[0][cidx], -1)
+    if sub_run:
+        carr[1] = np.where(live_ck, ckc[1][cidx], -1)
+
+    t0d = np.where(live_ck, ckt[0][cidx], 0).astype(np.int64)
+    t0s = np.where(live_ck, ckt[1][cidx], 0).astype(np.int64)
+    spans = []
+    for t0, on, tk in ((t0d, del_run, 0), (t0s, sub_run, 1)):
+        if not on:
+            continue
+        t0_next = np.concatenate([t0[1:], np.zeros(1, np.int64)])
+        t1 = np.where(nxt_same, t0_next, ntoks_a[rid, tk])
+        spans.append(int(np.maximum(t1 - t0, 0).max(initial=1)) + 2)
+    max_tokens = bucket_len(max(spans, default=8), 16)
+
+    if del_run:
+        tag_base = (starts + coffs_a[:, 0])[rid]
+        idx = t0d[:, None] + np.arange(max_tokens)
+        byte = buf[np.minimum(tag_base[:, None] + (idx >> 2),
+                              len(buf) - 1)]
+        tag_in = ((byte >> (6 - 2 * (idx & 3))) & 3).astype(np.int32)
+    else:
+        tbw = max(seg_w // 4, 1)
+        bidx = ((starts + coffs_a[:, 0])[rid][:, None]
+                + (kseg * (seg // 4))[:, None] + np.arange(tbw))
+        tag_in = buf[np.minimum(bidx, len(buf) - 1)]
+
+    args = (rects[0], tag_in, rects[1], rects[2], rects[3],
+            seg_rlens, seg_rlens, pos0, carr)
+    statics = dict(seg=seg_w, s_per=1, max_len=seg_w,
+                   max_tokens=max_tokens,
+                   del_mode="run" if del_run else "plain",
+                   sub_mode="run" if sub_run else "plain")
+    return args, statics, rid, kseg
+
+
 def seg_read_buckets(rlens, seg: int, launch_cost: int = 2048):
     """Partition reads into segments-per-read buckets by a small DP.
 
@@ -649,10 +752,13 @@ def _pad_seg_args(args, s_per: int, nsh: int):
 def fused_decode_entries_seg(buf, starts, rlens, coffs, ntoks, coding, ck,
                              mesh=None):
     """Checkpoint-segmented batch decode: every read runs as short chains
-    (decode2.decode_entry_batch_seg), bucketed by segments-per-read.
-    With ``mesh``, each bucket's segment chains shard over the data axis
-    (segments shard like reads — parallel/pipeline.sharded_decode_entry_seg).
+    (decode2.decode_entry_batch_seg).  Default: ONE flat launch over all
+    live segments (build_seg_launch_flat — no per-bucket launch floors,
+    no dead padded rows); DXT_SEG_FLAT=0 reverts to the round-3 bucketed
+    scheme for A/B.  With ``mesh``, segment chains shard over the data
+    axis (parallel/pipeline.sharded_decode_entry_seg).
     Returns (5, N, gmax_len) u8 numpy rows."""
+    import os
     import jax.numpy as jnp
     from ..ops import decode2 as d2
 
@@ -663,24 +769,41 @@ def fused_decode_entries_seg(buf, starts, rlens, coffs, ntoks, coding, ck,
         decode_tables_v2(coding)
     chan_l2 = tuple(bool(((f1[sids[k]] >> 20) & 1).any())
                     for k in range(6))
+    spec = d2.spec_table(sids, f1, f2, types, subw, lmax)
     args_rep = (jnp.asarray(sids), jnp.asarray(f1), jnp.asarray(f2),
                 jnp.asarray(types), jnp.int32(coding.del_char & 0xFF),
                 jnp.int32(coding.sub_char & 0xFF))
     out = np.zeros((5, n, gmax_len), np.uint8)
+
+    def launch(args, statics):
+        if mesh is None:
+            return d2.decode_entry_batch_seg(
+                *(jnp.asarray(a) for a in args), *args_rep,
+                subw=subw, lmax=lmax, chan_l2=chan_l2, spec=spec,
+                **statics)
+        from ..parallel.pipeline import sharded_decode_entry_seg
+        args, nb = _pad_seg_args(args, statics["s_per"],
+                                 mesh.devices.size)
+        fn = sharded_decode_entry_seg(
+            mesh, subw=subw, lmax=lmax, chan_l2=chan_l2, spec=spec,
+            **statics)
+        return fn(*(jnp.asarray(a) for a in args), *args_rep)[:, :nb]
+
+    if os.environ.get("DXT_SEG_FLAT", "1") == "1":
+        seg = ck[0]
+        args, statics, rid, kseg = build_seg_launch_flat(
+            buf, starts, rlens, coffs, ntoks, coding, ck)
+        rows = np.asarray(launch(args, statics))      # (5, NS, seg_w)
+        for k in np.unique(kseg):
+            m = kseg == k
+            w = min(rows.shape[2], gmax_len - int(k) * seg)
+            out[:, rid[m], int(k) * seg:int(k) * seg + w] = rows[:, m, :w]
+        return out
+
     for sel in seg_read_buckets(rlens, ck[0]):
         args, statics = build_seg_launch(buf, starts, rlens, coffs, ntoks,
                                          coding, ck, sel)
         ml = statics["max_len"]
-        if mesh is None:
-            rows = d2.decode_entry_batch_seg(
-                *(jnp.asarray(a) for a in args), *args_rep,
-                subw=subw, lmax=lmax, chan_l2=chan_l2, **statics)
-        else:
-            from ..parallel.pipeline import sharded_decode_entry_seg
-            args, nb = _pad_seg_args(args, statics["s_per"],
-                                     mesh.devices.size)
-            fn = sharded_decode_entry_seg(
-                mesh, subw=subw, lmax=lmax, chan_l2=chan_l2, **statics)
-            rows = fn(*(jnp.asarray(a) for a in args), *args_rep)[:, :nb]
+        rows = launch(args, statics)
         out[:, sel, :ml] = np.asarray(rows)
     return out

@@ -24,8 +24,13 @@ from ..ops import twobit as tb
 # fused device kernels
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _encode_rows(ascii_rows, lengths, number_lut):
+@functools.partial(jax.jit, static_argnames=("alphabet",))
+def _encode_rows(ascii_rows, lengths, number_lut, alphabet: str | None = None):
+    if alphabet in ("base", "arrow"):
+        # arithmetic letter map + multiply pack (ops/twobit.pack_translate):
+        # no gather, no compaction network — the encode mirror of the
+        # unpack_translate decode trick (round-4's 73 -> 181 GB/s win)
+        return tb.pack_translate(ascii_rows, lengths, alphabet=alphabet)
     from ..ops.emit_pallas import fused_ok
 
     if fused_ok(ascii_rows.shape[1]):
@@ -62,7 +67,8 @@ def _ptr(a):
 _PACK_THREAD_MIN_BYTES = 8 << 20
 
 
-def _pack_batch(seqs_flat, lengths, number_lut, device: bool):
+def _pack_batch(seqs_flat, lengths, number_lut, device: bool,
+                alphabet: str | None = None):
     """Pack ragged ascii symbols into per-read 2-bit payload bytes."""
     if not device:
         try:                          # single native pass over the flat —
@@ -120,7 +126,8 @@ def _pack_batch(seqs_flat, lengths, number_lut, device: bool):
     if device:
         rows_p, lengths_p, n = _bucket_rows(rows, lengths)
         packed = np.asarray(_encode_rows(jnp.asarray(rows_p), jnp.asarray(lengths_p),
-                                         jnp.asarray(number_lut)))[:n]
+                                         jnp.asarray(number_lut),
+                                         alphabet=alphabet))[:n]
     else:
         packed = tb.pack_2bit_np(number_lut[rows], lengths)
     clens = (lengths + 3) >> 2
@@ -191,7 +198,8 @@ def encode_fasta_to_dexta(data: bytes, device: bool | None = None) -> bytes:
         f = fa.parse_seq_file(data, arrow=False)
     with REPORTER.stage("encode", int(f.seqs.lengths.sum())):
         payload, clens = _pack_batch(f.seqs.flat, f.seqs.lengths,
-                                     tb.NUMBER_BASE_LUT, device)
+                                     tb.NUMBER_BASE_LUT, device,
+                                     alphabet="base")
     with REPORTER.stage("assemble", int(clens.sum())):
         return dx.write_dexta(f.prefix, f.wells, f.begs, f.ends, f.qvs,
                               payload, clens)
@@ -237,7 +245,9 @@ def _snr_to_cnr(snrs: np.ndarray) -> np.ndarray:
 def encode_arrow_to_dexar(data: bytes, device: bool | None = None) -> bytes:
     device = _auto(device)
     f = fa.parse_seq_file(data, arrow=True)
-    payload, clens = _pack_batch(f.seqs.flat, f.seqs.lengths, tb.NUMBER_ARROW_LUT, device)
+    payload, clens = _pack_batch(f.seqs.flat, f.seqs.lengths,
+                                 tb.NUMBER_ARROW_LUT, device,
+                                 alphabet="arrow")
     cnrs = _snr_to_cnr(f.snrs)
     return dx.write_dexar(f.prefix, f.wells, f.begs, f.ends, cnrs, payload, clens)
 

@@ -25,6 +25,9 @@ so each symbol costs one gather (see ``scheme_luts``).
 
 from __future__ import annotations
 
+import functools
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -433,20 +436,33 @@ def encode_plain_rows(data, lengths, luts):
     return words, raw, out, dup, zext
 
 
-@jax.jit
-def encode_run_rows(data, lengths, rchar, sym_luts, run_luts):
+@functools.partial(jax.jit, static_argnames=("max_tokens",))
+def encode_run_rows(data, lengths, rchar, sym_luts, run_luts,
+                    max_tokens: int | None = None):
     if pallas_ok() and data.shape[1] <= 8192:   # see encode_plain_rows
         from .emit_pallas import encode_run_pallas
 
         words, t, lg, pst = encode_run_pallas(
             _lane_pad(data)[None], lengths.astype(jnp.int32),
-            sym_luts[None], run_luts[None], rchar.reshape(1))
+            sym_luts[None], run_luts[None], rchar.reshape(1),
+            max_tokens=max_tokens)
         raw, out, dup, zext = word_counts(t[0], lg[0])
         return words[0], raw, out, dup, zext, pst[0], t[0]
     v, n, t, lg = run_emissions(data, lengths, rchar, sym_luts, run_luts)
     words = pack_words_any(v, n)
     raw, out, dup, zext = word_counts(t, lg)
     return words, raw, out, dup, zext
+
+
+def run_token_bound(data, lengths, rchar: int) -> int:
+    """Host-side static literal-count bound for the token-compacted run
+    kernel: the max over rows of #(symbol != rchar) within the row's
+    length, bucketed to 128 lanes (one program shape per bucket)."""
+    d = np.asarray(data)
+    ln = np.asarray(lengths).reshape(-1, 1)
+    col = np.arange(d.shape[1])[None, :]
+    cnt = int(((d != rchar) & (col < ln)).sum(axis=1).max(initial=0))
+    return max(128, -(-cnt // 128) * 128)
 
 
 def encode_rows_np(data, lengths, scheme: HScheme,
@@ -460,7 +476,10 @@ def encode_rows_np(data, lengths, scheme: HScheme,
         parts = encode_plain_rows(d, ln, luts)
     else:
         rluts = jnp.asarray(scheme_luts(run_scheme, run=True))
-        parts = encode_run_rows(d, ln, jnp.int32(rchar), luts, rluts)
+        mt = (run_token_bound(data, lengths, int(rchar))
+              if os.environ.get("DXT_RUN_TOKENS", "1") == "1" else None)
+        parts = encode_run_rows(d, ln, jnp.int32(rchar), luts, rluts,
+                                max_tokens=mt)
     if len(parts) == 7:
         words, raw, out, dup, zext, pst, t = (np.asarray(x) for x in parts)
         if pst[:, 126].any():               # region format (DXT_PACK_LOCAL)

@@ -106,6 +106,44 @@ def scheme_tables2(schemes, lmax_bucket: int | None = None):
     return f1, f2, subw, lmax
 
 
+def spec_table(sids, f1, f2, types, subw: int, lmax: int):
+    """Static per-channel speculation sets for the conveyor pair step.
+
+    Channel k's tuple is the set of possible BIT ADVANCES of one decoded
+    symbol of that channel's scheme: every distinct code length in its
+    L1/L2 tables, with escape entries (sym 255 of a type-2 scheme)
+    advancing len+8 for plain channels and len+16 for the run channels
+    (QV.c:510-599 plain, QV.c:604-691 run 16-bit length literal).
+    Host-side numpy over decode_tables_v2 outputs; returns a 6-tuple of
+    sorted int tuples in (del, drun, ins, mrg, sub, srun) order, passed
+    static into decode_entry_batch2/_seg.  DXT_PAIR=0 disables the pair
+    step (returns None) for chip A/B.
+    """
+    if os.environ.get("DXT_PAIR", "1") != "1":
+        return None
+    f1 = np.asarray(f1)
+    f2 = np.asarray(f2)
+    out = []
+    for k in range(6):
+        s = int(np.asarray(sids)[k])
+        row = f1[s]
+        esc = int(np.asarray(types)[s]) == 2
+        extra = 16 if k in (1, 5) else 8
+        is2 = ((row >> 20) & 1) == 1
+        entries = [np.unique(row[~is2 & (row != 0)])]
+        if subw:
+            for sub_id in np.unique(row[is2] & 0xFFFF):
+                entries.append(np.unique(
+                    f2[sub_id * subw:(sub_id + 1) * subw]))
+        lens: set = set()
+        for e in np.concatenate(entries) if entries else []:
+            ln, sym = (int(e) >> 9) & 31, int(e) & 511
+            if ln:
+                lens.add(ln + extra if (esc and sym == 255) else ln)
+        out.append(tuple(sorted(lens)))
+    return tuple(out)
+
+
 def build_entry_rect(buf: np.ndarray, starts: np.ndarray, k_words: int):
     """Dense (N, K) little-endian u32 rectangle of per-entry bytes.
 
@@ -333,7 +371,7 @@ def expand_monotone(vals: tuple, disp, width: int, live0=None, *,
 
 def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
                 subw: int, lmax: int, max_sym: int | None = None,
-                pos0=None):
+                pos0=None, spec=None):
     """Decode N plain streams, one per word-aligned rectangle row.
 
     Returns symbols (N, max_len) u8.  On accelerator backends the chains
@@ -362,7 +400,7 @@ def plain_chain(rect, rlens, f1c, f2, signal, *, max_len: int,
         out = plain_chain_conveyor(rect, rlens, f1c, f2, signal,
                                    max_len=ml, subw=subw, lmax=lmax,
                                    interpret=cmode == "interpret",
-                                   pos0=pos0)[0]
+                                   pos0=pos0, spec=spec)[0]
         if ml < max_len:
             out = jnp.pad(out, ((0, 0), (0, max_len - ml)))
         return out
@@ -412,9 +450,10 @@ def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
     """Decode several plain channels, merging conveyor-eligible ones
     that share an L2 need into ONE multi-channel launch (the chains are
     latency-bound, so C channels in one serial walk cost far less than C
-    walks).  ``specs`` is a list of (key, rect, f1c, signal, subw);
-    ``pos0`` an optional {key: (N,) i32} of per-chain starting bit
-    offsets (segment decode); returns {key: (N, max_len) u8 rows}.
+    walks).  ``specs`` is a list of (key, rect, f1c, signal, subw,
+    spec_lens); ``pos0`` an optional {key: (N,) i32} of per-chain
+    starting bit offsets (segment decode); returns {key: (N, max_len)
+    u8 rows}.
     """
     out = {}
     ml = max_len if max_sym is None else min(max_len, max_sym)
@@ -425,19 +464,26 @@ def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
         from .decode_conveyor import plain_chains_conveyor
 
         by_sw: dict = {}
-        for key, rect, f1c, sg, sw_k in specs:
+        for key, rect, f1c, sg, sw_k, sp_k in specs:
             if rect.shape[1] <= 16384 and (not sw_k or f2_rows <= 16):
-                by_sw.setdefault(sw_k, []).append((key, rect, f1c, sg))
+                by_sw.setdefault(sw_k, []).append((key, rect, f1c, sg,
+                                                   sp_k))
             else:
-                singles.append((key, rect, f1c, sg, sw_k))
+                singles.append((key, rect, f1c, sg, sw_k, sp_k))
         for sw_k, grp in by_sw.items():
             if len(grp) == 1:      # reuse the single-channel program
-                singles.append(grp[0] + (sw_k,))
+                g0 = grp[0]
+                singles.append(g0[:4] + (sw_k, g0[4]))
                 continue
+            # the merged launch speculates over the UNION of the group's
+            # advance sets (each slot's lookup already routes per-slot)
+            sps = [g[4] for g in grp]
+            sp_u = (None if any(s is None for s in sps)
+                    else tuple(sorted(set().union(*map(set, sps)))))
             res = plain_chains_conveyor(
                 [g[1] for g in grp], rlens, [g[2] for g in grp], f2,
                 [g[3] for g in grp], max_len=ml, subw=sw_k, lmax=lmax,
-                interpret=cmode == "interpret",
+                interpret=cmode == "interpret", spec=sp_u,
                 pos0=None if pos0 is None else [pos0.get(g[0])
                                                 for g in grp])
             for (key, *_), (syms, _, _) in zip(grp, res):
@@ -446,9 +492,10 @@ def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
                 out[key] = syms
     else:
         singles = [s for s in specs]
-    for key, rect, f1c, sg, sw_k in singles:
+    for key, rect, f1c, sg, sw_k, sp_k in singles:
         out[key] = plain_chain(rect, rlens, f1c, f2, sg, max_len=max_len,
                                subw=sw_k, lmax=lmax, max_sym=max_sym,
+                               spec=sp_k,
                                pos0=None if pos0 is None
                                else pos0.get(key))
     return out
@@ -456,7 +503,7 @@ def plain_chains(specs, rlens, f2, *, max_len: int, lmax: int,
 
 def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
               max_tokens: int, subw: int, lmax: int, pos0=None,
-              carry=None):
+              carry=None, spec=None):
     """Decode N RLE streams into (runlen, literal) token pairs.
 
     Three tokens per window refresh (3 * 56 bits worst case fits the
@@ -482,7 +529,7 @@ def run_chain(rect, rlens, f1r, f1s, f2, nsignal, *,
                                   max_tokens=max_tokens, subw=subw,
                                   lmax=lmax,
                                   interpret=cmode == "interpret",
-                                  pos0=pos0, carry=carry)[:2]
+                                  pos0=pos0, carry=carry, spec=spec)[:2]
     n = rlens.shape[0]
     group_sz = 3
     groups = (max_tokens + group_sz - 1) // group_sz
@@ -651,13 +698,14 @@ def expand_runs2(runs, lits, rchar, *, max_len: int):
 @functools.partial(
     jax.jit, static_argnames=("max_len", "max_tokens", "del_mode",
                               "sub_mode", "subw", "lmax", "chan_l2",
-                              "max_sym"))
+                              "max_sym", "spec"))
 def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
                         rlens, sids, f1, f2, types, del_char, sub_char, *,
                         max_len: int, max_tokens: int, del_mode: str,
                         sub_mode: str, subw: int, lmax: int,
                         chan_l2: tuple | None = None,
-                        max_sym: int | None = None):
+                        max_sym: int | None = None,
+                        spec: tuple | None = None):
     """Fully fused five-channel .dexqv entry decode, gather-free.
 
     Each channel decodes from its own word-aligned rectangle (the native
@@ -692,12 +740,13 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
     # the plain channels (ins, mrg, and del/sub when not run-coded) merge
     # into one multi-channel conveyor launch — one serial symbol walk for
     # all of them (plain_chains groups by L2 need)
-    specs = [("ins", rect_ins, f1c[2], sig[2], sw[2]),
-             ("mrg", rect_mrg, f1c[3], sig[3], sw[3])]
+    sp = spec if spec is not None else (None,) * 6
+    specs = [("ins", rect_ins, f1c[2], sig[2], sw[2], sp[2]),
+             ("mrg", rect_mrg, f1c[3], sig[3], sw[3], sp[3])]
     if del_mode != "run":
-        specs.append(("del", rect_del, f1c[0], sig[0], sw[0]))
+        specs.append(("del", rect_del, f1c[0], sig[0], sw[0], sp[0]))
     if sub_mode != "run":
-        specs.append(("sub", rect_sub, f1c[4], sig[4], sw[4]))
+        specs.append(("sub", rect_sub, f1c[4], sig[4], sw[4], sp[4]))
     prows = plain_chains(specs, rlens, f2, max_len=max_len, lmax=lmax,
                          max_sym=max_sym)
     ins_rows = prows["ins"]
@@ -706,7 +755,8 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
     if del_mode == "run":
         runs, lits = run_chain(
             rect_del, rlens, f1c[1], f1c[0], f2, sig[0],
-            max_tokens=max_tokens, subw=max(sw[0], sw[1]), lmax=lmax)
+            max_tokens=max_tokens, subw=max(sw[0], sw[1]), lmax=lmax,
+            spec=sp[1])
         codes_t = _unpack_tag_codes(tag_bytes, runs.shape[1])
         del_rows, tag_r = expand_del_tag(runs, lits, codes_t, del_char,
                                          max_len=max_len)
@@ -723,7 +773,8 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
     if sub_mode == "run":
         sruns, slits = run_chain(
             rect_sub, rlens, f1c[5], f1c[4], f2, sig[4],
-            max_tokens=max_tokens, subw=max(sw[4], sw[5]), lmax=lmax)
+            max_tokens=max_tokens, subw=max(sw[4], sw[5]), lmax=lmax,
+            spec=sp[5])
         sub_rows = _expand_dispatch(sruns, slits, sub_char, max_len=max_len)
     else:
         sub_rows = prows["sub"]
@@ -740,13 +791,14 @@ def decode_entry_batch2(rect_del, tag_bytes, rect_ins, rect_mrg, rect_sub,
 @functools.partial(
     jax.jit, static_argnames=("seg", "s_per", "max_len", "max_tokens",
                               "del_mode", "sub_mode", "subw", "lmax",
-                              "chan_l2"))
+                              "chan_l2", "spec"))
 def decode_entry_batch_seg(rect_del, tag_in, rect_ins, rect_mrg, rect_sub,
                            rlens, seg_rlens, pos0, carr, sids, f1, f2,
                            types, del_char, sub_char, *, seg: int,
                            s_per: int, max_len: int, max_tokens: int,
                            del_mode: str, sub_mode: str, subw: int,
-                           lmax: int, chan_l2: tuple | None = None):
+                           lmax: int, chan_l2: tuple | None = None,
+                           spec: tuple | None = None):
     """Segmented fused five-channel .dexqv decode.
 
     Long reads decode as ``s_per`` independent SHORT chains per read from
@@ -783,14 +835,15 @@ def decode_entry_batch_seg(rect_del, tag_in, rect_ins, rect_mrg, rect_sub,
             r = jnp.pad(r, ((0, 0), (0, max_len - s_per * seg)))
         return r[:, :max_len]          # 512-floor of the width bucket
 
-    specs = [("ins", rect_ins, f1c[2], sig[2], sw[2]),
-             ("mrg", rect_mrg, f1c[3], sig[3], sw[3])]
+    sp = spec if spec is not None else (None,) * 6
+    specs = [("ins", rect_ins, f1c[2], sig[2], sw[2], sp[2]),
+             ("mrg", rect_mrg, f1c[3], sig[3], sw[3], sp[3])]
     p0s = {"ins": pos0[1], "mrg": pos0[2]}
     if del_mode != "run":
-        specs.append(("del", rect_del, f1c[0], sig[0], sw[0]))
+        specs.append(("del", rect_del, f1c[0], sig[0], sw[0], sp[0]))
         p0s["del"] = pos0[0]
     if sub_mode != "run":
-        specs.append(("sub", rect_sub, f1c[4], sig[4], sw[4]))
+        specs.append(("sub", rect_sub, f1c[4], sig[4], sw[4], sp[4]))
         p0s["sub"] = pos0[3]
     prows = plain_chains(specs, seg_rlens, f2, max_len=seg, lmax=lmax,
                          pos0=p0s)
@@ -801,7 +854,7 @@ def decode_entry_batch_seg(rect_del, tag_in, rect_ins, rect_mrg, rect_sub,
         runs, lits = run_chain(
             rect_del, seg_rlens, f1c[1], f1c[0], f2, sig[0],
             max_tokens=max_tokens, subw=max(sw[0], sw[1]), lmax=lmax,
-            pos0=pos0[0], carry=carr[0])
+            pos0=pos0[0], carry=carr[0], spec=sp[1])
         tp = runs.shape[1]
         codes_t = tag_in[:, :tp]
         if codes_t.shape[1] < tp:
@@ -825,7 +878,7 @@ def decode_entry_batch_seg(rect_del, tag_in, rect_ins, rect_mrg, rect_sub,
         sruns, slits = run_chain(
             rect_sub, seg_rlens, f1c[5], f1c[4], f2, sig[4],
             max_tokens=max_tokens, subw=max(sw[4], sw[5]), lmax=lmax,
-            pos0=pos0[3], carry=carr[1])
+            pos0=pos0[3], carry=carr[1], spec=sp[5])
         sub_rows = widen(_expand_dispatch(sruns, slits, sub_char,
                                           max_len=seg))
     else:

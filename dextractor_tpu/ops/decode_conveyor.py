@@ -156,27 +156,29 @@ def _f2_lookup(f2_ref, idx, f2r: int):
     return out
 
 
-def _entry_lookup(cw, f1, f2_ref, subw: int, lmax: int, f2r: int):
-    """(len << 9 | sym) for 16-bit window cw — decode2._entry_lookup."""
-    e1 = _lut2_gather(f1, cw >> 8)
+def _l2_resolve(e1, cw, f2_ref, subw: int, lmax: int, f2r: int):
+    """Second-level escape-table resolution of an L1 entry (the tail of
+    decode2._entry_lookup, split out so the pair step can run it AFTER
+    muxing speculated L1 entries)."""
     if subw and f2r:
         is2 = ((e1 >> 20) & 1) == 1
         idx2 = (e1 & 0xFFFF) * subw + ((cw >> (16 - lmax)) & (subw - 1))
         e2 = _f2_lookup(f2_ref, jnp.where(is2, idx2, 0), f2r)
         return jnp.where(is2, e2, e1)
     return e1
+
+
+def _entry_lookup(cw, f1, f2_ref, subw: int, lmax: int, f2r: int):
+    """(len << 9 | sym) for 16-bit window cw — decode2._entry_lookup."""
+    e1 = _lut2_gather(f1, cw >> 8)
+    return _l2_resolve(e1, cw, f2_ref, subw, lmax, f2r)
 
 
 def _entry_lookup_slots(cw, f1lo, f1hi, f2_ref, subw: int, lmax: int,
                         f2r: int):
     """_entry_lookup with per-slot L1 tables (multi-channel launches)."""
     e1 = _lut2_gather_slots(f1lo, f1hi, cw >> 8)
-    if subw and f2r:
-        is2 = ((e1 >> 20) & 1) == 1
-        idx2 = (e1 & 0xFFFF) * subw + ((cw >> (16 - lmax)) & (subw - 1))
-        e2 = _f2_lookup(f2_ref, jnp.where(is2, idx2, 0), f2r)
-        return jnp.where(is2, e2, e1)
-    return e1
+    return _l2_resolve(e1, cw, f2_ref, subw, lmax, f2r)
 
 
 def _advance(conv, delta, max_bits: int, g: int = 8):
@@ -268,9 +270,119 @@ def _window_ref_g1(conv_ref, wpos, w_words: int):
             _tree_sum(tb).astype(jnp.uint32))
 
 
+def _window3(conv, wpos, w_words: int, g: int = 8):
+    """96-bit window (a, b, c) — the pair step peeks up to 79 bits past
+    the window base (speculated symbol-2 peek at p + adv1 <= 55 bits,
+    its escape literal at <= 79), beyond the 64-bit window's reach."""
+    w_words = min(w_words, conv.shape[0] // g)
+    ta, tb, tc = [], [], []
+    for c in range(w_words):
+        sl = conv[c * g:(c + 1) * g]
+        ta.append(jnp.where(wpos == c, sl, 0))
+        tb.append(jnp.where(wpos + 1 == c, sl, 0))
+        tc.append(jnp.where(wpos + 2 == c, sl, 0))
+    return (_tree_sum(ta).astype(jnp.uint32),
+            _tree_sum(tb).astype(jnp.uint32),
+            _tree_sum(tc).astype(jnp.uint32))
+
+
+def _window3_ref_g1(conv_ref, wpos, w_words: int):
+    ta, tb, tc = [], [], []
+    for c in range(w_words):
+        sl = conv_ref[c:c + 1]
+        ta.append(jnp.where(wpos == c, sl, 0))
+        tb.append(jnp.where(wpos + 1 == c, sl, 0))
+        tc.append(jnp.where(wpos + 2 == c, sl, 0))
+    return (_tree_sum(ta).astype(jnp.uint32),
+            _tree_sum(tb).astype(jnp.uint32),
+            _tree_sum(tc).astype(jnp.uint32))
+
+
+def _extract3(wa, wb, wc, off, nbits: int):
+    """bits [off, off+nbits) of the 96-bit window wa:wb:wc.
+
+    Requires off + nbits <= 96 and, when off >= 64, (off & 31) + nbits
+    <= 32 (no fourth word) — both hold for every pair-step use site
+    (peeks at off <= 55, escape literals of 8 bits at off <= 79)."""
+    off = off.astype(jnp.uint32)
+    b = off & jnp.uint32(31)
+    ls = (jnp.uint32(32) - b) & jnp.uint32(31)
+    p0 = jnp.where(b == 0, wa, (wa << b) | (wb >> ls))
+    p1 = jnp.where(b == 0, wb, (wb << b) | (wc >> ls))
+    p2 = wc << b
+    w = off >> 5
+    hi = jnp.where(w == 0, p0, jnp.where(w == 1, p1, p2))
+    return (hi >> jnp.uint32(32 - nbits)).astype(jnp.int32)
+
+
+def _plain_pair_rounds(window3, lookup_full, lookup_l1, f2_ref, signal,
+                       rlen, g, pos, base, last, spec, subw: int,
+                       lmax: int, f2r: int):
+    """Decode G_PLAIN symbols as G_PLAIN/2 length-speculated PAIRS.
+
+    The chains are latency-bound (module docstring): the serial
+    dependency per symbol is pos -> window -> peek -> L1 gather ->
+    [L2 gather] -> len -> pos.  Symbol 2's L1 lookup is *speculated* in
+    parallel over ``spec`` — the static set of possible bit advances of
+    symbol 1 (its scheme's distinct code lengths; escape codes advance
+    len+8, QV.c:510-599) — and muxed by symbol 1's resolved advance, so
+    a pair's critical path carries ONE window+peek+L1 segment instead of
+    two.  Speculation is complete (adv1 is in ``spec`` whenever the lane
+    is active), so there is no slow fallback path to re-serialize the
+    lockstep round; speculated peeks may read up to 32 bits past the
+    64-bit window the C contract pads for (QV.c:436-442), which stays in
+    the zero-filled conveyor pad and is discarded by the mux.
+    """
+    syms = []
+    for s2 in range(G_PLAIN // 2):
+        a1 = (g * G_PLAIN + 2 * s2) < rlen
+        a2 = (g * G_PLAIN + 2 * s2 + 1) < rlen
+        # growing window: the group starts word-aligned and pair s2 has
+        # consumed <= 24 * 2*s2 bits since; +3 words for the 96-bit reach
+        wpos = (pos >> 5) - base
+        wa, wb, wc = window3(wpos, min((48 * s2) // 32 + 3, W_PLAIN + 1))
+        p = (pos & 31).astype(jnp.uint32)
+        # symbol 1: the normal serial path
+        e1 = lookup_full(_peek16(wa, wb, p))
+        sym1 = e1 & 511
+        n1 = (e1 >> 9) & 31
+        esc1 = a1 & (sym1 == signal)
+        lit1 = _extract(wa, wb, p + n1.astype(jnp.uint32), 8)
+        sym1 = jnp.where(esc1, lit1, sym1)
+        adv1 = jnp.where(esc1, n1 + 8, n1)
+        # symbol 2: L1 lookups at every candidate advance start in
+        # parallel with symbol 1's gather; adv1 selects one
+        pks = [_extract3(wa, wb, wc, p + jnp.uint32(d), 16) for d in spec]
+        eds = [lookup_l1(pk >> 8) for pk in pks]
+        e2 = _tree_sum([jnp.where(adv1 == d, e, 0)
+                        for d, e in zip(spec, eds)])
+        pk2 = _tree_sum([jnp.where(adv1 == d, q, 0)
+                         for d, q in zip(spec, pks)])
+        e2 = _l2_resolve(e2, pk2, f2_ref, subw, lmax, f2r)
+        sym2 = e2 & 511
+        n2 = (e2 >> 9) & 31
+        esc2 = a2 & (sym2 == signal)
+        lit2 = _extract3(wa, wb, wc,
+                         p + (adv1 + n2).astype(jnp.uint32), 8)
+        sym2 = jnp.where(esc2, lit2, sym2)
+        adv2 = jnp.where(esc2, n2 + 8, n2)
+        pos = pos + jnp.where(a1, adv1, 0) + jnp.where(a2, adv2, 0)
+        last = jnp.where(a2, jnp.where(esc2, 8, n2),
+                         jnp.where(a1, jnp.where(esc1, 8, n1), last))
+        syms.append(jnp.where(a1, sym1, 0))
+        syms.append(jnp.where(a2, sym2, 0))
+    return syms, pos, last
+
+
+def _spec_usable(spec) -> bool:
+    """Pair-step a launch only when the speculation set is real and does
+    not explode the op count (each candidate costs a peek + L1 gather)."""
+    return spec is not None and 0 < len(spec) <= 24
+
+
 def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                           f2r: int, lanes: int, interpret: bool = False,
-                          gg: int = 8):
+                          gg: int = 8, spec=None):
     def kernel(rectT_ref, rlen_ref, p0_ref, f1_ref, f2_ref, prm_ref,
                out_ref, stats_ref, *scr):
         if gg == 1:
@@ -321,8 +433,21 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 return _window_ref_g1(conv_ref, wpos, w)
             return _window(conv, wpos, w, gg)
 
-        syms = []
-        for s in range(G_PLAIN):
+        if _spec_usable(spec):
+            def window3(wpos, w):
+                if gg == 1:
+                    return _window3_ref_g1(conv_ref, wpos, w)
+                return _window3(conv, wpos, w, gg)
+
+            syms, pos, last = _plain_pair_rounds(
+                window3,
+                lambda cw: _entry_lookup(cw, f1, f2_ref, subw, lmax, f2r),
+                lambda idx: _lut2_gather(f1, idx),
+                f2_ref, signal, rlen, g, pos, base, last, spec, subw,
+                lmax, f2r)
+        else:
+          syms = []
+          for s in range(G_PLAIN):
             active = (g * G_PLAIN + s) < rlen
             wpos = (pos >> 5) - base
             # growing window: the group starts word-aligned (wpos == 0)
@@ -356,7 +481,8 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
 
 def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                                 f2r: int, lanes: int,
-                                interpret: bool = False, gg: int = 8):
+                                interpret: bool = False, gg: int = 8,
+                                spec=None):
     """Plain-chain kernel with per-slot L1 tables and signals: one launch
     decodes chains of several channels (schemes) at once — the serial
     per-symbol dependency chain is walked ONCE for all of them instead of
@@ -411,8 +537,22 @@ def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 return _window_ref_g1(conv_ref, wpos, w)
             return _window(conv, wpos, w, gg)
 
-        syms = []
-        for s in range(G_PLAIN):
+        if _spec_usable(spec):
+            def window3(wpos, w):
+                if gg == 1:
+                    return _window3_ref_g1(conv_ref, wpos, w)
+                return _window3(conv, wpos, w, gg)
+
+            syms, pos, last = _plain_pair_rounds(
+                window3,
+                lambda cw: _entry_lookup_slots(cw, f1lo, f1hi, f2_ref,
+                                               subw, lmax, f2r),
+                lambda idx: _lut2_gather_slots(f1lo, f1hi, idx),
+                f2_ref, signal, rlen, g, pos, base, last, spec, subw,
+                lmax, f2r)
+        else:
+          syms = []
+          for s in range(G_PLAIN):
             active = (g * G_PLAIN + s) < rlen
             wpos = (pos >> 5) - base
             sw_a, sw_b = window(wpos, min((24 * s) // 32 + 2, W_PLAIN))
@@ -461,7 +601,7 @@ def _pick_sets_multi(r: int, k: int):
 
 def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
                           max_len: int, subw: int, lmax: int,
-                          interpret: bool = False, pos0=None):
+                          interpret: bool = False, pos0=None, spec=None):
     """Decode C plain channels' chains in ONE conveyor launch.
 
     rects: C arrays (N, K_c) u32 (same reads, different channels);
@@ -522,7 +662,7 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
     groups = (max_len + G_PLAIN - 1) // G_PLAIN
     lp = groups * G_PLAIN
     kern = _plain_slots_kernel_factory(k, groups, subw, lmax, f2r_used,
-                                       lanes, interpret, gg)
+                                       lanes, interpret, gg, spec)
     outT, stats = pl.pallas_call(
         kern,
         grid=(ncols // lanes, groups),
@@ -564,9 +704,73 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
              last_all[c * npc:c * npc + n]) for c in range(C)]
 
 
+def _run_pair_rounds(window3, lookup_r, lookup_s_l1, f2_ref, nsignal,
+                     rlen, g, cr_ref, pos, base, emitted, last, spec,
+                     subw: int, lmax: int, f2r: int):
+    """G_RUN (run, literal) token pairs with the literal lookup
+    length-speculated over the run code's possible advances.
+
+    ``spec`` is the run scheme's distinct code lengths (escape buckets
+    advance len+16, QV.c:604-691) plus 0 — the advance of a checkpoint
+    resume that starts AT a literal (decode2.run_chain carry semantics)
+    and the selector value of inactive lanes (whose muxed garbage the
+    need_sym mask discards)."""
+    rcols, lcols = [], []
+    for s in range(G_RUN):
+        active = emitted < rlen
+        wpos = (pos >> 5) - base
+        wa, wb, wc = window3(wpos, min((56 * s) // 32 + 3, W_RUN + 1))
+        p = (pos & 31).astype(jnp.uint32)
+        e = lookup_r(_peek16(wa, wb, p))
+        c = e & 511
+        nb = (e >> 9) & 31
+        resc = active & (c == 255)
+        runlit = _extract(wa, wb, p + nb.astype(jnp.uint32), 16)
+        runlen = jnp.where(resc, runlit, c)
+        if s == 0:
+            cr = cr_ref[:]
+            first = 1 - jnp.minimum(g, 1)              # i32 scalar
+            ph = (cr >= 0).astype(jnp.int32) * first
+            phase = ph == 1
+            runlen = jnp.where(phase, cr, runlen)
+            resc = resc & ~phase
+            live = active & ~phase
+        else:
+            live = active
+        d_eff = jnp.where(live, nb + jnp.where(resc, 16, 0), 0)
+        pos = pos + d_eff
+        last = jnp.where(active, jnp.where(resc, 16, nb), last)
+        emitted1 = jnp.minimum(emitted + runlen, rlen)
+        need_sym = active & (emitted1 < rlen)
+
+        pks = [_extract3(wa, wb, wc, p + jnp.uint32(d), 16) for d in spec]
+        eds = [lookup_s_l1(pk >> 8) for pk in pks]
+        e2 = _tree_sum([jnp.where(d_eff == d, ev, 0)
+                        for d, ev in zip(spec, eds)])
+        pk2 = _tree_sum([jnp.where(d_eff == d, q, 0)
+                         for d, q in zip(spec, pks)])
+        e2 = _l2_resolve(e2, pk2, f2_ref, subw, lmax, f2r)
+        sym = e2 & 511
+        snb = (e2 >> 9) & 31
+        sesc = need_sym & (sym == nsignal)
+        slit = _extract3(wa, wb, wc,
+                         p + (d_eff + snb).astype(jnp.uint32), 8)
+        sym = jnp.where(sesc, slit, sym)
+        pos = pos + jnp.where(need_sym,
+                              snb + jnp.where(sesc, 8, 0), 0)
+        last = jnp.where(need_sym, jnp.where(sesc, 8, snb), last)
+
+        rcols.append(jnp.where(active, runlen, 0))
+        lcols.append(jnp.where(need_sym, sym, -1))
+        emitted = jnp.where(active,
+                            emitted1 + need_sym.astype(jnp.int32),
+                            emitted)
+    return rcols, lcols, pos, emitted, last
+
+
 def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                         f2r: int, lanes: int, interpret: bool = False,
-                        gg: int = 8):
+                        gg: int = 8, spec=None):
     def kernel(rectT_ref, rlen_ref, p0_ref, cr_ref, f1r_ref, f1s_ref,
                f2_ref, prm_ref, runs_ref, lits_ref, stats_ref, *scr):
         if gg == 1:
@@ -616,6 +820,31 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             if gg == 1:
                 return _window_ref_g1(conv_ref, wpos, w)
             return _window(conv, wpos, w, gg)
+
+        if _spec_usable(spec):
+            def window3(wpos, w):
+                if gg == 1:
+                    return _window3_ref_g1(conv_ref, wpos, w)
+                return _window3(conv, wpos, w, gg)
+
+            rcols, lcols, pos, emitted, last = _run_pair_rounds(
+                window3,
+                lambda cw: _entry_lookup(cw, f1r, f2_ref, subw, lmax, f2r),
+                lambda idx: _lut2_gather(f1s, idx),
+                f2_ref, nsignal, rlen, g, cr_ref, pos, base, emitted,
+                last, spec, subw, lmax, f2r)
+            runs_ref[:] = jnp.concatenate(rcols, axis=0)
+            lits_ref[:] = jnp.concatenate(lcols, axis=0)
+            pos_ref[:] = pos
+            base_ref[:] = base
+            em_ref[:] = emitted
+            last_ref[:] = last
+
+            @pl.when(g == n_groups - 1)
+            def _fin_spec():
+                stats_ref[0:gg, :] = pos
+                stats_ref[gg:2 * gg, :] = last
+            return
 
         rcols, lcols = [], []
         for s in range(G_RUN):
@@ -743,10 +972,10 @@ def _unrows(outT, lp, n, width, g: int = 8):
 
 
 @functools.partial(jax.jit, static_argnames=("max_len", "subw", "lmax",
-                                             "interpret"))
+                                             "interpret", "spec"))
 def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
                          subw: int, lmax: int, interpret: bool = False,
-                         pos0=None):
+                         pos0=None, spec=None):
     """Drop-in for decode2.plain_chain, plus per-chain stream stats.
 
     rect (N, K) u32, f1c (256,) i32, f2 flat i32, signal scalar ->
@@ -776,7 +1005,7 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
     groups = (max_len + G_PLAIN - 1) // G_PLAIN
     lp = groups * G_PLAIN
     kern = _plain_kernel_factory(k, groups, subw, lmax, f2r_used, lanes,
-                                 interpret, gg)
+                                 interpret, gg, spec)
     ncols = npad // gg
     outT, stats = pl.pallas_call(
         kern,
@@ -816,10 +1045,11 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
 
 
 @functools.partial(jax.jit, static_argnames=("max_tokens", "subw", "lmax",
-                                             "interpret"))
+                                             "interpret", "spec"))
 def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
                        max_tokens: int, subw: int, lmax: int,
-                       interpret: bool = False, pos0=None, carry=None):
+                       interpret: bool = False, pos0=None, carry=None,
+                       spec=None):
     """Drop-in for decode2.run_chain, plus per-chain stream stats.
 
     Returns (runs (N, Tp) i32, lits (N, Tp) i32, bits (N,) i32,
@@ -853,7 +1083,9 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
     groups = (max_tokens + G_RUN - 1) // G_RUN
     tp = groups * G_RUN
     kern = _run_kernel_factory(k, groups, subw, lmax, f2r_used, lanes,
-                               interpret, gg)
+                               interpret, gg,
+                               spec if spec is None else
+                               tuple(sorted(set(spec) | {0})))
     ncols = npad // gg
     runsT, litsT, stats = pl.pallas_call(
         kern,

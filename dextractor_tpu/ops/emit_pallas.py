@@ -359,8 +359,18 @@ def _plain_kernel(data_ref, len_ref, lut_ref, words_ref, stats_ref):
     stats_ref[0] = stats if pstats is None else stats | pstats
 
 
-def _run_kernel(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
-                words_ref, stats_ref):
+def _run_kernel_body(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
+                     words_ref, stats_ref, half: int | None):
+    """RLE-channel encode body.
+
+    ``half`` None: the classic 2L-slot layout (every column owns a
+    run/literal slot pair, dead pairs emit 0 bits).  ``half`` set
+    (static): TOKEN-COMPACTED — the reference emits one (run code,
+    literal) pair per non-rchar symbol (QV.c:448-506), so the emissions
+    are first compacted to literal ranks and only 2*half slots enter the
+    pack machinery; the per-slot pack cost (the run launch's 2x bill in
+    tools/encode_split.py) then scales with the channel's real token
+    count instead of 2x its length."""
     d = data_ref[0].astype(jnp.int32)                    # (B, L)
     lengths = len_ref[:, 0:1]                            # (B, 1)
     slut = slut_ref[0]                                   # (2, 128)
@@ -393,14 +403,29 @@ def _run_kernel(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
     tv = jnp.where(has_trail, tv1, 0)
     tn = jnp.where(has_trail, tn1, 0)
 
-    # interleave pairs into (B, 2L) then place the trailing emission at
-    # the last padded slot (slots after the valid region have n == 0, so
-    # any later slot keeps the bit offsets exact)
-    v2 = _interleave(rv, sv)
-    n2 = _interleave(rn, sn)
-    pad = mp - 2 * l
-    vp = jnp.pad(v2, ((0, 0), (0, pad)))
-    np_ = jnp.pad(n2, ((0, 0), (0, pad)))
+    if half is None:
+        # interleave pairs into (B, 2L) then place the trailing emission
+        # at the last padded slot (slots after the valid region have
+        # n == 0, so any later slot keeps the bit offsets exact)
+        v2 = _interleave(rv, sv)
+        n2 = _interleave(rn, sn)
+        pad = mp - 2 * l
+        vp = jnp.pad(v2, ((0, 0), (0, pad)))
+        np_ = jnp.pad(n2, ((0, 0), (0, pad)))
+    else:
+        # compact the literal pairs to ranks (lengths ride one plane),
+        # then interleave only the first ``half`` ranks
+        nn = (rn << 8) | sn
+        rvc, svc, nnc = _compact_lanes((rv, sv, nn), is_lit)
+        ranks = jnp.minimum(jnp.sum(is_lit, axis=1, keepdims=True), half)
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (r, half), 1)
+        live = tcol < ranks
+        vp = _interleave(jnp.where(live, rvc[:, :half], 0),
+                         jnp.where(live, svc[:, :half], 0))
+        np_ = _interleave(jnp.where(live, nnc[:, :half] >> 8, 0),
+                          jnp.where(live, nnc[:, :half] & 0xFF, 0))
+        vp = jnp.pad(vp, ((0, 0), (0, mp - 2 * half)))
+        np_ = jnp.pad(np_, ((0, 0), (0, mp - 2 * half)))
     pcol = jax.lax.broadcasted_iota(jnp.int32, (r, mp), 1)
     vp = jnp.where(pcol == mp - 1, tv, vp)
     np_ = jnp.where(pcol == mp - 1, tn, np_)
@@ -414,6 +439,12 @@ def _run_kernel(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
     scol = jax.lax.broadcasted_iota(jnp.int32, (r, 128), 1)
     stats = jnp.where(scol == 0, t, jnp.where(scol == 1, lg, 0))
     stats_ref[0] = stats if pstats is None else stats | pstats
+
+
+def _run_kernel(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
+                words_ref, stats_ref):
+    _run_kernel_body(data_ref, len_ref, slut_ref, rlut_ref, prm_ref,
+                     words_ref, stats_ref, None)
 
 
 def _compact_lanes(vals, keep):
@@ -627,23 +658,40 @@ def encode_plain_pallas(data, lengths, sym_luts, interpret: bool = False):
             stats[:, :n, 1], stats[:, :n])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "max_tokens"))
 def encode_run_pallas(data, lengths, sym_luts, run_luts, rchars,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      max_tokens: int | None = None):
     """Fused RLE-channel encode.
 
     data (C, N, L) u8, lengths (N,), sym_luts/run_luts (C, 256),
     rchars (C,) i32 -> (words (C, N, Mp) u32, t (C, N), last_gran (C, N)).
+
+    ``max_tokens`` (static): upper bound on literals per row across ALL
+    stacked channels (host-counted, e.g. np.count_nonzero(d != rchar)).
+    When it is meaningfully below L the kernel compacts emissions to
+    token ranks and packs a 2*max_tokens-slot rectangle instead of 2L
+    (QV.c:448-506 emits per literal, not per symbol) — the pack phase
+    is the run launch's dominant cost (tools/encode_split.py).
     """
     c, _, l = data.shape
-    mp = _round_up(2 * l + 2, 128)
+    half = None
+    if max_tokens is not None:
+        h = _round_up(min(max_tokens, l), 128)
+        if h < l:                        # else compaction buys nothing
+            half = h
+    mp = _round_up(2 * l + 2, 128) if half is None else 2 * half + 128
     tb = _tile_rows(mp)
     data, lens2, n, rpad = _prep(data, lengths, tb)
     prm = jnp.broadcast_to(rchars.astype(jnp.int32)[:, None, None],
                            (c, 1, 128))
     grid = (c, (n + rpad) // tb)
+
+    def kern(*refs):
+        _run_kernel_body(*refs, half)
+
     words, stats = pl.pallas_call(
-        _run_kernel,
+        kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tb, l), lambda ch, i: (ch, i, 0),

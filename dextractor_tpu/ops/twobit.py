@@ -179,6 +179,54 @@ def unpack_translate(packed: jax.Array, lut: jax.Array) -> jax.Array:
     return out.reshape(n, 4 * c)
 
 
+@functools.partial(jax.jit, static_argnames=("alphabet",))
+def pack_translate(rows: jax.Array, lengths: jax.Array,
+                   alphabet: str = "base") -> jax.Array:
+    """Fused letter map + 2-bit pack: (N, L) ascii -> (N, L//4) u8.
+
+    The exact inverse of ``unpack_translate`` and the same trick: the
+    alphabet maps are closed-form bit functions of the character, so the
+    256-entry lane-gather (plus the pack's compaction network in the
+    Pallas formulation) collapses to a handful of VPU ops.  Per 4 ascii
+    bytes: compute each byte's 2-bit code elementwise, bitcast the code
+    quad little-endian into one u32 (fields at bits 0/8/16/24), then a
+    single multiply by 0x40100401 sums the fields into bits 24-31 as
+    ``c0<<6 | c1<<4 | c2<<2 | c3`` — first base in the high bits, no
+    cross-field carries (2-bit fields, disjoint partial products).
+
+    alphabet="base": acgt/ACGT -> 0..3, anything else -> 0 (the
+    ``Number_Read`` table, reference DB.c:367-416): with x = ch|0x20,
+    y = (x>>1)&3 gives a=0 c=1 g=3 t=2 and gray-undo ``y ^ (y>>1)``
+    fixes the g/t swap; non-acgt bytes are masked to code 0.
+    alphabet="arrow": '1'..'4' -> 0..3 via ch-'1', 'G' -> 2, default 3
+    (``Number_Arrow``, DB.c:418-441).
+
+    Positions >= length pack as 0 (reference zeroes the tail bytes
+    before its 4-stride loop, DB.c:329-331 via Compress_Read).
+    """
+    n, l = rows.shape
+    assert l % 4 == 0, "pad L to a multiple of 4"
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, l), 1)
+    inlen = col < lengths[:, None]
+    if alphabet == "base":
+        low = rows | jnp.uint8(0x20)
+        y = (low >> 1) & jnp.uint8(3)
+        code = y ^ (y >> 1)
+        valid = ((low == jnp.uint8(0x61)) | (low == jnp.uint8(0x63))
+                 | (low == jnp.uint8(0x67)) | (low == jnp.uint8(0x74)))
+        code = jnp.where(valid & inlen, code, jnp.uint8(0))
+    elif alphabet == "arrow":
+        y = rows - jnp.uint8(ord("1"))          # u8 wrap: <'1' goes large
+        code = jnp.where(y < jnp.uint8(4), y,
+                         jnp.where(rows == jnp.uint8(ord("G")),
+                                   jnp.uint8(2), jnp.uint8(3)))
+        code = jnp.where(inlen, code, jnp.uint8(0))
+    else:
+        raise ValueError(f"unknown alphabet {alphabet!r}")
+    w = jax.lax.bitcast_convert_type(code.reshape(n, l // 4, 4), jnp.uint32)
+    return ((w * jnp.uint32(0x40100401)) >> 24).astype(jnp.uint8)
+
+
 @jax.jit
 def translate(data: jax.Array, lut: jax.Array) -> jax.Array:
     """Vectorized 256-entry LUT translation (alphabet maps) on device."""

@@ -51,9 +51,9 @@ def null_run_luts() -> np.ndarray:
 # single-device steps (jittable; vmapped over channels)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("run_on",))
+@functools.partial(jax.jit, static_argnames=("run_on", "run_tokens"))
 def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut,
-                   run_on=(True, True)):
+                   run_on=(True, True), run_tokens: int | None = None):
     """Encode the five QV channels of a batch of entries on one device.
 
     streams:   (5, N, L) u8 — del, tag, ins, mrg, sub
@@ -69,6 +69,10 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut,
                identical bytes at 2x the slots plus the run-scan
                machinery.  Callers that know the coding pass the real
                flags; the default keeps both on (always correct).
+    run_tokens: STATIC optional upper bound on literals per row across
+               the run channels (host-counted); bounds the run kernel's
+               pack rectangle by real token count (QV.c:448-506 emits
+               per literal pair) instead of 2x the row width.
 
     Returns (words (4, N, M+1) u32, raw (4, N), out (4, N), dup, zext,
              packed_tags (N, L//4) u8, tag_clens (N,), pstats, tbits).
@@ -102,10 +106,14 @@ def qv_encode_step(streams, lengths, sym_luts, run_luts, rchars, number_lut,
             ridx = jnp.array(run_cs)
             r_words, r_t, r_lg, r_pst = ep.encode_run_pallas(
                 jnp.stack([chan_data[c] for c in run_cs]), lengths,
-                sym_luts[ridx], run_luts[ridx], rchars[ridx])
+                sym_luts[ridx], run_luts[ridx], rchars[ridx],
+                max_tokens=run_tokens)
             r_raw, r_out, r_dup, r_zext = bj.word_counts(r_t, r_lg)
             pad = r_words.shape[2] - p_words.shape[2]
-            p_words = jnp.pad(p_words, ((0, 0), (0, 0), (0, pad)))
+            if pad >= 0:
+                p_words = jnp.pad(p_words, ((0, 0), (0, 0), (0, pad)))
+            else:       # token-compacted run rect narrower than plain
+                r_words = jnp.pad(r_words, ((0, 0), (0, 0), (0, -pad)))
         else:
             r_words = r_raw = r_out = r_dup = r_zext = r_pst = r_t = ()
         words = mix(r_words, p_words)
@@ -435,7 +443,8 @@ def sharded_decode_run(mesh, *, max_tokens: int):
 def sharded_decode_entry(mesh, *, max_len: int, max_tokens: int,
                          del_mode: str, sub_mode: str, subw: int,
                          lmax: int, chan_l2: tuple | None = None,
-                         max_sym: int | None = None):
+                         max_sym: int | None = None,
+                         spec: tuple | None = None):
     """shard_map'd fused five-channel entry decode (single coding):
     tables replicated, the per-channel word rectangles and the chains
     sharded over the data axis (ops/decode2)."""
@@ -448,7 +457,7 @@ def sharded_decode_entry(mesh, *, max_len: int, max_tokens: int,
             sids, f1, f2, types, del_char, sub_char,
             max_len=max_len, max_tokens=max_tokens, del_mode=del_mode,
             sub_mode=sub_mode, subw=subw, lmax=lmax, chan_l2=chan_l2,
-            max_sym=max_sym)
+            max_sym=max_sym, spec=spec)
 
     # check_vma=False: the per-shard body may dispatch Pallas conveyor
     # kernels, whose pallas_call out_shapes carry no vma annotation
@@ -464,7 +473,8 @@ def sharded_decode_entry(mesh, *, max_len: int, max_tokens: int,
 def sharded_decode_entry_seg(mesh, *, seg: int, s_per: int, max_len: int,
                              max_tokens: int, del_mode: str, sub_mode: str,
                              subw: int, lmax: int,
-                             chan_l2: tuple | None = None):
+                             chan_l2: tuple | None = None,
+                             spec: tuple | None = None):
     """shard_map'd checkpoint-segmented entry decode (single coding).
 
     Segments shard exactly like reads: rows are segment-major
@@ -485,7 +495,7 @@ def sharded_decode_entry_seg(mesh, *, seg: int, s_per: int, max_len: int,
             seg_rlens, pos0, carr, sids, f1, f2, types, del_char,
             sub_char, seg=seg, s_per=s_per, max_len=max_len,
             max_tokens=max_tokens, del_mode=del_mode, sub_mode=sub_mode,
-            subw=subw, lmax=lmax, chan_l2=chan_l2)
+            subw=subw, lmax=lmax, chan_l2=chan_l2, spec=spec)
 
     # tag_in is (N, TB) packed bytes in plain-del mode and (NS, Tt)
     # per-segment codes in run-del mode — both shard on axis 0.
@@ -517,18 +527,23 @@ def sharded_qv_encode(mesh, run_on=(True, True)):
                    P(None, DATA_AXIS, None), P(None, DATA_AXIS)))
 
 
-def sharded_twobit_encode(mesh):
+def sharded_twobit_encode(mesh, alphabet: str | None = "base"):
     """shard_map'd 2-bit pack (the .dexta/.dexar compute path at scale).
 
     The codec is purely elementwise per read (Compress_Read, DB.c:319-338),
     so reads shard over the data axis with **zero collectives** — the
     scaling limit is container assembly on the hosts, not the mesh.
-    Rows are the ascii rectangle, tables replicated.
+    Rows are the ascii rectangle, tables replicated.  For the known
+    alphabets the letter map + pack run as ops/twobit.pack_translate
+    (arithmetic, gather-free); ``alphabet=None`` keeps the generic LUT
+    path for arbitrary tables.
     """
     def step(ascii_rows, lengths, number_lut):
-        codes = number_lut[ascii_rows]
         from ..ops import twobit as tb
 
+        if alphabet in ("base", "arrow"):
+            return tb.pack_translate(ascii_rows, lengths, alphabet=alphabet)
+        codes = number_lut[ascii_rows]
         return tb.pack_2bit(codes, lengths)
 
     return shard_map(

@@ -30,24 +30,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-def pytest_load_initial_conftests(args, early_config, parser):
-    """Default to 4-way parallel when pytest-xdist is available.
-
-    The interpret-mode Pallas kernel tests are single-threaded Python
-    emulation and dominate the suite's wall clock; spreading over 4
-    workers also quarters the per-process compile count (this host's
-    jax build can SIGSEGV during a compile once a process has
-    accumulated many).  Hosts without the plugin degrade to serial
-    instead of erroring on an unrecognized -n flag (round-4 advice)."""
-    try:
-        import xdist  # noqa: F401
-    except ImportError:
-        return
-    if not any(a == "-n" or a.startswith("-n") or a == "--numprocesses"
-               or a.startswith("--numprocesses") for a in args):
-        args[:] = ["-n", "4"] + args
-
-
 REFERENCE = Path("/root/reference")
 TOOLS = ["dexta", "undexta", "dexar", "undexar", "dexqv", "undexqv"]
 

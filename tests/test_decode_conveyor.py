@@ -29,6 +29,21 @@ def _mk_scheme(rng, skewed=False):
     return make_scheme(hist)
 
 
+def _plain_spec(scheme, f1, f2, subw, lmax):
+    """Channel-0 speculation set (a plain channel of this scheme)."""
+    sids = np.zeros(6, np.int32)
+    types = np.array([scheme.type], np.int32)
+    return d2.spec_table(sids, f1[:1], f2, types, subw, lmax)[0]
+
+
+def _run_spec(run_scheme, f1run, f2, subw, lmax):
+    """Run-channel speculation set (slot 1 semantics: escapes +16)."""
+    sids = np.full(6, 0, np.int32)
+    sids[1] = 0
+    types = np.array([run_scheme.type], np.int32)
+    return d2.spec_table(sids, f1run[None, :], f2, types, subw, lmax)[1]
+
+
 def _rect_from_streams(streams):
     """Pack per-row byte streams into a word-aligned (N, K) u32 rect."""
     k = max(4, 1 << (max((len(s) + 3) // 4 for s in streams) + 12 - 1)
@@ -39,8 +54,9 @@ def _rect_from_streams(streams):
     return rect.view(np.uint32)
 
 
+@pytest.mark.parametrize("pair", [False, True])
 @pytest.mark.parametrize("skewed", [False, True])
-def test_plain_conveyor_matches_xla(skewed):
+def test_plain_conveyor_matches_xla(skewed, pair):
     rng = np.random.default_rng(31 + skewed)
     scheme = _mk_scheme(rng, skewed)
     n, max_len = 6, 32                  # interpret mode: ~10 s per group
@@ -53,6 +69,7 @@ def test_plain_conveyor_matches_xla(skewed):
 
     f1, f2, subw, lmax = d2.scheme_tables2([scheme])
     signal = 255 if scheme.type == 2 else 256
+    spec = _plain_spec(scheme, f1, f2, subw, lmax) if pair else None
     xla = np.asarray(d2.plain_chain(
         jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[0]),
         jnp.asarray(f2), jnp.int32(signal), max_len=max_len, subw=subw,
@@ -60,7 +77,7 @@ def test_plain_conveyor_matches_xla(skewed):
     got, bits, lastg = dc.plain_chain_conveyor(
         jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[0]),
         jnp.asarray(f2), jnp.int32(signal), max_len=max_len, subw=subw,
-        lmax=lmax, interpret=True)
+        lmax=lmax, interpret=True, spec=spec)
     got = np.asarray(got)
     for i in range(n):
         r = int(rlens[i])
@@ -105,7 +122,8 @@ def test_plain_conveyor_multi_block(n):
         assert 4 * int(words[i]) == len(streams[i]), f"row {i} stats"
 
 
-def test_plain_chains_conveyor_multi_channel():
+@pytest.mark.parametrize("pair", [False, True])
+def test_plain_chains_conveyor_multi_channel(pair):
     """One merged launch decoding three channels with distinct schemes
     (per-slot table planes) must equal three per-channel XLA chains."""
     rng = np.random.default_rng(71)
@@ -122,11 +140,16 @@ def test_plain_chains_conveyor_multi_channel():
             [bs.encode_stream(sc, x).tobytes() for x in d]))
     f1, f2, subw, lmax = d2.scheme_tables2(schemes)
     sigs = [255 if sc.type == 2 else 256 for sc in schemes]
+    spec = None
+    if pair:      # merged launches speculate over the union of schemes
+        spec = tuple(sorted(set().union(*(
+            _plain_spec(sc, f1[c:c + 1], f2, subw, lmax)
+            for c, sc in enumerate(schemes)))))
     res = dc.plain_chains_conveyor(
         [jnp.asarray(r) for r in rects], jnp.asarray(rlens),
         [jnp.asarray(f1[c]) for c in range(3)], jnp.asarray(f2),
         [jnp.int32(s) for s in sigs], max_len=max_len, subw=subw,
-        lmax=lmax, interpret=True)
+        lmax=lmax, interpret=True, spec=spec)
     for c in range(3):
         xla = np.asarray(d2.plain_chain(
             jnp.asarray(rects[c]), jnp.asarray(rlens), jnp.asarray(f1[c]),
@@ -145,8 +168,9 @@ def test_plain_chains_conveyor_multi_channel():
             assert slen >= int(rlens[i]) // 8   # sanity: bits consumed
 
 
+@pytest.mark.parametrize("pair", [False, True])
 @pytest.mark.parametrize("long_runs", [False, True])
-def test_run_conveyor_matches_xla(long_runs):
+def test_run_conveyor_matches_xla(long_runs, pair):
     rng = np.random.default_rng(47 + long_runs)
     scheme = _mk_scheme(rng)
     run_hist = np.ones(256, np.int64)
@@ -175,6 +199,7 @@ def test_run_conveyor_matches_xla(long_runs):
     f1, f2, subw, lmax = d2.scheme_tables2([scheme, run_scheme])
     nsignal = 255 if scheme.type == 2 else 256
     max_tokens = max_len + 2
+    spec = _run_spec(run_scheme, f1[1], f2, subw, lmax) if pair else None
     xr, xl = (np.asarray(x) for x in d2.run_chain(
         jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[1]),
         jnp.asarray(f1[0]), jnp.asarray(f2), jnp.int32(nsignal),
@@ -182,7 +207,8 @@ def test_run_conveyor_matches_xla(long_runs):
     gr, gl, gbits, glast = (np.asarray(x) for x in dc.run_chain_conveyor(
         jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[1]),
         jnp.asarray(f1[0]), jnp.asarray(f2), jnp.int32(nsignal),
-        max_tokens=max_tokens, subw=subw, lmax=lmax, interpret=True))
+        max_tokens=max_tokens, subw=subw, lmax=lmax, interpret=True,
+        spec=spec))
     t = min(xr.shape[1], gr.shape[1])
     assert (gr[:, :t] == xr[:, :t]).all()
     assert (gl[:, :t] == xl[:, :t]).all()
@@ -202,8 +228,9 @@ def _pad_rect(rect, k_words):
                         rect.dtype)], axis=1)
 
 
+@pytest.mark.parametrize("pair", [False, True])
 @pytest.mark.parametrize("k_words", [4096, 8192, 16384])
-def test_plain_conveyor_long_stream_geometry(k_words):
+def test_plain_conveyor_long_stream_geometry(k_words, pair):
     """K > 2048 words drops sublane groups (G = 4/2/1) instead of falling
     back to the XLA chain (round-2 long-read cliff).  Wide rects force
     the geometry; escape-heavy streams (24 bits/symbol) force multi-word
@@ -228,10 +255,11 @@ def test_plain_conveyor_long_stream_geometry(k_words):
 
     f1, f2, subw, lmax = d2.scheme_tables2([scheme])
     signal = 255 if scheme.type == 2 else 256
+    spec = _plain_spec(scheme, f1, f2, subw, lmax) if pair else None
     got, bits, lastg = dc.plain_chain_conveyor(
         jnp.asarray(rect), jnp.asarray(rlens), jnp.asarray(f1[0]),
         jnp.asarray(f2), jnp.int32(signal), max_len=max_len, subw=subw,
-        lmax=lmax, interpret=True)
+        lmax=lmax, interpret=True, spec=spec)
     got = np.asarray(got)
     for i in range(n):
         r = int(rlens[i])

@@ -101,8 +101,9 @@ def test_plain_kernel_matches_xla(concentrated):
     _compare_words(wp, wx, raws)
 
 
+@pytest.mark.parametrize("tokens", [None, "exact"])
 @pytest.mark.parametrize("concentrated", [False, True])
-def test_run_kernel_matches_xla(concentrated):
+def test_run_kernel_matches_xla(concentrated, tokens):
     rng = np.random.default_rng(11 + concentrated)
     n_reads, l = 16, 256
     scheme = _mk_scheme(rng, concentrated)
@@ -115,17 +116,25 @@ def test_run_kernel_matches_xla(concentrated):
     lit_mask = rng.random((n_reads, l)) < 0.15
     data[lit_mask] = rng.integers(0, 256, lit_mask.sum()).astype(np.uint8)
     data[2] = rchar                      # all-run row (trailing run only)
-    data[3] = rng.integers(0, 256, l)    # literal-dense row
+    data[3] = rchar
+    data[3, :100] = rng.integers(0, 256, 100)  # literal-dense row
+    data[4] = rchar
+    data[4, :128] = 9        # exactly one 128-lane token bound (boundary)
     lengths = rng.integers(0, l + 1, n_reads).astype(np.int32)
     lengths[0] = 0
     lengths[1] = l
+    lengths[3] = lengths[4] = l
 
+    mt = (bj.run_token_bound(data, lengths, rchar)
+          if tokens == "exact" else None)
     wx, tx, lgx = _xla_run(data, lengths, rchar, scheme, run_scheme)
     sl = jnp.asarray(bj.scheme_luts(scheme)[None])
     rl = jnp.asarray(bj.scheme_luts(run_scheme, run=True)[None])
     wp, tp, lgp, pst = ep.encode_run_pallas(
         jnp.asarray(data[None]), jnp.asarray(lengths), sl, rl,
-        jnp.asarray([rchar], np.int32), interpret=True)
+        jnp.asarray([rchar], np.int32), interpret=True, max_tokens=mt)
+    if tokens == "exact":      # the compacted rect is genuinely narrower
+        assert wp.shape[2] < 2 * l
     wp, tp, lgp = np.asarray(wp[0]), np.asarray(tp[0]), np.asarray(lgp[0])
     wp = _densify(wp, np.asarray(pst[0]), tp)
 

@@ -410,10 +410,18 @@ def test_device_decode_long_read_mix_buckets(monkeypatch):
     monkeypatch.setattr(d2, "decode_entry_batch_seg", spy)
     dec = decode_dexqv_to_quiva(enc, device=True)
     assert dec == data
-    # long reads route through the checkpoint-segmented step (the DP
-    # bucketing may merge this small batch into one launch)
-    assert len(launches) >= 1, f"expected segmented launches: {launches}"
+    # long reads route through the checkpoint-segmented step; the flat
+    # layout runs ONE launch whose rows are the live segments (s_per 1)
+    assert len(launches) == 1, f"expected one flat launch: {launches}"
+    assert launches[0][0] == 1
+
+    # the round-3 segs-per-read bucketed layout must stay exact (A/B)
+    launches.clear()
+    monkeypatch.setenv("DXT_SEG_FLAT", "0")
+    dec_b = decode_dexqv_to_quiva(enc, device=True)
+    assert dec_b == data
     assert max(sp for sp, _ in launches) >= 4     # true multi-segment reads
+    monkeypatch.delenv("DXT_SEG_FLAT")
 
     # the per-read bucketed path must stay exact too (DB path / fallback)
     monkeypatch.setenv("DXT_SEG_DECODE", "0")

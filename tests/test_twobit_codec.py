@@ -42,6 +42,38 @@ def test_pack_matches_jax():
         np.asarray(tb.unpack_2bit(jnp.asarray(packed))))
 
 
+@pytest.mark.parametrize("alphabet,lut", [
+    ("base", tb.NUMBER_BASE_LUT), ("arrow", tb.NUMBER_ARROW_LUT)])
+def test_pack_translate_all_bytes(alphabet, lut):
+    """The arithmetic letter map must equal the reference LUT for EVERY
+    byte value (reference DB.c:367-441), padded tails packing as zero."""
+    import jax.numpy as jnp
+    # rows covering all 256 byte values, plus a random soup
+    rng = np.random.default_rng(3)
+    rows = np.vstack([
+        np.arange(256, dtype=np.uint8).reshape(2, 128),
+        rng.integers(0, 256, size=(6, 128), dtype=np.uint8),
+    ])
+    lengths = np.array([128, 128, 0, 1, 63, 64, 127, 128], np.int64)
+    got = np.asarray(tb.pack_translate(
+        jnp.asarray(rows), jnp.asarray(lengths), alphabet=alphabet))
+    want = tb.pack_2bit_np(lut[rows], lengths)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pack_translate_roundtrip_unpack():
+    """pack_translate o unpack_translate is the identity on packed bytes."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(4)
+    packed = rng.integers(0, 256, size=(9, 256), dtype=np.uint8)
+    letters = np.asarray(tb.unpack_translate(
+        jnp.asarray(packed), jnp.asarray(tb.LOWER_LUT)))
+    lengths = np.full(9, 4 * 256, np.int64)
+    again = np.asarray(tb.pack_translate(
+        jnp.asarray(letters), jnp.asarray(lengths), alphabet="base"))
+    np.testing.assert_array_equal(again, packed)
+
+
 # ---------------------------------------------------------------------------
 # golden byte-identity vs the C tools
 # ---------------------------------------------------------------------------

@@ -254,6 +254,7 @@ def main():
                 decode_tables_v2(coding)
             chan_l2 = tuple(bool(((f1_t[sids[k]] >> 20) & 1).any())
                             for k in range(6))
+            spec_t = d2.spec_table(sids, f1_t, f2_t, types_t, subw, lmax)
             dec_args = (*(jnp.asarray(r) for r in rects), jnp.asarray(drlens),
                         jnp.asarray(sids), jnp.asarray(f1_t), jnp.asarray(f2_t),
                         jnp.asarray(types_t), jnp.int32(coding.del_char & 0xFF),
@@ -261,7 +262,7 @@ def main():
             jax.block_until_ready(dec_args)
             payload_bytes = int(elens.sum()) * 5
 
-            def make_chained():
+            def make_chained(spec):
                 @jax.jit
                 def dec_chained(rd_, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_,
                                 ty_, dc_, sc_, k):
@@ -272,13 +273,13 @@ def main():
                             dc_, sc_, max_len=dec_max_len,
                             max_tokens=dec_max_tokens, del_mode=del_mode,
                             sub_mode=sub_mode, subw=subw, lmax=lmax,
-                            chan_l2=chan_l2, max_sym=dec_max_sym)
+                            chan_l2=chan_l2, max_sym=dec_max_sym, spec=spec)
                         return acc + rows.astype(jnp.int32).sum()
                     return jax.lax.fori_loop(0, k, body, jnp.int32(0))
                 return dec_chained
 
-            def measure(label):
-                fn = make_chained()
+            def measure(label, spec=None):
+                fn = make_chained(spec)
 
                 def run_k(k):
                     t = time.perf_counter()
@@ -297,12 +298,16 @@ def main():
                 return dt
 
             os.environ["DXT_EXPAND_PALLAS"] = "0"
-            dt_xla = measure("decode-xla-expand")
+            dt_xla = measure("decode-xla-expand", spec_t)
             os.environ["DXT_EXPAND_PALLAS"] = "1"
-            dt_pal = measure("decode-pallas-expand")
+            dt_pal = measure("decode-pallas-expand", spec_t)
+            # pair-step A/B: same program minus the length speculation
+            dt_nopair = measure("decode-nopair", None)
             results["decode_step_ms_xla_expand"] = round(dt_xla * 1e3, 3)
             results["decode_step_ms_pallas_expand"] = round(dt_pal * 1e3, 3)
             results["pallas_expand_speedup"] = round(dt_xla / dt_pal, 3)
+            results["decode_step_ms_nopair"] = round(dt_nopair * 1e3, 3)
+            results["pair_step_speedup"] = round(dt_nopair / dt_pal, 3)
 
     # 6. conveyor under shard_map on the chip (1-device mesh)
     with section("shardmap"):

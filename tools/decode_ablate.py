@@ -94,6 +94,8 @@ def main():
         decode_tables_v2(coding)
     chan_l2 = tuple(bool(((f1_t[sids[k]] >> 20) & 1).any())
                     for k in range(6))
+    spec_t = d2.spec_table(sids, f1_t, f2_t, types_t, subw, lmax)
+    sp = spec_t if spec_t is not None else (None,) * 6
     log(f"n={n_dec} (pad {n_decp}) max_len={dec_max_len} "
         f"max_sym={dec_max_sym} max_tokens={dec_max_tokens} "
         f"del_mode={del_mode} sub_mode={sub_mode} subw={subw} lmax={lmax} "
@@ -144,7 +146,7 @@ def main():
                 r, tg_, ri_, rm_, rs_, rlens_, sids_, f1_, f2_, ty_,
                 dc_, sc_, max_len=dec_max_len, max_tokens=dec_max_tokens,
                 del_mode=del_mode, sub_mode=sub_mode, subw=subw, lmax=lmax,
-                chan_l2=chan_l2, max_sym=dec_max_sym)
+                chan_l2=chan_l2, max_sym=dec_max_sym, spec=spec_t)
             return acc + rows.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
@@ -163,7 +165,7 @@ def main():
                 runs, lits, _, _ = run_chain_conveyor(
                     r, rlens_, f1r_, f1s_, f2_, sg_,
                     max_tokens=dec_max_tokens,
-                    subw=max(sw[0], sw[1]), lmax=lmax)
+                    subw=max(sw[0], sw[1]), lmax=lmax, spec=sp[1])
                 return acc + runs.sum() + lits.sum()
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
@@ -176,7 +178,7 @@ def main():
             r = rect ^ acc.astype(jnp.uint32)
             syms, _, _ = plain_chain_conveyor(
                 r, rlens_, f1_, f2_, sg_, max_len=dec_max_sym,
-                subw=sw[2], lmax=lmax)
+                subw=sw[2], lmax=lmax, spec=sp[2])
             return acc + syms.astype(jnp.int32).sum()
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 

@@ -84,15 +84,17 @@ def main():
         if coding.srun_scheme else null_run_luts()])
     rchars = np.array([coding.del_char, -1, -1, coding.sub_char], np.int32)
     run_on = (coding.drun_scheme is not None, coding.srun_scheme is not None)
+    from bench import _run_tokens_of
+    run_tokens = _run_tokens_of(streams, lengths, coding, run_on)
 
     out = qv_encode_step(
         jnp.asarray(streams), jnp.asarray(lengths.astype(np.int32)),
         jnp.asarray(sym), jnp.asarray(run), jnp.asarray(rchars),
-        jnp.asarray(NUMBER_BASE_LUT), run_on=run_on)
+        jnp.asarray(NUMBER_BASE_LUT), run_on=run_on, run_tokens=run_tokens)
     ours = assemble_from_step(out, coding, q.wells, q.begs, q.ends, q.qvs,
                               q.n_entries)
     res = {"platform": platform, "mb": mb, "run_on": list(run_on),
-           "step_bytes_ok": ours == enc_host}
+           "run_tokens": run_tokens, "step_bytes_ok": ours == enc_host}
     print("STEPV: " + json.dumps(res), flush=True)
 
 
