@@ -179,7 +179,7 @@ def _metric_qv_encode(paths):
     import jax
     import jax.numpy as jnp
     from dextractor_tpu.formats.quiva import parse_quiva
-    from dextractor_tpu.formats.ragged import pad_rows
+    from dextractor_tpu.formats.ragged import pad_rows, bucket_rows
     from dextractor_tpu.codecs.qv_codec import scan_quiva, create_qvcoding
     from dextractor_tpu.ops import bitstream_jax as bj
     from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT
@@ -193,7 +193,7 @@ def _metric_qv_encode(paths):
              for s in range(5)]
     streams = np.stack(rects)
     n = q.n_entries
-    n_pad = max(8, 1 << max(n - 1, 0).bit_length())
+    n_pad = bucket_rows(n)
     if n_pad != n:
         streams = np.concatenate(
             [streams, np.zeros((5, n_pad - n, streams.shape[2]), np.uint8)], 1)
@@ -268,7 +268,7 @@ def qv_enc_long_parts(data: bytes):
     import jax
     import jax.numpy as jnp
     from dextractor_tpu.formats.quiva import parse_quiva
-    from dextractor_tpu.formats.ragged import pad_rows
+    from dextractor_tpu.formats.ragged import pad_rows, bucket_rows
     from dextractor_tpu.codecs.qv_codec import scan_quiva, create_qvcoding
     from dextractor_tpu.ops import bitstream_jax as bj
     from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT
@@ -305,7 +305,7 @@ def qv_enc_long_parts(data: bytes):
         sel = np.flatnonzero(kb == width)
         lens_b = lengths_all[sel]
         n_b = len(sel)
-        n_pad = max(8, 1 << max(n_b - 1, 0).bit_length())
+        n_pad = bucket_rows(n_b)
         rects = []
         for s in range(5):
             idx = np.concatenate(
@@ -364,7 +364,7 @@ def _qv_dec_setup(enc: bytes, sel=None):
     from dextractor_tpu.codecs.qv_codec import _index_native
     from dextractor_tpu.codecs.qv_batch import decode_tables_v2, channel_rects
     from dextractor_tpu.formats import dexqv as dqf
-    from dextractor_tpu.formats.ragged import bucket_len
+    from dextractor_tpu.formats.ragged import bucket_len, bucket_rows
     from dextractor_tpu.ops import decode2 as d2
 
     coding, coff = dqf.parse_qvcoding(memoryview(enc), 2)
@@ -376,7 +376,7 @@ def _qv_dec_setup(enc: bytes, sel=None):
         eoffs, elens = eoffs[sel], elens[sel]
         coffs_t, ntoks_t = coffs_t[sel], ntoks_t[sel]
     n_dec = len(eoffs)
-    n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
+    n_decp = bucket_rows(n_dec)
     dbuf = np.frombuffer(enc, np.uint8)
     drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
     dec_max_len = bucket_len(int(drlens.max(initial=0)), 512)
@@ -501,13 +501,13 @@ def _metric_qv_decode_long(paths):
 
 def _dexta_rows(paths):
     from dextractor_tpu.formats.dexta import read_dexta
-    from dextractor_tpu.formats.ragged import pad_rows
+    from dextractor_tpu.formats.ragged import pad_rows, bucket_rows
 
     df = read_dexta(paths["dexta"].read_bytes())
     frlens = (df.ends - df.begs).astype(np.int64)
     fclens = df.payload.lengths
     prow = pad_rows(df.payload.flat, fclens, align=128, bucket=True)
-    npad = max(8, 1 << max(len(frlens) - 1, 0).bit_length())
+    npad = bucket_rows(len(frlens))
     prow = np.concatenate(
         [prow, np.zeros((npad - prow.shape[0], prow.shape[1]), np.uint8)])
     return prow, frlens, npad

@@ -424,7 +424,8 @@ def _encode_entries_device(q: qv.QuivaFile, coding: dq.QVCoding, lossy: bool) ->
     through the native ragged copy."""
     import jax
     import jax.numpy as jnp
-    from ..formats.ragged import pad_rows, bucket_len, rows_to_flat
+    from ..formats.ragged import (pad_rows, bucket_len, bucket_rows,
+                                  rows_to_flat)
     from ..ops import bitstream_jax as bj
 
     n = q.n_entries
@@ -439,7 +440,7 @@ def _encode_entries_device(q: qv.QuivaFile, coding: dq.QVCoding, lossy: bool) ->
         sel = np.flatnonzero(kb == width)
         lens_b = real_lengths[sel]
         n_b = len(sel)
-        n_pad = max(8, 1 << (max(n_b - 1, 0)).bit_length())
+        n_pad = bucket_rows(n_b)
         lengths = np.zeros(n_pad, np.int64)
         lengths[:n_b] = lens_b
 

@@ -47,9 +47,12 @@ def _decode_rows(packed_rows, letter_lut):
 
 
 def _bucket_rows(rows: np.ndarray, lengths: np.ndarray):
-    """Pad the row count to a power of two (shape-bucketing for jit reuse)."""
+    """Pad the row count to an eighth-octave bucket (shape-bucketing for
+    jit reuse at <= 12.5% dead rows; pow2 padded up to 2x)."""
+    from ..formats.ragged import bucket_rows
+
     n = rows.shape[0]
-    n_pad = max(8, 1 << max(n - 1, 0).bit_length())
+    n_pad = bucket_rows(n)
     if n_pad != n:
         rows = np.concatenate([rows, np.zeros((n_pad - n, rows.shape[1]), rows.dtype)])
         lengths = np.concatenate([lengths, np.zeros(n_pad - n, lengths.dtype)])

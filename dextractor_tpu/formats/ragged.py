@@ -38,15 +38,34 @@ def next_pow2(x: int) -> int:
 
 
 def bucket_len(x: int, floor: int = 512) -> int:
-    """Round up to quarter-power-of-two granularity (512, 640, ..., 1024,
-    1280, 1536, 1792, 2048, 2560, ...).
+    """Round up to eighth-power-of-two granularity (512, 576, ..., 1024,
+    1152, 1280, ..., 2048, 2304, ...).
 
     Pow2 bucketing wastes up to 2x serial decode work (the chains run
-    group-steps for the whole padded length); quarter steps cap the waste
-    at 25% while keeping at most 4 compiled shapes per doubling."""
+    group-steps for the whole padded length); eighth steps cap the waste
+    at 12.5% with at most 8 compiled shapes per doubling.  (The old
+    ceiling-pow2/8 granularity quietly rounded 2050 -> 2560 — a 25%
+    column pad on the bench shape — because just past a power of two the
+    CEILING is the next doubling; the granularity must come from the
+    power of two BELOW x.)"""
     x = max(int(x), floor)
-    gran = max(floor // 8, next_pow2(x) // 8)
+    gran = max(floor // 8, (1 << (x.bit_length() - 1)) // 8)
     return (x + gran - 1) // gran * gran
+
+
+def bucket_rows(n: int, floor: int = 8) -> int:
+    """Row-count bucket: round up to eighth-power-of-two granularity.
+
+    Batch ROW padding used pow2 everywhere (bench and the device file
+    encode), which at the bench shapes meant 1560 -> 2048 rows = ~24%
+    dead rows in EVERY plane op — the expand network, tag route, masks,
+    emission planes and the conveyor chain blocks all pay the padded
+    row count (CHIP_r05: the flat segment decode's 1.22x-of-uniform
+    rate is mostly its ~8% row padding vs pow2's).  Eighth-octave steps
+    cap the waste at 12.5% with <= 8 compiled shapes per doubling."""
+    n = max(int(n), floor)
+    gran = max(1, (1 << (n.bit_length() - 1)) // 8)
+    return (n + gran - 1) // gran * gran
 
 
 def pad_rows(flat: np.ndarray, lengths: np.ndarray, align: int = 512,
@@ -63,7 +82,8 @@ def pad_rows(flat: np.ndarray, lengths: np.ndarray, align: int = 512,
     lpad = max(int(lengths.max(initial=0)), 1)
     lpad = _round_up(lpad, align)
     if bucket:
-        lpad = _round_up(lpad, max(align, next_pow2(lpad) // 8))
+        lpad = _round_up(lpad, max(align,
+                                   (1 << (lpad.bit_length() - 1)) // 8))
     out = np.full((n, lpad), pad_value, dtype=flat.dtype)
     total = int(lengths.sum())
     if total:

@@ -106,7 +106,8 @@ def scheme_tables2(schemes, lmax_bucket: int | None = None):
     return f1, f2, subw, lmax
 
 
-def spec_table(sids, f1, f2, types, subw: int, lmax: int):
+def spec_table(sids, f1, f2, types, subw: int, lmax: int,
+               force: bool = False):
     """Static per-channel speculation sets for the conveyor pair step.
 
     Channel k's tuple is the set of possible BIT ADVANCES of one decoded
@@ -116,10 +117,18 @@ def spec_table(sids, f1, f2, types, subw: int, lmax: int):
     (QV.c:510-599 plain, QV.c:604-691 run 16-bit length literal).
     Host-side numpy over decode_tables_v2 outputs; returns a 6-tuple of
     sorted int tuples in (del, drun, ins, mrg, sub, srun) order, passed
-    static into decode_entry_batch2/_seg.  DXT_PAIR=0 disables the pair
-    step (returns None) for chip A/B.
+    static into decode_entry_batch2/_seg.
+
+    DEFAULT OFF (DXT_PAIR=1 enables): the r5 chip A/B measured the pair
+    step a ~10% per-launch LOSS (run 0.325 -> 0.367 ms, plain 0.448 ->
+    0.477 ms; CHIP_r05 pair_step_speedup 1.007 on the full step) — the
+    1024-chain interleave already made the conveyor THROUGHPUT-bound,
+    so halving the serial depth buys nothing and the speculation's
+    extra peeks/gathers bill ~10%.  The machinery stays for narrower
+    batches (fewer chains = latency-bound again) and as the record of
+    the experiment the round-4 verdict asked for.
     """
-    if os.environ.get("DXT_PAIR", "1") != "1":
+    if not force and os.environ.get("DXT_PAIR", "0") != "1":
         return None
     f1 = np.asarray(f1)
     f2 = np.asarray(f2)

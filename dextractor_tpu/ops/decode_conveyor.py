@@ -62,11 +62,21 @@ from .decode2 import _extract, _peek16
 
 # symbols per group: a plain symbol consumes <= 24 bits (16-bit code +
 # 8-bit escape literal), so G_PLAIN * 24 bits bound the per-group conveyor
-# advance; run tokens consume <= 56 bits (32-bit run + 24-bit literal)
-G_PLAIN = 16
-W_PLAIN = 16                # window words: ceil(16*24/32) + 2
-G_RUN = 8
-W_RUN = 17                  # ceil(8*56/32) + 3
+# advance; run tokens consume <= 56 bits (32-bit run + 24-bit literal).
+# Group size amortizes the ADVANCE NETWORK, the kernel's dominant op bill
+# once the 1024-chain interleave made it throughput-bound (r5 ablation:
+# per-launch times scale with op count, and the pair-step's halved serial
+# depth LOST 10% to its extra ops): each advance round selects every one
+# of the K word slices, so advance ops/symbol ~= rounds * K / G while the
+# growing window costs only ~0.75 * G extra selects/symbol — the optimum
+# sits near G = sqrt(rounds * K / 0.75) ~= 48-64 for bench-sized rects.
+G_PLAIN = 64
+W_PLAIN = 50                # window words: ceil(64*24/32) + 2
+ADV_BITS_PLAIN = 6          # per-group advance <= 49 words
+G_RUN = 24
+W_RUN = 45                  # ceil(24*56/32) + 3
+ADV_BITS_RUN = 6            # per-group advance <= 43 words
+ADV_PAD = 32                # g=1 shifted-load pad rows: 1 << (bits - 1)
 CHAINS = 1024               # 8 sublane groups x 128 lanes per grid step
 MAX_CONV_WORDS = 16384      # 1-group geometry ceiling (8 MB scratch)
 
@@ -200,7 +210,7 @@ def _advance(conv, delta, max_bits: int, g: int = 8):
     return conv
 
 
-def _advance_ref_g1(conv_ref, k: int, delta, bc_ref, max_bits: int = 4,
+def _advance_ref_g1(conv_ref, k: int, delta, bc_ref, max_bits: int = 6,
                     ch: int = 1024):
     """In-place g=1 conveyor advance on the scratch ref.
 
@@ -211,7 +221,7 @@ def _advance_ref_g1(conv_ref, k: int, delta, bc_ref, max_bits: int = 4,
     a+ch) reads its shifted source [a+step, a+step+ch) before storing
     (ascending order never reads a row written earlier in the same
     round), so peak extra VMEM is ~3 chunk-sized values.  The conveyor
-    scratch carries 8 pad rows past k so shifted loads never wrap —
+    scratch carries ADV_PAD pad rows past k so shifted loads never wrap —
     the wrapped rows of the old rotate held consumed-word garbage the
     windows never read anyway.  delta is a pure lane value at g=1: it
     round-trips through ``bc_ref`` (ref-loaded (1, L) values sublane-
@@ -409,7 +419,7 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 cp.start()
                 cp.wait()
             if gg == 1:                   # zero the shifted-load pad rows
-                conv_ref[k * gg:] = jnp.zeros((8, lanes), jnp.int32)
+                conv_ref[k * gg:] = jnp.zeros((ADV_PAD, lanes), jnp.int32)
             pos_ref[:] = p0_ref[:]        # segment chains resume mid-bit
             base_ref[:] = rlen * 0
             last_ref[:] = rlen * 0
@@ -424,7 +434,7 @@ def _plain_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             _advance_ref_g1(conv_ref, k, delta, bc_ref)
             conv = None
         else:
-            conv = _advance(conv_ref[:], delta, max_bits=4, g=gg)
+            conv = _advance(conv_ref[:], delta, max_bits=ADV_BITS_PLAIN, g=gg)
             conv_ref[:] = conv
         base = base + delta
 
@@ -512,7 +522,7 @@ def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 cp.start()
                 cp.wait()
             if gg == 1:                   # zero the shifted-load pad rows
-                conv_ref[k * gg:] = jnp.zeros((8, lanes), jnp.int32)
+                conv_ref[k * gg:] = jnp.zeros((ADV_PAD, lanes), jnp.int32)
             pos_ref[:] = p0_ref[:]        # segment chains resume mid-bit
             base_ref[:] = rlen * 0
             last_ref[:] = rlen * 0
@@ -528,7 +538,7 @@ def _plain_slots_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             _advance_ref_g1(conv_ref, k, delta, bc_ref)
             conv = None
         else:
-            conv = _advance(conv_ref[:], delta, max_bits=4, g=gg)
+            conv = _advance(conv_ref[:], delta, max_bits=ADV_BITS_PLAIN, g=gg)
             conv_ref[:] = conv
         base = base + delta
 
@@ -592,7 +602,7 @@ def _pick_sets_multi(r: int, k: int):
             break
         block = g * 128 * sets
         npad = _round_up(max(r, block), block)
-        score = (npad // block, npad, sets)
+        score = (npad, npad // block, sets)
         if best is None or score < best:
             best = score
     steps, npad, sets = best
@@ -689,7 +699,7 @@ def plain_chains_conveyor(rects, rlens, f1cs, f2, signals, *,
             jax.ShapeDtypeStruct((lp * gg, ncols), jnp.int32),
             jax.ShapeDtypeStruct((2 * gg, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * gg + (8 if gg == 1 else 0),
+        scratch_shapes=[pltpu.VMEM((k * gg + (ADV_PAD if gg == 1 else 0),
                                     lanes), jnp.int32)]
         + [pltpu.VMEM((gg, lanes), jnp.int32)] * 3
         + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
@@ -794,7 +804,7 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
                 cp.start()
                 cp.wait()
             if gg == 1:                   # zero the shifted-load pad rows
-                conv_ref[k * gg:] = jnp.zeros((8, lanes), jnp.int32)
+                conv_ref[k * gg:] = jnp.zeros((ADV_PAD, lanes), jnp.int32)
             pos_ref[:] = p0_ref[:]        # segment chains resume mid-bit
             base_ref[:] = rlen * 0
             em_ref[:] = rlen * 0
@@ -812,7 +822,7 @@ def _run_kernel_factory(k: int, n_groups: int, subw: int, lmax: int,
             _advance_ref_g1(conv_ref, k, delta, bc_ref)
             conv = None
         else:
-            conv = _advance(conv_ref[:], delta, max_bits=4, g=gg)
+            conv = _advance(conv_ref[:], delta, max_bits=ADV_BITS_RUN, g=gg)
             conv_ref[:] = conv
         base = base + delta
 
@@ -1033,7 +1043,7 @@ def plain_chain_conveyor(rect, rlens, f1c, f2, signal, *, max_len: int,
             jax.ShapeDtypeStruct((lp * gg, ncols), jnp.int32),
             jax.ShapeDtypeStruct((2 * gg, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * gg + (8 if gg == 1 else 0),
+        scratch_shapes=[pltpu.VMEM((k * gg + (ADV_PAD if gg == 1 else 0),
                                     lanes), jnp.int32)]
         + [pltpu.VMEM((gg, lanes), jnp.int32)] * 3
         + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])
@@ -1120,7 +1130,7 @@ def run_chain_conveyor(rect, rlens, f1r, f1s, f2, nsignal, *,
             jax.ShapeDtypeStruct((tp * gg, ncols), jnp.int32),
             jax.ShapeDtypeStruct((2 * gg, ncols), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((k * gg + (8 if gg == 1 else 0),
+        scratch_shapes=[pltpu.VMEM((k * gg + (ADV_PAD if gg == 1 else 0),
                                     lanes), jnp.int32)]
         + [pltpu.VMEM((gg, lanes), jnp.int32)] * 4
         + ([pltpu.VMEM((1, lanes), jnp.int32)] if gg == 1 else [])

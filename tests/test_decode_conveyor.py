@@ -33,7 +33,8 @@ def _plain_spec(scheme, f1, f2, subw, lmax):
     """Channel-0 speculation set (a plain channel of this scheme)."""
     sids = np.zeros(6, np.int32)
     types = np.array([scheme.type], np.int32)
-    return d2.spec_table(sids, f1[:1], f2, types, subw, lmax)[0]
+    return d2.spec_table(sids, f1[:1], f2, types, subw, lmax,
+                         force=True)[0]
 
 
 def _run_spec(run_scheme, f1run, f2, subw, lmax):
@@ -41,7 +42,8 @@ def _run_spec(run_scheme, f1run, f2, subw, lmax):
     sids = np.full(6, 0, np.int32)
     sids[1] = 0
     types = np.array([run_scheme.type], np.int32)
-    return d2.spec_table(sids, f1run[None, :], f2, types, subw, lmax)[1]
+    return d2.spec_table(sids, f1run[None, :], f2, types, subw,
+                         lmax, force=True)[1]
 
 
 def _rect_from_streams(streams):

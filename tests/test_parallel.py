@@ -287,6 +287,10 @@ def test_sharded_conveyor_decode_matches_single(monkeypatch):
     enc = encode_quiva_to_dexqv(quiva, device=False)
 
     monkeypatch.setenv("DXT_CONVEYOR_INTERPRET", "1")
+    # legacy per-symbol path: pair-step interpret traces cost ~3x the
+    # emulation time and the pair x shard_map combination is covered by
+    # test_sharded_seg_decode_matches_single
+    monkeypatch.setenv("DXT_PAIR", "0")
     mesh = make_mesh(8)
     single = decode_dexqv_to_quiva(enc, device=True)
     sharded = decode_dexqv_to_quiva(enc, device=True, mesh=mesh)
@@ -328,6 +332,7 @@ def test_sharded_conveyor_db_decode_matches_single(monkeypatch):
                             np.ones(len(parts[1][1]), np.int64)])
 
     monkeypatch.setenv("DXT_CONVEYOR_INTERPRET", "1")
+    monkeypatch.setenv("DXT_PAIR", "0")   # see decode_matches_single
     rows_single, _ = batch_decode_entries(buf, starts, rlens, codings, table)
     mesh = make_mesh(8)
     rows_sharded, _ = batch_decode_entries(buf, starts, rlens, codings,
@@ -362,6 +367,9 @@ def test_sharded_seg_decode_matches_single(monkeypatch):
     assert ck is not None
     buf = np.frombuffer(enc, np.uint8)
     monkeypatch.setenv("DXT_CONVEYOR_INTERPRET", "1")
+    # keep ONE shard_map test on the pair-speculation path (default off
+    # on perf grounds, but the code must not rot)
+    monkeypatch.setenv("DXT_PAIR", "1")
     single = np.asarray(fused_decode_entries_seg(
         buf, eoffs, elens.astype(np.int32), coffs, ntoks, coding, ck))
     mesh = make_mesh(8)

@@ -62,7 +62,8 @@ def main():
         encode_quiva_to_dexqv, _index_native)
     from dextractor_tpu.codecs.qv_batch import decode_tables_v2, channel_rects
     from dextractor_tpu.formats import dexqv as dqf
-    from dextractor_tpu.formats.ragged import bucket_len, next_pow2
+    from dextractor_tpu.formats.ragged import (bucket_len, bucket_rows,
+                                               next_pow2)
     from dextractor_tpu.ops import decode2 as d2
     from dextractor_tpu.ops.decode_conveyor import (
         plain_chain_conveyor, run_chain_conveyor)
@@ -80,7 +81,7 @@ def main():
     indexed = _index_native(enc_host, coding, coff, True)
     (_, _, _, _, _, _, eoffs, elens, coffs_t, ntoks_t) = indexed
     n_dec = len(eoffs)
-    n_decp = max(8, 1 << max(n_dec - 1, 0).bit_length())
+    n_decp = bucket_rows(n_dec)
     dbuf = np.frombuffer(enc_host, np.uint8)
     drlens = np.pad(elens.astype(np.int32), (0, n_decp - n_dec))
     dec_max_len = bucket_len(int(drlens.max(initial=0)), 512)

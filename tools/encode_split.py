@@ -52,7 +52,7 @@ def child(mb, part):
 
     # bench-identical batch setup (mirrors _metric_qv_encode)
     from dextractor_tpu.formats.quiva import parse_quiva
-    from dextractor_tpu.formats.ragged import pad_rows
+    from dextractor_tpu.formats.ragged import pad_rows, bucket_rows
     from dextractor_tpu.codecs.qv_codec import scan_quiva, create_qvcoding
     from dextractor_tpu.ops import bitstream_jax as bj
     from dextractor_tpu.ops.twobit import NUMBER_BASE_LUT
@@ -67,7 +67,7 @@ def child(mb, part):
              for s in range(5)]
     streams = np.stack(rects)
     n = q.n_entries
-    n_pad = max(8, 1 << max(n - 1, 0).bit_length())
+    n_pad = bucket_rows(n)
     if n_pad != n:
         streams = np.concatenate(
             [streams, np.zeros((5, n_pad - n, streams.shape[2]), np.uint8)],

@@ -43,7 +43,7 @@ def main():
             os.environ[k] = v
 
     from dextractor_tpu.formats.quiva import parse_quiva
-    from dextractor_tpu.formats.ragged import pad_rows
+    from dextractor_tpu.formats.ragged import pad_rows, bucket_rows
     from dextractor_tpu.codecs.qv_codec import (
         scan_quiva, create_qvcoding, assemble_from_step,
         encode_quiva_to_dexqv)
@@ -66,7 +66,7 @@ def main():
              for s in range(5)]
     streams = np.stack(rects)
     n = q.n_entries
-    n_pad = max(8, 1 << max(n - 1, 0).bit_length())
+    n_pad = bucket_rows(n)
     if n_pad != n:
         streams = np.concatenate(
             [streams, np.zeros((5, n_pad - n, streams.shape[2]), np.uint8)],
